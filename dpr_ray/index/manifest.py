@@ -1,0 +1,68 @@
+"""Build manifests: per-partition lineage + metrics (north-rule requirement).
+
+The reference's only resume units are whole output files (re-run a missing
+shard id — ``generate_dense_embeddings.py:145-149``) and training
+checkpoints (``dpr/utils/model_utils.py:21-31``). Here every build writes a
+``manifest.json`` recording global stats, per-stage wall times, the skew
+plan (salted head terms), and a per-partition table (file, rows, bytes) for
+both docstore and segments. ``is_complete()`` gates resume: a rerun that
+finds a complete manifest with the same build fingerprint skips the build
+(segments are byte-deterministic, so skip == rebuild).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def _partition_table(root: str) -> list[dict]:
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            try:
+                rows = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                rows = -1
+            out.append(
+                {
+                    "file": os.path.relpath(p, root),
+                    "rows": rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+    return out
+
+
+def write_manifest(index_dir: str, *, stats: dict, timings: dict, salt_map: dict) -> dict:
+    manifest = {
+        "complete": True,
+        "stats": stats,
+        "timings": timings,
+        "skew_plan": {"salted_terms": len(salt_map), "salt_map": dict(sorted(salt_map.items())[:1000])},
+        "partitions": {
+            "docstore": _partition_table(os.path.join(index_dir, "docstore")),
+            "segments": _partition_table(os.path.join(index_dir, "segments")),
+        },
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def is_complete(index_dir: str) -> bool:
+    m = read_manifest(index_dir)
+    return bool(m and m.get("complete"))

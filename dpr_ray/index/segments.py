@@ -1,0 +1,156 @@
+"""Segment layout and posting-list (de)serialization.
+
+On-disk index layout (replaces the reference's FAISS index file + pickled id
+map, ``dpr/indexer/faiss_indexers.py:41-79``):
+
+    <index_dir>/
+      stats.json                       # {"N", "avgdl", "sum_dl", ...}
+      manifest.json                    # build lineage + per-stage metrics
+      docstore/dbucket=<i>/*.parquet   # docid-partitioned document table
+      segments/tbucket=<i>/*.parquet   # term-partitioned posting lists
+
+Segment schema (one row per term SLICE — FIXTURES.md F7):
+    term: string, tbucket: int32, slice_id: int32, df: int64, cf: int64,
+    block_first / block_last: list<uint64>,
+    block_max: list<float32>,                         # block-max tf_norm bound
+    block_docids / block_tfs / block_dls: list<binary>  # delta+varint / varint
+
+A term's postings are docid-sorted, cut into slices of at most
+``max_postings_per_slice`` (so no Arrow row outgrows a block even for
+stopword-scale terms — SURVEY §7 hard part (d)), and within a slice into
+fixed ``block_size`` blocks carrying a conservative max-score bound for WAND.
+``df``/``cf`` are per-slice partials; readers sum them. Slice boundaries are
+fixed positions in the docid-sorted postings, so the encoded segment bytes
+are a pure function of the logical posting set — independent of salting,
+parallelism, or resume points.
+
+``tbucket = crc32(term) % num_tbuckets`` is the stable term-partitioning
+function shared by build and query (partition pruning at query time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..config import BLOCK_SIZE, BM25Params
+
+MAX_POSTINGS_PER_SLICE = 1_000_000
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("tbucket", pa.int32()),
+        ("slice_id", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("block_first", pa.list_(pa.uint64())),
+        ("block_last", pa.list_(pa.uint64())),
+        ("block_max", pa.list_(pa.float32())),
+        ("block_docids", pa.list_(pa.binary())),
+        ("block_tfs", pa.list_(pa.binary())),
+        ("block_dls", pa.list_(pa.binary())),
+    ]
+)
+
+
+def term_bucket(term: str, num_tbuckets: int) -> int:
+    return zlib.crc32(term.encode()) % num_tbuckets
+
+
+def encode_posting_list(
+    term: str,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    params: BM25Params,
+    num_tbuckets: int,
+    block_size: int = BLOCK_SIZE,
+    max_postings_per_slice: int = MAX_POSTINGS_PER_SLICE,
+) -> list[dict]:
+    """Sort postings by docid, slice, block, encode. Returns segment-row
+    dicts (one per slice). Deterministic regardless of input order."""
+    order = np.argsort(docids, kind="stable")
+    docids = docids[order].astype(np.uint64)
+    tfs = np.asarray(tfs)[order]
+    dls = np.asarray(dls)[order]
+    n = len(docids)
+    tb = term_bucket(term, num_tbuckets)
+    rows = []
+    for slice_id, ss in enumerate(range(0, n, max_postings_per_slice)):
+        se = min(ss + max_postings_per_slice, n)
+        sd, st, sl = docids[ss:se], tfs[ss:se], dls[ss:se]
+        b_first, b_last, b_max, b_doc, b_tf, b_dl = [], [], [], [], [], []
+        for s in range(0, len(sd), block_size):
+            e = min(s + block_size, len(sd))
+            d, t, l = sd[s:e], st[s:e], sl[s:e]
+            b_first.append(int(d[0]))
+            b_last.append(int(d[-1]))
+            b_max.append(
+                float(codec.max_tf_norm_bound(t, l, avgdl, params.k1, params.b))
+            )
+            b_doc.append(codec.delta_encode(d))
+            b_tf.append(codec.encode_varint(t))
+            b_dl.append(codec.encode_varint(l))
+        rows.append(
+            {
+                "term": term,
+                "tbucket": tb,
+                "slice_id": slice_id,
+                "df": int(len(sd)),
+                "cf": int(np.asarray(st, dtype=np.uint64).sum()),
+                "block_first": b_first,
+                "block_last": b_last,
+                "block_max": b_max,
+                "block_docids": b_doc,
+                "block_tfs": b_tf,
+                "block_dls": b_dl,
+            }
+        )
+    return rows
+
+
+def decode_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Segment rows (any mix of slices/sub-lists of ONE term) →
+    (docids, tfs, dls) concatenated uint64 arrays (not re-sorted)."""
+    doc_parts, tf_parts, dl_parts = [], [], []
+    for row in sorted(rows, key=lambda r: r.get("slice_id", 0)):
+        for b in row["block_docids"]:
+            doc_parts.append(codec.delta_decode(b))
+        for b in row["block_tfs"]:
+            tf_parts.append(codec.decode_varint(b))
+        for b in row["block_dls"]:
+            dl_parts.append(codec.decode_varint(b))
+    if not doc_parts:
+        z = np.empty(0, np.uint64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(doc_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
+
+
+def rows_to_table(rows: list[dict]) -> pa.Table:
+    cols = {name: [r[name] for r in rows] for name in SEGMENT_SCHEMA.names}
+    return pa.table(
+        {name: pa.array(cols[name], SEGMENT_SCHEMA.field(name).type)
+         for name in SEGMENT_SCHEMA.names}
+    )
+
+
+def write_stats(index_dir: str, stats: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True)
+
+
+def read_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)

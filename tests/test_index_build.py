@@ -1,0 +1,118 @@
+"""Index build integration: postings, stats, sha256 invariant, salting
+determinism (merge(build(A), build(B)) == build(A∪B) via re-blocking)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from dpr_ray import corpus as corpus_mod
+from dpr_ray.config import BM25Params
+from dpr_ray.index import manifest as man
+from dpr_ray.index import segments as seg
+from dpr_ray.index.build import build_index
+from dpr_ray.query.oracle import BruteForceBM25
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(N_DOCS, seed=7)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    # tiny group budget + dense sampling so the salting path actually runs
+    stats = build_index(
+        ds, index_dir, docid_strategy="hash64", group_budget=30, sample_mod=2,
+        block_size=16,
+    )
+    return tbl, index_dir, stats
+
+
+def _load_segment_rows(index_dir):
+    d = pads.dataset(os.path.join(index_dir, "segments"), partitioning="hive")
+    return d.to_table().to_pylist()
+
+
+def test_stats(built):
+    tbl, index_dir, stats = built
+    assert stats["N"] == N_DOCS
+    oracle = _oracle(tbl)
+    assert stats["sum_dl"] == int(oracle.dls.sum())
+    assert abs(stats["avgdl"] - oracle.avgdl) < 1e-12
+    assert stats["head_terms_salted"] > 0, "salting path must execute"
+
+
+def _oracle(tbl):
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    ext = [f"{r}/{p}" for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())]
+    docids = [docid_from_ext_id(e) for e in ext]
+    return BruteForceBM25(docids, tbl["content"].to_pylist(), BM25Params())
+
+
+def test_postings_match_oracle(built):
+    tbl, index_dir, stats = built
+    oracle = _oracle(tbl)
+    rows = _load_segment_rows(index_dir)
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    # every oracle term present, postings identical
+    assert set(by_term.keys()) == set(oracle.df.keys())
+    for term, trows in by_term.items():
+        docids, tfs, dls = seg.decode_rows(trows)
+        o_doc, o_tf, o_dl = oracle.postings(term)
+        assert np.array_equal(docids, o_doc), term
+        assert np.array_equal(tfs, o_tf), term
+        assert np.array_equal(dls, o_dl), term
+        assert sum(r["df"] for r in trows) == oracle.df[term]
+
+
+def test_sha256_invariant(built):
+    tbl, index_dir, stats = built
+    d = pads.dataset(os.path.join(index_dir, "docstore"), partitioning="hive")
+    got = d.to_table(columns=["ext_id", "sha256", "doclen", "content"]).to_pylist()
+    src = {
+        f"{r}/{p}": hashlib.sha256(c.encode()).hexdigest()
+        for r, p, c in zip(
+            tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["content"].to_pylist()
+        )
+    }
+    assert len(got) == N_DOCS
+    for row in got:
+        assert src[row["ext_id"]] == row["sha256"]
+        assert hashlib.sha256(row["content"].encode()).hexdigest() == row["sha256"]
+
+
+def test_manifest_written(built):
+    _tbl, index_dir, _stats = built
+    m = man.read_manifest(index_dir)
+    assert m and m["complete"]
+    assert m["partitions"]["segments"], "per-partition metrics recorded"
+    assert all(p["rows"] >= 0 for p in m["partitions"]["segments"])
+    assert m["skew_plan"]["salted_terms"] > 0
+
+
+def test_salting_does_not_change_segments(ray_session, tmp_path):
+    """Segments are byte-deterministic regardless of the skew plan: a build
+    with aggressive salting equals a build with none (merge re-blocks)."""
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(60, seed=11)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(ray.data.from_arrow(tbl).repartition(3), a,
+                docid_strategy="hash64", group_budget=10, sample_mod=1, block_size=8)
+    build_index(ray.data.from_arrow(tbl).repartition(2), b,
+                docid_strategy="hash64", group_budget=10**9, sample_mod=1, block_size=8)
+    ra = sorted(_load_segment_rows(a), key=lambda r: (r["term"], r["slice_id"]))
+    rb = sorted(_load_segment_rows(b), key=lambda r: (r["term"], r["slice_id"]))
+    assert len(ra) == len(rb)
+    for x, y in zip(ra, rb):
+        assert x == y
