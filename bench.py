@@ -1,0 +1,176 @@
+"""Benchmark driver (run standalone: owns the Ray session).
+
+Headline pipeline over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  1. BM25 index build over the documents-derived corpus replicated
+     $BENCH_REPLICAS times (default 20 → ~100k docs at sf0.1) with
+     deterministic distinct docids — measures featurize + tokenize +
+     salted groupby + encode + merge + write.
+  2. Query throughput: $BENCH_QUERIES (default 2000) deterministic
+     vocab-sampled queries, top-10, via the actor-pool executor.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the same bench in two fresh processes (8 vs 32 CPUs by
+default; override RAY_GRAFT_CPUS_LO/HI) and reports throughput at both plus
+scaling efficiency (T_lo/T_hi)/(hi/lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("BENCH_REPLICAS", "20"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "2000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+    from dpr_ray.corpus import corpus_from_documents
+    from dpr_ray.index.build import build_index
+    from dpr_ray.query.executor import search_pipeline
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache so we measure compute + shuffle, not first-read I/O
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    # ---- headline 1: index build over replicated corpus -------------------
+    def replicate(batch: pa.Table, n_base: int = 0) -> pa.Table:
+        parts = []
+        for r in range(replicas):
+            t = batch
+            docid = t["docid"].to_numpy(zero_copy_only=False) + r * 10_000_000
+            t = t.set_column(
+                t.schema.get_field_index("docid"), "docid",
+                pa.array(docid, pa.uint64()),
+            )
+            path = [f"r{r}/{p}" for p in t["path"].to_pylist()]
+            t = t.set_column(
+                t.schema.get_field_index("path"), "path", pa.array(path)
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    index_dir = f"/tmp/dpr_ray_bench/idx_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    corpus = corpus_from_documents(sf_dir).map_batches(
+        replicate, batch_format="pyarrow"
+    )
+    t0 = time.time()
+    stats = build_index(
+        corpus, index_dir, docid_strategy="provided",
+        group_budget=200_000, sample_mod=16,
+    )
+    timings["index_build"] = time.time() - t0
+    n_docs = stats["N"]
+
+    # ---- headline 2: query throughput -------------------------------------
+    rng = np.random.default_rng(42)
+    vocab = [
+        "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+        "hash", "merge", "batch", "spark", "line", "sort", "window",
+        "customer", "query", "big", "stream", "group", "column", "join",
+        "small", "filter", "data", "vector", "order", "the", "a",
+    ]
+    questions = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 5))))
+        for _ in range(n_queries)
+    ]
+    qds = ray.data.from_items(
+        [{"qid": f"q{i}", "question": q} for i, q in enumerate(questions)]
+    ).repartition(max(8, num_cpus))
+    t0 = time.time()
+    n_results = search_pipeline(qds, index_dir, k=10).count()
+    timings["query_batch"] = time.time() - t0
+
+    # ---- secondary operator timings ---------------------------------------
+    from dpr_ray import entrypoints as ep
+
+    for name in ["dedup_exact", "ngram_jaccard", "text_quality",
+                 "knn_cosine", "events_window"]:
+        fn = ep.queries_dict()[name]
+        t0 = time.time()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = time.time() - t0
+
+    headline = timings["index_build"] + timings["query_batch"]
+    result = {
+        "metric": "bm25_index_build_plus_query_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs_indexed": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "query_qps": round(n_queries / timings["query_batch"], 1),
+        "n_query_results": n_results,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    lo = int(os.environ.get("RAY_GRAFT_CPUS_LO", "8"))
+    hi = int(os.environ.get("RAY_GRAFT_CPUS_HI", "32"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                f"sec_{lo}cpu": r_lo["value"],
+                f"sec_{hi}cpu": r_hi["value"],
+                f"index_docs_per_sec_{lo}cpu": r_lo["index_docs_per_sec"],
+                f"index_docs_per_sec_{hi}cpu": r_hi["index_docs_per_sec"],
+                f"query_qps_{lo}cpu": r_lo["query_qps"],
+                f"query_qps_{hi}cpu": r_hi["query_qps"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

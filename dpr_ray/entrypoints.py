@@ -1,0 +1,766 @@
+"""Driver contract implementation: queries() callables + matching DuckDB
+oracle SQL over the registered testdata views (documents / embeddings /
+events). Imported by ``__ray_entry__.py``.
+
+Float policy: every float the driver hashes is emitted as an ``*_i6``
+integer column, round(x * 1e6), on BOTH sides — integer compare, no float
+hashing ambiguity. Rankings are computed on the i6 value with a docid
+tie-break so the Ray and SQL sides share a total order even when two
+documents' scores differ only by float-summation noise (< 1e-15).
+
+The embedded BM25 query set lives here so the Ray path, the SQL VALUES
+lists, the flagship entry() and bench.py all share one definition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from . import analyzer
+from .corpus import CORPUS_SQL, corpus_from_documents
+from .index import manifest as man
+from .index.build import build_index
+from .index import segments as seg
+
+ENGINE_VERSION = "v1"
+K1, B = 0.9, 0.4
+
+# (qid, question, answers) — vocabulary of the documents tables
+BM25_QUERIES = [
+    ("q0", "key value table", ["value table"]),
+    ("q1", "fast merge sort", ["merge"]),
+    ("q2", "spark stream join window", ["window group"]),
+    ("q3", "the a", ["the"]),
+    ("q4", "vector hash", ["vector"]),
+    ("q5", "customer order line", ["customer"]),
+    ("q6", "slow scan", ["slow scan filter", "slow scan"]),
+    ("q7", "missingword", ["key"]),
+]
+TOP_K = 10
+HIT_KS = [1, 5, 10]
+
+_STOPLIST = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
+
+
+from .util import to_i6 as _i6  # SQL ROUND (half-away) semantics
+
+
+# ------------------------------------------------------------ index cache --
+
+
+def ensure_index(sf_dir: str) -> str:
+    """Build (once) the BM25 index for a testdata sf dir; reuse across
+    queries via the manifest's completeness flag (the resume path)."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_{key}"
+    if man.is_complete(index_dir):
+        return index_dir
+    os.makedirs("/tmp/dpr_ray_cache", exist_ok=True)
+    build_index(
+        corpus_from_documents(sf_dir),
+        index_dir,
+        docid_strategy="provided",
+    )
+    return index_dir
+
+
+# --------------------------------------------------------------- docstore --
+
+TOK_SQL = "SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS term FROM documents"
+TF_SQL = f"SELECT doc_id, term, count(*) AS tf FROM ({TOK_SQL}) GROUP BY doc_id, term"
+DL_SQL = f"SELECT doc_id, count(*) AS dl FROM ({TOK_SQL}) GROUP BY doc_id"
+
+
+def q_docstore(sf_dir: str):
+    index_dir = ensure_index(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"),
+        columns=["docid", "ext_id", "repo", "path", "commit", "lang",
+                 "title", "doclen", "sha256"],
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("docid"), "docid", t["docid"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOCSTORE_SQL = """
+WITH c AS ({corpus})
+SELECT docid, repo || '/' || path AS ext_id, repo, path, "commit", lang,
+       repo || '/' || path AS title,
+       len(regexp_split_to_array(content, ' ')) AS doclen,
+       sha256(content) AS sha256
+FROM c
+""".format(corpus=CORPUS_SQL)
+
+
+# ------------------------------------------------------------ corpus stats --
+
+
+def q_corpus_stats(sf_dir: str):
+    index_dir = ensure_index(sf_dir)
+    s = seg.read_stats(index_dir)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([s["N"]], dtype="int64"),
+            "sum_dl": pd.array([s["sum_dl"]], dtype="int64"),
+            "avgdl_i6": pd.array([int(_i6([s["avgdl"]])[0])], dtype="int64"),
+        }
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       CAST(ROUND(avg(dl * 1.0) * 1000000) AS BIGINT) AS avgdl_i6
+FROM ({DL_SQL})
+"""
+
+
+# -------------------------------------------------------------- term stats --
+
+
+def q_term_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    index_dir = ensure_index(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(index_dir, "segments"), columns=["term", "df", "cf"]
+    )
+    return ds.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+
+
+TERM_STATS_SQL = f"""
+SELECT term, count(*) AS df, sum(tf) AS cf FROM ({TF_SQL}) GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------- postings --
+
+
+def q_postings(sf_dir: str):
+    index_dir = ensure_index(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        terms, docids, tfs = [], [], []
+        for row in batch.to_pylist():
+            d, t, _l = seg.decode_rows([row])
+            terms.extend([row["term"]] * len(d))
+            docids.extend(d.tolist())
+            tfs.extend(t.tolist())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "docid": pa.array(docids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+POSTINGS_SQL = f"SELECT term, doc_id AS docid, tf FROM ({TF_SQL})"
+
+
+# --------------------------------------------------------------- bm25 topk --
+
+
+def _query_values_sql() -> str:
+    rows = []
+    for qid, question, _ans in BM25_QUERIES:
+        for t in sorted(set(analyzer.tokenize(question))):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _answer_values_sql() -> str:
+    rows = []
+    for qid, _question, answers in BM25_QUERIES:
+        for a in answers:
+            rows.append(f"('{qid}', '{a}')")
+    return ", ".join(rows)
+
+
+_BM25_CORE_SQL = f"""
+tok AS ({TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {{qvalues}}),
+sc AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1 + {K1})
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / st.avgdl)) ) AS score
+  FROM q JOIN df USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id AS docid,
+         CAST(ROUND(score * 1000000) AS BIGINT) AS score_i6,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(ROUND(score * 1000000) AS BIGINT) DESC, doc_id
+         ) AS rank
+  FROM sc
+)
+"""
+
+
+def _bm25_results(sf_dir: str) -> pd.DataFrame:
+    """Engine top-k as a DataFrame reranked by (score_i6 desc, docid):
+    the shared Ray/SQL total order (exact-scored, then i6-snapped)."""
+    from .query.executor import search_pipeline
+
+    index_dir = ensure_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
+    )
+    res = search_pipeline(qds, index_dir, k=TOP_K + 10).to_pandas()
+    if res.empty:
+        return pd.DataFrame(
+            {"qid": [], "docid": [], "rank": [], "score_i6": []}
+        )
+    res["docid"] = res["docid"].astype("int64")
+    res["score_i6"] = _i6(res["score"])
+    res = res.sort_values(
+        ["qid", "score_i6", "docid"], ascending=[True, False, True]
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= TOP_K].reset_index(drop=True)
+    res["rank"] = res["rank"].astype("int64")
+    return res
+
+
+def q_bm25_topk(sf_dir: str):
+    return _bm25_results(sf_dir)[["qid", "docid", "rank", "score_i6"]]
+
+
+BM25_TOPK_SQL = (
+    "WITH " + _BM25_CORE_SQL.format(qvalues=_query_values_sql())
+    + f"SELECT qid, docid, rank, score_i6 FROM ranked WHERE rank <= {TOP_K}"
+)
+
+
+# ----------------------------------------------------------------- qa eval --
+
+
+def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
+    from .eval.qa import has_answer_string
+
+    res = _bm25_results(sf_dir)
+    index_dir = ensure_index(sf_dir)
+    docs = pads.dataset(
+        os.path.join(index_dir, "docstore"), partitioning="hive"
+    ).to_table(columns=["docid", "content"]).to_pandas()
+    docs["docid"] = docs["docid"].astype("int64")
+    m = res.merge(docs, on="docid", how="left")
+    ans = {qid: a for qid, _q, a in BM25_QUERIES}
+    m["has_answer"] = [
+        has_answer_string(ans[r.qid], r.content) for r in m.itertuples()
+    ]
+    return m
+
+
+def q_qa_eval(sf_dir: str):
+    m = _qa_eval_df(sf_dir)
+    return m[["qid", "rank", "docid", "has_answer"]]
+
+
+QA_EVAL_SQL = (
+    "WITH " + _BM25_CORE_SQL.format(qvalues=_query_values_sql())
+    + f""",
+ans(qid, answer) AS (VALUES {_answer_values_sql()}),
+hits AS (
+  SELECT r.qid, r.rank, r.docid,
+         bool_or((' ' || d.text || ' ') LIKE ('% ' || a.answer || ' %')) AS has_answer
+  FROM ranked r JOIN documents d ON r.docid = d.doc_id
+       JOIN ans a ON a.qid = r.qid
+  WHERE r.rank <= {TOP_K}
+  GROUP BY r.qid, r.rank, r.docid
+)
+SELECT qid, rank, docid, has_answer FROM hits
+"""
+)
+
+
+def q_hits_at_k(sf_dir: str):
+    m = _qa_eval_df(sf_dir)
+    best = (
+        m[m["has_answer"]].groupby("qid")["rank"].min()
+        if m["has_answer"].any()
+        else pd.Series(dtype="int64")
+    )
+    return pd.DataFrame(
+        {
+            "k": pd.array(HIT_KS, dtype="int64"),
+            "n_hits": pd.array(
+                [int((best <= k).sum()) for k in HIT_KS], dtype="int64"
+            ),
+        }
+    )
+
+
+HITS_AT_K_SQL = (
+    "WITH " + _BM25_CORE_SQL.format(qvalues=_query_values_sql())
+    + f""",
+ans(qid, answer) AS (VALUES {_answer_values_sql()}),
+hits AS (
+  SELECT r.qid, r.rank,
+         bool_or((' ' || d.text || ' ') LIKE ('% ' || a.answer || ' %')) AS hit
+  FROM ranked r JOIN documents d ON r.docid = d.doc_id
+       JOIN ans a ON a.qid = r.qid
+  WHERE r.rank <= {TOP_K}
+  GROUP BY r.qid, r.rank
+),
+best AS (SELECT qid, min(rank) FILTER (WHERE hit) AS bh FROM hits GROUP BY qid),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in HIT_KS)})
+SELECT ks.k, count(*) FILTER (WHERE best.bh IS NOT NULL AND best.bh <= ks.k) AS n_hits
+FROM ks CROSS JOIN best GROUP BY ks.k
+"""
+)
+
+
+# ------------------------------------------------------------ dedup family --
+
+
+def _docs_ds(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    from .stages.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir), id_col="doc_id", text_col="text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS docid_keep,
+       count(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+NGRAM_THRESHOLD = 0.05
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from .stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
+        k=3, threshold=NGRAM_THRESHOLD,
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid_a": batch["docid_a"],
+                "docid_b": batch["docid_b"],
+                "jac_i6": pa.array(
+                    _i6(batch["jaccard"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(to_i6, batch_format="pyarrow")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(a) - 1, 1)),
+           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+  FROM t WHERE len(a) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(a, ' ') AS shingle FROM t WHERE len(a) < 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY da, db
+)
+SELECT da AS docid_a, db AS docid_b,
+       CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jac_i6
+FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
+WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
+      >= {int(NGRAM_THRESHOLD * 1e6)}
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    from .stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
+        k=3, threshold=NGRAM_THRESHOLD,
+        source_parquet=f"{sf_dir}/documents.parquet",
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid_a": batch["docid_a"],
+                "docid_b": batch["docid_b"],
+                "jac_i6": pa.array(
+                    _i6(batch["jaccard"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(to_i6, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    from .stages.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs_ds(sf_dir), id_col="doc_id", text_col="text")
+
+
+# ------------------------------------------------------------- text stats --
+
+
+def q_text_quality(sf_dir: str):
+    from .stages.text_stats import TextQuality
+
+    out = _docs_ds(sf_dir).map_batches(
+        TextQuality(id_col="doc_id", text_col="text"), batch_format="pyarrow"
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid": batch["docid"],
+                "n_tokens": batch["n_tokens"],
+                "n_distinct": batch["n_distinct"],
+                "distinct_i6": pa.array(
+                    _i6(batch["distinct_ratio"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+                "stopword_i6": pa.array(
+                    _i6(batch["stopword_ratio"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+                "mean_len_i6": pa.array(
+                    _i6(batch["mean_token_len"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+                "quality_i6": pa.array(
+                    _i6(batch["quality_score"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(to_i6, batch_format="pyarrow")
+
+
+TEXT_QUALITY_SQL = f"""
+WITH tok AS ({TOK_SQL}),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN {_STOPLIST!r} THEN 1 ELSE 0 END) AS stop,
+         sum(len(term)) AS chars
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id AS docid, n_tokens, n_distinct,
+  CAST(ROUND(n_distinct * 1000000.0 / n_tokens) AS BIGINT) AS distinct_i6,
+  CAST(ROUND(stop * 1000000.0 / n_tokens) AS BIGINT) AS stopword_i6,
+  CAST(ROUND(chars * 1000000.0 / n_tokens) AS BIGINT) AS mean_len_i6,
+  CAST(ROUND((n_distinct * 1.0 / n_tokens) * (1 - stop * 1.0 / n_tokens)
+             * 1000000) AS BIGINT) AS quality_i6
+FROM per
+"""
+
+
+def q_token_count(sf_dir: str):
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = analyzer.doc_lengths(batch["text"].to_pylist())
+        return pa.table(
+            {"docid": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
+
+
+TOKEN_COUNT_SQL = (
+    "SELECT doc_id AS docid, len(regexp_split_to_array(text, ' ')) AS n_tokens "
+    "FROM documents"
+)
+
+
+def q_langid(sf_dir: str):
+    from .stages.text_stats import LangId
+
+    return _docs_ds(sf_dir).map_batches(
+        LangId(id_col="doc_id", text_col="text"), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from .stages.text_stats import Fingerprint
+
+    return _docs_ds(sf_dir).map_batches(
+        Fingerprint(id_col="doc_id", text_col="text"), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------- ANN --
+
+KNN_K = 5
+KNN_NQ = 10
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pa.compute.less(t["vec_id"], KNN_NQ))
+    qids = t["vec_id"].to_pylist()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return qids, mat
+
+
+def q_knn_cosine(sf_dir: str):
+    from .stages.ann import brute_force_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    res = brute_force_knn(ds, qids, qmat, k=KNN_K)
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "sim_i6": pa.array(
+                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+KNN_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {KNN_NQ}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {KNN_NQ}),
+prs AS (SELECT q.qid, c.vec_id, unnest(q.embedding)::DOUBLE AS x,
+               unnest(c.embedding)::DOUBLE AS y FROM q, c),
+sims AS (SELECT qid, vec_id,
+                sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         FROM prs GROUP BY qid, vec_id),
+r AS (SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT qid, vec_id, rank, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+def q_lsh_knn(sf_dir: str):
+    from .stages.ann import lsh_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    return lsh_knn(ds, qids, qmat, k=KNN_K, n_bits=6, n_probe=3)
+
+
+# ------------------------------------------------------------------ events --
+
+
+def q_events_window(sf_dir: str):
+    from .stages.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = tumbling_window_agg(ev, window="hour")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch["window_start"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"],
+                "sum_i6": pa.array(
+                    _i6(batch["sum_value"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_WINDOW_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+       count(*) AS n_events,
+       CAST(ROUND(sum(value) * 1000000) AS BIGINT) AS sum_i6
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessions(sf_dir: str):
+    from .stages.windows import session_windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = session_windows(ev, gap_seconds=1800.0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_start_us": batch["session_start"].cast(pa.int64()),
+                "session_end_us": batch["session_end"].cast(pa.int64()),
+                "n_events": batch["n_events"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SESSIONS_SQL = """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+           FROM events),
+f AS (SELECT user_id, ts,
+             CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                  THEN 1 ELSE 0 END AS nf
+      FROM o),
+s AS (SELECT user_id, ts,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# -------------------------------------------------------------- multimodal --
+
+
+def q_media_decode(sf_dir: str):
+    from .stages.multimodal import media_pipeline
+
+    corpus = corpus_from_documents(sf_dir)
+    decoded, _feats = media_pipeline(corpus, fake_decode=True)
+    return decoded
+
+
+def q_media_features(sf_dir: str):
+    from .stages.multimodal import media_pipeline
+
+    corpus = corpus_from_documents(sf_dir)
+    _decoded, feats = media_pipeline(corpus, fake_decode=True)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        feats_np = [np.asarray(v, dtype=np.float64) for v in batch["feature"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "dim": pa.array([len(v) for v in feats_np], pa.int64()),
+                "norm_i6": pa.array(
+                    _i6([float(np.linalg.norm(v)) for v in feats_np]), pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- exports --
+
+
+def queries_dict():
+    return {
+        "docstore": q_docstore,
+        "corpus_stats": q_corpus_stats,
+        "term_stats": q_term_stats,
+        "postings": q_postings,
+        "bm25_topk": q_bm25_topk,
+        "qa_eval": q_qa_eval,
+        "hits_at_k": q_hits_at_k,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "knn_cosine": q_knn_cosine,
+        "lsh_knn": q_lsh_knn,
+        "events_window": q_events_window,
+        "sessions": q_sessions,
+        "media_decode": q_media_decode,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql_dict():
+    return {
+        "docstore": DOCSTORE_SQL,
+        "corpus_stats": CORPUS_STATS_SQL,
+        "term_stats": TERM_STATS_SQL,
+        "postings": POSTINGS_SQL,
+        "bm25_topk": BM25_TOPK_SQL,
+        "qa_eval": QA_EVAL_SQL,
+        "hits_at_k": HITS_AT_K_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "token_count": TOKEN_COUNT_SQL,
+        "knn_cosine": KNN_COSINE_SQL,
+        "events_window": EVENTS_WINDOW_SQL,
+        "sessions": SESSIONS_SQL,
+        # no SQL (driver falls back to rows-only): minhash_lsh, simhash,
+        # langid, fingerprint, lsh_knn, media_decode, media_features
+    }
+
+
+def flagship_entry(sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship: corpus → index → retrieve → validate → flattened results."""
+    from .pipelines import retrieve_and_evaluate
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "qid": pa.array([q[0] for q in BM25_QUERIES]),
+            "question": pa.array([q[1] for q in BM25_QUERIES]),
+            "answers": pa.array([q[2] for q in BM25_QUERIES], pa.list_(pa.string())),
+        }
+    )
+    res, metrics = retrieve_and_evaluate(queries, index_dir, k=TOP_K)
+    df = res.to_pandas()
+    df.attrs["metrics"] = metrics
+    return df

@@ -1,0 +1,409 @@
+"""Query execution: stateful actor-pool top-k BM25 (SURVEY §7 M4).
+
+Ray-Data restatement of the reference's retrieval stage
+(``DenseFlatIndexer.search_knn``, ``dpr/indexer/faiss_indexers.py:107-112``,
+called from ``dense_retriever.py:168-179,596``): instead of a driver-resident
+FAISS index, a ``map_batches`` actor pool (``QueryExecutor``) where each actor
+lazily loads + caches posting lists from the term-partitioned segment store
+(ST3/ST6 mapping) and answers exact top-k.
+
+Two exact, rank-identical scoring paths:
+
+- ``taat`` (default): vectorized term-at-a-time — concatenate the query
+  terms' postings in sorted-term order, np.unique the docids, accumulate
+  float64 contributions with np.add.at (term-sorted order → bitwise equal to
+  the oracle), top-k via partition + (-score, docid) lexsort.
+- ``bmw``: document-at-a-time block-max WAND with a bounded min-heap —
+  skipped blocks are never even DECODED (the scale path: posting blocks
+  stream from Parquet, upper bounds prune). Upper bounds are conservative
+  (float32 rounded up at build), so results are identical to ``taat``.
+
+Both consume the per-posting (tf, dl) integers and recompute float64 scores,
+so engine scores == oracle scores bitwise, not approximately.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from .. import analyzer, codec
+from ..config import BM25Params, DEFAULT_TOP_K
+from ..index import segments as seg
+from . import scorer
+
+
+class SegmentStore:
+    """Per-actor view of an index: stats + LRU-cached posting lists."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 50_000):
+        self.index_dir = index_dir
+        self.stats = seg.read_stats(index_dir)
+        self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"])
+        self.num_tbuckets = int(self.stats["num_tbuckets"])
+        self._ds = pads.dataset(
+            os.path.join(index_dir, "segments"), partitioning="hive"
+        )
+        self._cache: OrderedDict[str, list[dict] | None] = OrderedDict()
+        self._cache_terms = cache_terms
+
+    def fetch(self, terms: list[str]) -> dict[str, list[dict] | None]:
+        """term → segment rows (slices), or None if the term is absent.
+        Missing terms are fetched in one partition-pruned parquet scan."""
+        out: dict[str, list[dict] | None] = {}
+        missing = []
+        for t in terms:
+            if t in self._cache:
+                self._cache.move_to_end(t)
+                out[t] = self._cache[t]
+            else:
+                missing.append(t)
+        if missing:
+            buckets = sorted({seg.term_bucket(t, self.num_tbuckets) for t in missing})
+            filt = pc.field("tbucket").isin(buckets) & pc.field("term").isin(missing)
+            tbl = self._ds.to_table(filter=filt)
+            rows_by_term: dict[str, list[dict]] = {}
+            for r in tbl.to_pylist():
+                rows_by_term.setdefault(r["term"], []).append(r)
+            for t in missing:
+                rows = rows_by_term.get(t)
+                if rows is not None:
+                    rows.sort(key=lambda r: r["slice_id"])
+                self._cache[t] = rows
+                out[t] = rows
+            while len(self._cache) > self._cache_terms:
+                self._cache.popitem(last=False)
+        return out
+
+
+class _PostingCursor:
+    """Lazy-decoding cursor over one term's blocks (for BMW). A block is
+    decoded only when the cursor actually lands in it; peeking the next
+    docid at a block boundary uses block_first metadata, no decode."""
+
+    __slots__ = (
+        "idf", "block_first", "block_last", "block_ub",
+        "_enc", "_dec", "bi", "off", "nblocks", "df",
+    )
+
+    def __init__(self, rows: list[dict], idf: float, avgdl: float, params: BM25Params):
+        self.idf = idf
+        bf, bl, bm, enc = [], [], [], []
+        for r in rows:
+            bf.extend(r["block_first"])
+            bl.extend(r["block_last"])
+            bm.extend(r["block_max"])
+            enc.extend(zip(r["block_docids"], r["block_tfs"], r["block_dls"]))
+        self.block_first = np.asarray(bf, dtype=np.uint64)
+        self.block_last = np.asarray(bl, dtype=np.uint64)
+        self.block_ub = idf * np.asarray(bm, dtype=np.float64)
+        self._enc = enc
+        self._dec: dict[int, tuple] = {}
+        self.nblocks = len(enc)
+        self.df = sum(r["df"] for r in rows)
+        self.bi = 0
+        self.off = 0
+
+    def exhausted(self) -> bool:
+        return self.bi >= self.nblocks
+
+    def cur_docid(self) -> int:
+        if self.off == 0 and self.bi not in self._dec:
+            return int(self.block_first[self.bi])  # peek without decoding
+        d = self._decode(self.bi)[0]
+        return int(d[self.off])
+
+    def cur_block_ub(self) -> float:
+        return float(self.block_ub[self.bi])
+
+    def max_ub(self) -> float:
+        return float(self.block_ub[self.bi :].max()) if not self.exhausted() else 0.0
+
+    def _decode(self, bi: int) -> tuple:
+        dec = self._dec.get(bi)
+        if dec is None:
+            e = self._enc[bi]
+            dec = (
+                codec.delta_decode(e[0]),
+                codec.decode_varint(e[1]),
+                codec.decode_varint(e[2]),
+            )
+            self._dec[bi] = dec
+        return dec
+
+    def advance_to(self, target: int) -> None:
+        """Move cursor to the first posting with docid >= target."""
+        if self.exhausted():
+            return
+        t = np.uint64(target)
+        bi = int(np.searchsorted(self.block_last, t, side="left"))
+        if bi >= self.nblocks:
+            self.bi = self.nblocks
+            self.off = 0
+            return
+        if bi > self.bi:
+            self.bi = bi
+            self.off = 0
+        if self.block_first[self.bi] >= t and self.off == 0:
+            return  # block starts at/after target; no decode needed
+        d = self._decode(self.bi)[0]
+        off = int(np.searchsorted(d, t, side="left"))
+        if off >= len(d):  # target past block end (can't happen: bl >= t)
+            self.bi += 1
+            self.off = 0
+        else:
+            self.off = max(self.off, off)
+
+    def advance(self) -> None:
+        """Step past the current posting."""
+        d = self._decode(self.bi)[0]
+        self.off += 1
+        if self.off >= len(d):
+            self.bi += 1
+            self.off = 0
+
+    def score_if_match(self, docid: int, avgdl: float, params: BM25Params) -> float:
+        """Contribution of this term for ``docid`` if the cursor sits on it."""
+        if self.exhausted():
+            return 0.0
+        d, tf, dl = self._decode(self.bi)
+        if self.off < len(d) and int(d[self.off]) == docid:
+            t = float(tf[self.off])
+            l = float(dl[self.off])
+            return self.idf * (
+                t * (params.k1 + 1.0)
+                / (t + params.k1 * (1.0 - params.b + params.b * l / avgdl))
+            )
+        return 0.0
+
+
+def taat_topk(
+    term_rows: dict[str, list[dict] | None],
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact TAAT. Returns (docids, scores) in (-score, docid) order."""
+    doc_parts, contrib_parts = [], []
+    for term in sorted(t for t, rows in term_rows.items() if rows):
+        rows = term_rows[term]
+        docids, tfs, dls = seg.decode_rows(rows)
+        df = sum(r["df"] for r in rows)
+        contrib_parts.append(
+            scorer.score_contrib_vec(tfs, dls, df, n_docs, avgdl, params)
+        )
+        doc_parts.append(docids)
+    if not doc_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    all_docs = np.concatenate(doc_parts)
+    all_contrib = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    # np.add.at accumulates sequentially over the concatenated (term-sorted)
+    # order → per-doc summation order == oracle == BMW (bitwise determinism)
+    np.add.at(scores, inv, all_contrib)
+    order = scorer.topk_order(scores, uniq, k)
+    return uniq[order], scores[order]
+
+
+def bmw_topk(
+    term_rows: dict[str, list[dict] | None],
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact block-max WAND with a bounded min-heap. Rank-identical to TAAT."""
+    cursors = []
+    for term in sorted(t for t, rows in term_rows.items() if rows):
+        rows = term_rows[term]
+        df = sum(r["df"] for r in rows)
+        cursors.append(_PostingCursor(rows, scorer.idf(df, n_docs), avgdl, params))
+    if not cursors:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    heap: list[tuple[float, int]] = []  # (score, -docid): heap[0] = weakest
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    while True:
+        active = [c for c in cursors if not c.exhausted()]
+        if not active:
+            break
+        active.sort(key=lambda c: c.cur_docid())
+        # WAND pivot: first doc where the running term-level UB sum beats θ
+        th = theta()
+        ub_sum = 0.0
+        pivot = -1
+        pivot_i = -1
+        for i, c in enumerate(active):
+            ub_sum += c.max_ub()
+            if ub_sum > th:
+                pivot = c.cur_docid()
+                pivot_i = i
+                break
+        if pivot < 0:
+            break  # total remaining UB can't beat θ: done
+        if active[0].cur_docid() == pivot:
+            # refine with BLOCK-max bounds before full evaluation
+            block_sum = 0.0
+            for c in active:
+                if c.cur_docid() > pivot:
+                    break
+                c.advance_to(pivot)  # aligns block for block_ub
+                if not c.exhausted() and c.cur_docid() <= pivot:
+                    block_sum += c.cur_block_ub()
+                elif not c.exhausted():
+                    # cursor moved past pivot inside advance; no contribution
+                    pass
+            if block_sum > th:
+                # full evaluation: cursors list is term-sorted → summation
+                # order matches the oracle exactly
+                score = 0.0
+                for c in cursors:
+                    if not c.exhausted() and c.cur_docid() == pivot:
+                        score += c.score_if_match(pivot, avgdl, params)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot))
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot))
+                # score == θ: later (larger) docid loses the tie — skip
+            for c in cursors:
+                if not c.exhausted() and c.cur_docid() == pivot:
+                    c.advance()
+        else:
+            # advance laggards up to the pivot
+            for c in active[:pivot_i]:
+                c.advance_to(pivot)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    docids = np.array([-d for _s, d in out], dtype=np.uint64)
+    scores = np.array([s for s, _d in out], dtype=np.float64)
+    return docids, scores
+
+
+class QueryExecutor:
+    """map_batches actor: (qid, question) rows → (qid, question, rank, docid,
+    score) top-k rows. Segment fetch is batched across the queries of a batch
+    and LRU-cached across batches (per actor)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = DEFAULT_TOP_K,
+        method: str = "taat",
+        cache_terms: int = 50_000,
+    ):
+        self.store = SegmentStore(index_dir, cache_terms=cache_terms)
+        self.k = k
+        self.method = method
+        s = self.store.stats
+        self.n_docs = int(s["N"])
+        self.avgdl = float(s["avgdl"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_pylist()
+        questions = batch["question"].to_pylist()
+        q_terms = [sorted(set(toks)) for toks in analyzer.tokenize_batch(questions)]
+        all_terms = sorted({t for ts in q_terms for t in ts})
+        fetched = self.store.fetch(all_terms)
+        topk_fn = taat_topk if self.method == "taat" else bmw_topk
+        o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
+        for qid, question, terms in zip(qids, questions, q_terms):
+            rows = {t: fetched[t] for t in terms}
+            docids, scores = topk_fn(
+                rows, self.n_docs, self.avgdl, self.store.params, self.k
+            )
+            n = len(docids)
+            o_qid.extend([qid] * n)
+            o_q.extend([question] * n)
+            o_rank.extend(range(1, n + 1))
+            o_doc.extend(docids.tolist())
+            o_score.extend(scores.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(o_qid, pa.string()),
+                "question": pa.array(o_q, pa.string()),
+                "rank": pa.array(o_rank, pa.int32()),
+                "docid": pa.array(o_doc, pa.uint64()),
+                "score": pa.array(o_score, pa.float64()),
+            }
+        )
+
+
+class DocJoin:
+    """Attach docstore columns (title/text/ext_id/...) to result rows by
+    docid — the J1 join (reference builds a 21M-entry driver dict instead,
+    ``dense_retriever.py:461-469``). Per batch: one partition-pruned parquet
+    scan filtered to the batch's unique docids (dbucket is derivable from
+    docid, so pruning is exact)."""
+
+    def __init__(self, index_dir: str, columns: list[str] | None = None):
+        self.columns = columns or ["ext_id", "title", "content"]
+        stats = seg.read_stats(index_dir)
+        self.num_dbuckets = int(stats.get("num_dbuckets", 16))
+        self._ds = pads.dataset(
+            os.path.join(index_dir, "docstore"), partitioning="hive"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            out = {name: batch[name] for name in batch.column_names}
+            for c in self.columns:
+                out[c] = pa.array([], self._ds.schema.field(c).type)
+            return pa.table(out)
+        docids = batch["docid"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(docids)
+        buckets = sorted({int(d) % self.num_dbuckets for d in uniq})
+        filt = pc.field("dbucket").isin(buckets) & pc.field("docid").isin(
+            pa.array(uniq, pa.uint64())
+        )
+        docs = self._ds.to_table(columns=["docid"] + self.columns, filter=filt)
+        d_ids = docs["docid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d_ids)
+        pos = order[np.searchsorted(d_ids[order], docids)]
+        out = {name: batch[name] for name in batch.column_names}
+        for c in self.columns:
+            out[c] = docs[c].take(pa.array(pos, pa.int64()))
+        return pa.table(out)
+
+
+def search_pipeline(
+    queries_ds,
+    index_dir: str,
+    k: int = DEFAULT_TOP_K,
+    method: str = "taat",
+    concurrency=None,
+    with_docs: bool = False,
+    doc_columns: list[str] | None = None,
+):
+    """queries Dataset (qid, question) → top-k result Dataset
+    (qid, question, rank, docid, score [, doc columns])."""
+    from .._shipping import ensure_shippable
+
+    ensure_shippable()
+    if concurrency is None:
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(1, total - 1))
+    res = queries_ds.map_batches(
+        QueryExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if with_docs:
+        res = res.map_batches(
+            DocJoin,
+            fn_constructor_kwargs={"index_dir": index_dir, "columns": doc_columns},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+    return res

@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata. The decode kernels themselves are STUBBED (no image/audio
+libraries in this environment — clearly marked below); the Ray-side
+plumbing — schema, small-batch actor pools, zero-copy binary columns,
+deterministic fake decode for tests — is real and tested.
+
+Pattern: a stateful decode stage is a callable CLASS on a small-batch actor
+pool (``map_batches(Cls, batch_size=small, concurrency=N)``) because real
+decoders hold codec state; binary payloads stay in Arrow (never pandas
+object dtype).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .._shipping import ensure_shippable
+
+MEDIA_SCHEMA_FIELDS = [
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),      # "image" | "audio" | "video"
+    ("payload", pa.large_binary()),   # opaque encoded bytes
+    ("meta_format", pa.string()),     # e.g. "png", "wav"
+]
+
+
+def synth_media_batch(batch: pa.Table, id_col: str = "docid",
+                      text_col: str = "content") -> pa.Table:
+    """Deterministic fake media payloads derived from text rows (test/bench
+    stand-in for real image bytes; byte content is blake2b-seeded)."""
+    ids = batch[id_col].to_pylist()
+    payloads, types, fmts = [], [], []
+    for i, t in zip(ids, batch[text_col].to_pylist()):
+        seed = hashlib.blake2b(f"{i}:{t[:64]}".encode(), digest_size=32).digest()
+        payloads.append(seed * 64)  # 2 KiB payload
+        types.append("image" if int(i) % 2 == 0 else "audio")
+        fmts.append("png" if int(i) % 2 == 0 else "wav")
+    return pa.table(
+        {
+            "media_id": pa.array([int(i) for i in ids], pa.int64()),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "meta_format": pa.array(fmts),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor-pool decode stage. With ``fake=False`` this raises
+    NotImplementedError — REAL DECODE IS STUBBED (no PIL/cv2 in this
+    container). ``fake=True`` produces deterministic pseudo-decode metadata
+    (width/height/channels from payload bytes) so downstream plumbing and
+    tests are exercised end-to-end."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        # real implementation would open codec handles here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires PIL/cv2, not available in this "
+                "environment; run with fake=True for the deterministic stub"
+            )
+        widths, heights, chans = [], [], []
+        for p in batch["payload"]:
+            b = p.as_py()
+            widths.append(16 + b[0] % 64)
+            heights.append(16 + b[1] % 64)
+            chans.append(1 + b[2] % 3)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "n_bytes": pa.array(
+                    [len(p.as_py()) for p in batch["payload"]], pa.int64()
+                ),
+            }
+        )
+
+
+class ExtractFeatures:
+    """Actor-pool feature extraction: payload bytes → fixed-dim float32
+    vector. Deterministic (blake2b-expanded) stand-in for a real model
+    forward pass; the actor-pool/batch plumbing matches what a model stage
+    needs (state in __init__, batched __call__)."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = []
+        for p in batch["payload"]:
+            b = p.as_py()
+            need = self.dim * 4
+            raw = b"".join(
+                hashlib.blake2b(b + bytes([i]), digest_size=64).digest()
+                for i in range((need + 63) // 64)
+            )[:need]
+            v = np.frombuffer(raw, dtype=np.uint32).astype(np.float32)
+            v = v / np.float32(2**32)
+            vecs.append(v.tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_pipeline(corpus_ds, fake_decode: bool = True):
+    """corpus → synth media → decode (stub) → features. Small batch_size:
+    binary payloads are wide rows (batch × concurrency must fit the heap)."""
+    ensure_shippable()
+    media = corpus_ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    decoded = media.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": fake_decode},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 2),
+    )
+    feats = media.map_batches(
+        ExtractFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 2),
+    )
+    return decoded, feats

@@ -1,0 +1,134 @@
+"""Text-analysis stages for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All are stateless
+``map_batches`` transforms over Arrow batches; the analyzer regex is
+compiled once per worker at module import.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import analyzer
+from ..util import round_half_away
+
+STOPWORDS = frozenset(
+    ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
+)
+
+# tiny deterministic stopword profiles for the language-ID heuristic
+_LANG_PROFILES = {
+    "en": frozenset(("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")),
+    "de": frozenset(("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit")),
+    "fr": frozenset(("le", "la", "les", "et", "est", "un", "une", "de", "pour")),
+    "es": frozenset(("el", "la", "los", "y", "es", "un", "una", "de", "que", "para")),
+}
+
+
+class TextQuality:
+    """(id_col, text_col) → per-doc quality features. Mirrors the quality
+    heuristics large-scale corpus pipelines use (length/stopword/distinct
+    ratios); columns rounded to 6 decimals so the DuckDB oracle can
+    reproduce them bit-for-bit."""
+
+    def __init__(self, id_col: str = "docid", text_col: str = "content"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        token_lists = analyzer.tokenize_batch(batch[self.text_col].to_pylist())
+        n_tokens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        n_distinct = np.array([len(set(t)) for t in token_lists], dtype=np.int64)
+        stop = np.array(
+            [sum(1 for w in t if w in STOPWORDS) for t in token_lists], dtype=np.int64
+        )
+        char_len = np.array(
+            [sum(len(w) for w in t) for t in token_lists], dtype=np.int64
+        )
+        nt = np.maximum(n_tokens, 1).astype(np.float64)
+        distinct_ratio = round_half_away(n_distinct / nt)
+        stopword_ratio = round_half_away(stop / nt)
+        mean_token_len = round_half_away(char_len / nt)
+        quality = round_half_away((n_distinct / nt) * (1.0 - stop / nt))
+        return pa.table(
+            {
+                "docid": batch[self.id_col],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+                "stopword_ratio": pa.array(stopword_ratio, pa.float64()),
+                "mean_token_len": pa.array(mean_token_len, pa.float64()),
+                "quality_score": pa.array(quality, pa.float64()),
+            }
+        )
+
+
+class LangId:
+    """Deterministic stopword-profile language ID (n-gram-free heuristic):
+    argmax over per-language stopword hit counts; ties / no hits → 'und'."""
+
+    def __init__(self, id_col: str = "docid", text_col: str = "content"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for toks in analyzer.tokenize_batch(batch[self.text_col].to_pylist()):
+            tokset = set(toks)
+            scores = sorted(
+                ((len(tokset & prof), lang) for lang, prof in _LANG_PROFILES.items()),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if scores[0][0] == 0 or (
+                len(scores) > 1 and scores[0][0] == scores[1][0]
+            ):
+                preds.append("und")
+            else:
+                preds.append(scores[0][1])
+        return pa.table(
+            {
+                "docid": batch[self.id_col],
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+
+_FP_BASE = 1099511628211  # FNV-ish multiplier
+_MASK64 = (1 << 64) - 1
+
+
+def token_fingerprint(tokens: list[str]) -> int:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (document fingerprint; deterministic across processes)."""
+    h = 14695981039346656037
+    for t in tokens:
+        h = (h * _FP_BASE + hash_token(t)) & _MASK64
+    return h >> 1  # fit int64
+
+
+def hash_token(t: str) -> int:
+    """Deterministic 64-bit token hash (blake2b; NOT python hash(), which is
+    salted per process)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+
+
+class Fingerprint:
+    """(docid, content) → order-sensitive rolling-hash fingerprint."""
+
+    def __init__(self, id_col: str = "docid", text_col: str = "content"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [
+            token_fingerprint(toks)
+            for toks in analyzer.tokenize_batch(batch[self.text_col].to_pylist())
+        ]
+        return pa.table(
+            {
+                "docid": batch[self.id_col],
+                "fingerprint": pa.array(fps, pa.int64()),
+            }
+        )
