@@ -56,14 +56,16 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # warm the page cache so we measure compute + shuffle, not first-read I/O
-    ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    n_base = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
 
     # ---- headline 1: index build over replicated corpus -------------------
-    def replicate(batch: pa.Table, n_base: int = 0) -> pa.Table:
+    def replicate(batch: pa.Table) -> pa.Table:
         parts = []
         for r in range(replicas):
             t = batch
-            docid = t["docid"].to_numpy(zero_copy_only=False) + r * 10_000_000
+            # keep replica docids DENSE (0..replicas*n_base) so the query
+            # executor's dense-accumulator path stays eligible
+            docid = t["docid"].to_numpy(zero_copy_only=False) + r * n_base
             t = t.set_column(
                 t.schema.get_field_index("docid"), "docid",
                 pa.array(docid, pa.uint64()),

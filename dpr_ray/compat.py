@@ -1,0 +1,78 @@
+"""Small DPR-parity operators (SURVEY §2) that don't warrant a module:
+
+- ``normalize_passage`` — M1, ``dpr/data/biencoder_data.py:174-180``.
+- ``process_question`` — M3, ``dpr/data/retriever_data.py:71-76``
+  (normalize + optional special-token suffix).
+- ``compress_meta`` / ``decompress_meta`` — the zlib-compressed carried
+  passage text of ``save_results_from_meta`` / ``check_answer_from_meta``
+  (``dense_retriever.py:383-421``, ``qa_validation.py:144-172``).
+- ``join_asr_transcripts`` — S5/J2, ``TTS_ASR_QASrc``
+  (``retriever_data.py:228-250``): replace each QA question with its ASR
+  transcript matched by id (broadcast small-side hash join).
+- ``union_ctx_sources`` — D2, multiple corpora merged; id-prefix (repo
+  namespace) keeps external ids disjoint (``dense_retriever.py:461-469``,
+  ``retriever_data.py:280-283``).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from .eval.qa import normalize_question
+
+
+def normalize_passage(text: str) -> str:
+    text = text.replace("\n", " ").replace("’", "'")
+    if text.startswith('"'):
+        text = text[1:]
+    if text.endswith('"'):
+        text = text[:-1]
+    return text
+
+
+def process_question(q: str, special_suffix: str = "") -> str:
+    q = normalize_question(q)
+    if special_suffix:
+        q += special_suffix
+    return q
+
+
+def compress_meta(text: str) -> bytes:
+    return zlib.compress(text.encode())
+
+
+def decompress_meta(blob: bytes) -> str:
+    return zlib.decompress(blob).decode()
+
+
+def join_asr_transcripts(qa: pa.Table, asr: pa.Table,
+                         id_col: str = "qid",
+                         transcript_col: str = "transcript") -> pa.Table:
+    """QA rows keep their answers but take the ASR transcript as question;
+    rows with no transcript are dropped (reference behavior: only
+    successfully matched ids survive, retriever_data.py:239-249)."""
+    lookup = dict(
+        zip(asr[id_col].to_pylist(), asr[transcript_col].to_pylist())
+    )
+    keep, questions = [], []
+    for i, qid in enumerate(qa[id_col].to_pylist()):
+        t = lookup.get(qid)
+        if t is not None:
+            keep.append(i)
+            questions.append(normalize_question(t))
+    out = qa.take(pa.array(keep, pa.int64()))
+    return out.set_column(
+        out.schema.get_field_index("question"), "question",
+        pa.array(questions, pa.string()),
+    )
+
+
+def union_ctx_sources(*corpora):
+    """Union input_hint-shaped corpora Datasets. Callers must namespace
+    ``repo`` per source (the id_prefix analog) so ext_ids stay disjoint."""
+    ds = corpora[0]
+    for c in corpora[1:]:
+        ds = ds.union(c)
+    return ds

@@ -30,7 +30,7 @@ from .index import manifest as man
 from .index.build import build_index
 from .index import segments as seg
 
-ENGINE_VERSION = "v1"
+ENGINE_VERSION = "v2"
 K1, B = 0.9, 0.4
 
 # (qid, question, answers) — vocabulary of the documents tables
@@ -523,6 +523,31 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- chunking --
+
+CHUNK_WORDS = 40
+
+
+def q_chunk_corpus(sf_dir: str):
+    from .stages.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs_ds(sf_dir), max_words=CHUNK_WORDS, id_col="doc_id", text_col="text"
+    )
+
+
+CHUNK_CORPUS_SQL = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+e AS (SELECT doc_id, a,
+             unnest(range(0, CAST(ceil(len(a) / {CHUNK_WORDS}.0) AS INT))) AS s
+      FROM t)
+SELECT doc_id AS docid, s AS chunk_seq,
+       array_to_string(a[s*{CHUNK_WORDS}+1 : (s+1)*{CHUNK_WORDS}], ' ') AS chunk_text,
+       len(a[s*{CHUNK_WORDS}+1 : (s+1)*{CHUNK_WORDS}]) AS n_words
+FROM e
+"""
+
+
 # --------------------------------------------------------------------- ANN --
 
 KNN_K = 5
@@ -716,6 +741,7 @@ def queries_dict():
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
+        "chunk_corpus": q_chunk_corpus,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
@@ -740,6 +766,7 @@ def oracle_sql_dict():
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "token_count": TOKEN_COUNT_SQL,
+        "chunk_corpus": CHUNK_CORPUS_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,

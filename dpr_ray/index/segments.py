@@ -73,9 +73,11 @@ def encode_posting_list(
     num_tbuckets: int,
     block_size: int = BLOCK_SIZE,
     max_postings_per_slice: int = MAX_POSTINGS_PER_SLICE,
+    slice_id_offset: int = 0,
 ) -> list[dict]:
     """Sort postings by docid, slice, block, encode. Returns segment-row
-    dicts (one per slice). Deterministic regardless of input order."""
+    dicts (one per slice, ids starting at ``slice_id_offset``).
+    Deterministic regardless of input order."""
     order = np.argsort(docids, kind="stable")
     docids = docids[order].astype(np.uint64)
     tfs = np.asarray(tfs)[order]
@@ -102,7 +104,7 @@ def encode_posting_list(
             {
                 "term": term,
                 "tbucket": tb,
-                "slice_id": slice_id,
+                "slice_id": slice_id_offset + slice_id,
                 "df": int(len(sd)),
                 "cf": int(np.asarray(st, dtype=np.uint64).sum()),
                 "block_first": b_first,

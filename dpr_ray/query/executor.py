@@ -40,18 +40,67 @@ from . import scorer
 
 
 class SegmentStore:
-    """Per-actor view of an index: stats + LRU-cached posting lists."""
+    """Per-actor view of an index: stats + LRU-cached posting lists.
 
-    def __init__(self, index_dir: str, cache_terms: int = 50_000):
+    Two cache layers (both LRU, per actor, shared across batches):
+    - raw segment rows per term (parquet fetch amortized)
+    - decoded + pre-scored arrays per term: (docids, float64 contributions)
+      for TAAT — contributions depend only on (tf, dl, df, N, avgdl), all
+      fixed for an index, so repeated terms across queries cost nothing.
+    """
+
+    def __init__(self, index_dir: str, cache_terms: int = 50_000,
+                 cache_postings: int = 20_000_000):
         self.index_dir = index_dir
         self.stats = seg.read_stats(index_dir)
         self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"])
         self.num_tbuckets = int(self.stats["num_tbuckets"])
+        self.n_docs = int(self.stats["N"])
+        self.avgdl = float(self.stats["avgdl"])
         self._ds = pads.dataset(
             os.path.join(index_dir, "segments"), partitioning="hive"
         )
         self._cache: OrderedDict[str, list[dict] | None] = OrderedDict()
         self._cache_terms = cache_terms
+        self._scored: OrderedDict[str, tuple] = OrderedDict()
+        self._scored_budget = cache_postings
+        self._scored_total = 0
+        # dense TAAT accumulator: when docids are dense (ordinal strategy),
+        # score into a reusable float64 buffer indexed by docid — O(postings)
+        # adds, no per-query np.unique sort. Sparse (hash64) ids fall back.
+        max_docid = int(self.stats.get("max_docid", 1 << 62))
+        self.dense_size = max_docid + 1 if max_docid < (1 << 23) else 0
+        self._dense_buf: np.ndarray | None = None
+        self._dense_ids: np.ndarray | None = None
+
+    def dense_buffers(self):
+        if self._dense_buf is None:
+            self._dense_buf = np.zeros(self.dense_size, dtype=np.float64)
+            self._dense_ids = np.arange(self.dense_size, dtype=np.uint64)
+        return self._dense_buf, self._dense_ids
+
+    def scored(self, term: str):
+        """(docids, contrib) float64-scored postings for one term, or None.
+        Decode + score happen once per term per actor (LRU by postings)."""
+        hit = self._scored.get(term)
+        if hit is not None:
+            self._scored.move_to_end(term)
+            return hit
+        rows = self.fetch([term])[term]
+        if rows is None:
+            return None
+        docids, tfs, dls = seg.decode_rows(rows)
+        df = sum(r["df"] for r in rows)
+        contrib = scorer.score_contrib_vec(
+            tfs, dls, df, self.n_docs, self.avgdl, self.params
+        )
+        entry = (docids, contrib)
+        self._scored[term] = entry
+        self._scored_total += len(docids)
+        while self._scored_total > self._scored_budget and len(self._scored) > 1:
+            _, (old_d, _c) = self._scored.popitem(last=False)
+            self._scored_total -= len(old_d)
+        return entry
 
     def fetch(self, terms: list[str]) -> dict[str, list[dict] | None]:
         """term → segment rows (slices), or None if the term is absent.
@@ -183,27 +232,19 @@ class _PostingCursor:
         return 0.0
 
 
-def taat_topk(
-    term_rows: dict[str, list[dict] | None],
-    n_docs: int,
-    avgdl: float,
-    params: BM25Params,
-    k: int,
+def taat_topk_entries(
+    entries: list[tuple[np.ndarray, np.ndarray]], k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized exact TAAT. Returns (docids, scores) in (-score, docid) order."""
-    doc_parts, contrib_parts = [], []
-    for term in sorted(t for t, rows in term_rows.items() if rows):
-        rows = term_rows[term]
-        docids, tfs, dls = seg.decode_rows(rows)
-        df = sum(r["df"] for r in rows)
-        contrib_parts.append(
-            scorer.score_contrib_vec(tfs, dls, df, n_docs, avgdl, params)
-        )
-        doc_parts.append(docids)
-    if not doc_parts:
+    """Vectorized exact TAAT over pre-scored (docids, contrib) arrays given
+    in sorted-term order. Returns (docids, scores), (-score, docid) order."""
+    if not entries:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
-    all_docs = np.concatenate(doc_parts)
-    all_contrib = np.concatenate(contrib_parts)
+    if len(entries) == 1:
+        docids, contrib = entries[0]  # already unique + sorted: skip unique
+        order = scorer.topk_order(contrib, docids, k)
+        return docids[order], contrib[order]
+    all_docs = np.concatenate([e[0] for e in entries])
+    all_contrib = np.concatenate([e[1] for e in entries])
     uniq, inv = np.unique(all_docs, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
     # np.add.at accumulates sequentially over the concatenated (term-sorted)
@@ -211,6 +252,38 @@ def taat_topk(
     np.add.at(scores, inv, all_contrib)
     order = scorer.topk_order(scores, uniq, k)
     return uniq[order], scores[order]
+
+
+def taat_topk_dense(
+    entries: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    buf: np.ndarray,
+    ids: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact TAAT via a reusable dense accumulator indexed by docid. Each
+    term's docids are unique, so ``buf[docids] += contrib`` is a plain
+    vectorized scatter (term-sequential → same float64 summation order as
+    every other path). Zeroes only the touched entries afterwards."""
+    if not entries:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    if len(entries) == 1:
+        docids, contrib = entries[0]
+        order = scorer.topk_order(contrib, docids, k)
+        return docids[order], contrib[order]
+    for docids, contrib in entries:
+        buf[docids] += contrib
+    # top-k over the full dense array; zero (untouched) scores filtered out
+    if len(buf) > k:
+        kth = np.partition(-buf, k - 1)[k - 1]
+        mask = (buf > 0.0) & (-buf <= kth)
+    else:
+        mask = buf > 0.0
+    cand = np.flatnonzero(mask)
+    order = cand[np.lexsort((ids[cand], -buf[cand]))][:k]
+    out = ids[order], buf[order].copy()
+    for docids, _c in entries:
+        buf[docids] = 0.0
+    return out
 
 
 def bmw_topk(
@@ -312,14 +385,27 @@ class QueryExecutor:
         questions = batch["question"].to_pylist()
         q_terms = [sorted(set(toks)) for toks in analyzer.tokenize_batch(questions)]
         all_terms = sorted({t for ts in q_terms for t in ts})
-        fetched = self.store.fetch(all_terms)
-        topk_fn = taat_topk if self.method == "taat" else bmw_topk
+        self.store.fetch(all_terms)  # one batched parquet scan for the batch
         o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
         for qid, question, terms in zip(qids, questions, q_terms):
-            rows = {t: fetched[t] for t in terms}
-            docids, scores = topk_fn(
-                rows, self.n_docs, self.avgdl, self.store.params, self.k
-            )
+            if self.method == "taat":
+                entries = [
+                    e for e in (self.store.scored(t) for t in terms)
+                    if e is not None
+                ]
+                if self.store.dense_size:
+                    buf, ids_arr = self.store.dense_buffers()
+                    docids, scores = taat_topk_dense(
+                        entries, self.k, buf, ids_arr
+                    )
+                else:
+                    docids, scores = taat_topk_entries(entries, self.k)
+            else:
+                fetched = self.store.fetch(terms)
+                rows = {t: fetched[t] for t in terms}
+                docids, scores = bmw_topk(
+                    rows, self.n_docs, self.avgdl, self.store.params, self.k
+                )
             n = len(docids)
             o_qid.extend([qid] * n)
             o_q.extend([question] * n)

@@ -99,20 +99,45 @@ def test_manifest_written(built):
     assert m["skew_plan"]["salted_terms"] > 0
 
 
-def test_salting_does_not_change_segments(ray_session, tmp_path):
-    """Segments are byte-deterministic regardless of the skew plan: a build
-    with aggressive salting equals a build with none (merge re-blocks)."""
+def test_salting_does_not_change_logical_index(ray_session, tmp_path):
+    """The skew plan changes slice layout (slices = docid-range salts) but
+    NOT the logical index: decoded postings and query results are identical
+    between an aggressively-salted and an unsalted build; and a rebuild with
+    the same plan is byte-identical (determinism under resume)."""
+    import pyarrow as pa
     import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
 
     tbl = corpus_mod.synth_corpus_table(60, seed=11)
     a = str(tmp_path / "a")
+    a2 = str(tmp_path / "a2")
     b = str(tmp_path / "b")
     build_index(ray.data.from_arrow(tbl).repartition(3), a,
                 docid_strategy="hash64", group_budget=10, sample_mod=1, block_size=8)
+    build_index(ray.data.from_arrow(tbl).repartition(2), a2,
+                docid_strategy="hash64", group_budget=10, sample_mod=1, block_size=8)
     build_index(ray.data.from_arrow(tbl).repartition(2), b,
                 docid_strategy="hash64", group_budget=10**9, sample_mod=1, block_size=8)
+    # same plan, different parallelism → byte-identical
     ra = sorted(_load_segment_rows(a), key=lambda r: (r["term"], r["slice_id"]))
-    rb = sorted(_load_segment_rows(b), key=lambda r: (r["term"], r["slice_id"]))
-    assert len(ra) == len(rb)
-    for x, y in zip(ra, rb):
-        assert x == y
+    ra2 = sorted(_load_segment_rows(a2), key=lambda r: (r["term"], r["slice_id"]))
+    assert ra == ra2
+    # different plan → logically identical
+    by_term_a, by_term_b = {}, {}
+    for rows, acc in ((ra, by_term_a), (_load_segment_rows(b), by_term_b)):
+        for r in rows:
+            acc.setdefault(r["term"], []).append(r)
+    assert set(by_term_a) == set(by_term_b)
+    for t in by_term_a:
+        da, ta, la = seg.decode_rows(by_term_a[t])
+        db, tb_, lb = seg.decode_rows(by_term_b[t])
+        assert np.array_equal(da, db) and np.array_equal(ta, tb_)
+        assert np.array_equal(la, lb)
+        assert sum(r["df"] for r in by_term_a[t]) == sum(r["df"] for r in by_term_b[t])
+    # query results identical across plans
+    qb = pa.table({"qid": ["q"], "question": ["def return import class"]})
+    for method in ("taat", "bmw"):
+        out_a = QueryExecutor(a, k=10, method=method)(qb).to_pylist()
+        out_b = QueryExecutor(b, k=10, method=method)(qb).to_pylist()
+        assert out_a == out_b
