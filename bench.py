@@ -81,8 +81,12 @@ def run_bench() -> dict:
     import shutil
 
     shutil.rmtree(index_dir, ignore_errors=True)
-    corpus = corpus_from_documents(sf_dir).map_batches(
-        replicate, batch_format="pyarrow"
+    # documents.parquet is a single row-group → ONE block; repartition the
+    # small base table first or replicate+featurize run serially
+    corpus = (
+        corpus_from_documents(sf_dir)
+        .repartition(max(64, num_cpus * 4))
+        .map_batches(replicate, batch_format="pyarrow")
     )
     t0 = time.time()
     stats = build_index(
@@ -112,16 +116,17 @@ def run_bench() -> dict:
     timings["query_batch"] = time.time() - t0
 
     # ---- secondary operator timings ---------------------------------------
-    from dpr_ray import entrypoints as ep
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        from dpr_ray import entrypoints as ep
 
-    for name in ["dedup_exact", "ngram_jaccard", "text_quality",
-                 "knn_cosine", "events_window"]:
-        fn = ep.queries_dict()[name]
-        t0 = time.time()
-        out = fn(sf_dir)
-        if hasattr(out, "count"):
-            out.count()
-        timings[name] = time.time() - t0
+        for name in ["dedup_exact", "ngram_jaccard", "text_quality",
+                     "knn_cosine", "events_window"]:
+            fn = ep.queries_dict()[name]
+            t0 = time.time()
+            out = fn(sf_dir)
+            if hasattr(out, "count"):
+                out.count()
+            timings[name] = time.time() - t0
 
     headline = timings["index_build"] + timings["query_batch"]
     result = {
@@ -146,6 +151,11 @@ def run_scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the scaling criterion needs a compute-bound job: bigger corpus +
+        # query set than the default quick bench, headline stages only
+        env.setdefault("BENCH_REPLICAS", "100")
+        env.setdefault("BENCH_QUERIES", "10000")
+        env.setdefault("BENCH_HEADLINE_ONLY", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -548,6 +548,162 @@ FROM e
 """
 
 
+# ----------------------------------------------- chunked retrieval (A2) ----
+# Composed pipeline: chunk files → index the CHUNKS → retrieve → aggregate
+# hits at the parent-document level (the reference's table-chunk semantics,
+# qa_validation.py:249-282: a hit on any chunk counts for the parent).
+
+
+def _chunk_corpus_ds(sf_dir: str):
+    from .stages.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        _docs_ds(sf_dir), max_words=CHUNK_WORDS, id_col="doc_id", text_col="text"
+    )
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        parent = batch["docid"].to_numpy(zero_copy_only=False)
+        seq = batch["chunk_seq"].to_numpy(zero_copy_only=False)
+        cid = parent * 64 + seq  # ≤64 chunks/doc at these lengths
+        return pa.table(
+            {
+                "repo": pa.array(["chunks"] * len(cid)),
+                "path": pa.array([f"{p}/{s}" for p, s in zip(parent, seq)]),
+                "commit": pa.array(["0" * 40] * len(cid)),
+                "lang": pa.array(["txt"] * len(cid)),
+                "content": pa.array(
+                    batch["chunk_text"].to_pylist(), pa.large_string()
+                ),
+                "docid": pa.array(cid, pa.uint64()),
+            }
+        )
+
+    return chunks.map_batches(to_corpus, batch_format="pyarrow")
+
+
+def ensure_chunk_index(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_chunks_{key}"
+    if not man.is_complete(index_dir):
+        os.makedirs("/tmp/dpr_ray_cache", exist_ok=True)
+        build_index(_chunk_corpus_ds(sf_dir), index_dir, docid_strategy="provided")
+    return index_dir
+
+
+def _chunked_results(sf_dir: str) -> pd.DataFrame:
+    from .query.executor import search_pipeline
+
+    index_dir = ensure_chunk_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
+    )
+    res = search_pipeline(qds, index_dir, k=TOP_K + 10).to_pandas()
+    if res.empty:
+        return pd.DataFrame(
+            {"qid": [], "chunk_docid": [], "parent_docid": [], "rank": [],
+             "score_i6": []}
+        )
+    res["chunk_docid"] = res["docid"].astype("int64")
+    res["parent_docid"] = res["chunk_docid"] // 64
+    res["score_i6"] = _i6(res["score"])
+    res = res.sort_values(
+        ["qid", "score_i6", "chunk_docid"], ascending=[True, False, True]
+    )
+    res["rank"] = (res.groupby("qid").cumcount() + 1).astype("int64")
+    return res[res["rank"] <= TOP_K].reset_index(drop=True)
+
+
+def q_chunked_bm25(sf_dir: str):
+    return _chunked_results(sf_dir)[
+        ["qid", "chunk_docid", "parent_docid", "rank", "score_i6"]
+    ]
+
+
+_CHUNKED_CORE_SQL = f"""
+t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+e AS (SELECT doc_id, a,
+             unnest(range(0, CAST(ceil(len(a) / {CHUNK_WORDS}.0) AS INT))) AS s
+      FROM t),
+c AS (SELECT doc_id * 64 + s AS docid, doc_id AS parent,
+             a[s*{CHUNK_WORDS}+1 : (s+1)*{CHUNK_WORDS}] AS toks
+      FROM e),
+tok AS (SELECT docid, unnest(toks) AS term FROM c),
+tf AS (SELECT docid, term, count(*)::DOUBLE AS tf FROM tok GROUP BY docid, term),
+dl AS (SELECT docid, count(*)::DOUBLE AS dl FROM tok GROUP BY docid),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {{qvalues}}),
+sc AS (
+  SELECT q.qid, tf.docid,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1 + {K1})
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / st.avgdl)) ) AS score
+  FROM q JOIN df USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.docid = dl.docid CROSS JOIN st
+  GROUP BY q.qid, tf.docid
+),
+ranked AS (
+  SELECT qid, docid AS chunk_docid, docid // 64 AS parent_docid,
+         CAST(ROUND(score * 1000000) AS BIGINT) AS score_i6,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(ROUND(score * 1000000) AS BIGINT) DESC, docid
+         ) AS rank
+  FROM sc
+)
+"""
+
+CHUNKED_BM25_SQL = (
+    "WITH " + _CHUNKED_CORE_SQL.format(qvalues=_query_values_sql())
+    + f"SELECT qid, chunk_docid, parent_docid, rank, score_i6 FROM ranked "
+      f"WHERE rank <= {TOP_K}"
+)
+
+
+def q_chunk_hits(sf_dir: str):
+    """Parent-level best hit over the chunked top-k (A2 semantics)."""
+    from .eval.qa import has_answer_string
+    from .eval.spans import chunk_level_hits
+
+    res = _chunked_results(sf_dir)
+    docs = pads.dataset(
+        os.path.join(ensure_chunk_index(sf_dir), "docstore"), partitioning="hive"
+    ).to_table(columns=["docid", "content"]).to_pandas()
+    docs["chunk_docid"] = docs["docid"].astype("int64")
+    m = res.merge(docs[["chunk_docid", "content"]], on="chunk_docid", how="left")
+    ans = {qid: a for qid, _q, a in BM25_QUERIES}
+    m["has_answer"] = [
+        has_answer_string(ans[r.qid], r.content) for r in m.itertuples()
+    ]
+    ds = ray.data.from_pandas(
+        m[["qid", "rank", "has_answer", "parent_docid"]]
+    )
+    out = chunk_level_hits(ds, parent_col="parent_docid").to_pandas()
+    out["parent"] = out["parent"].astype("int64")
+    out["best_hit"] = out["best_hit"].astype("int64")
+    return out[["qid", "parent", "best_hit"]]
+
+
+CHUNK_HITS_SQL = (
+    "WITH " + _CHUNKED_CORE_SQL.format(qvalues=_query_values_sql())
+    + f""",
+ans(qid, answer) AS (VALUES {_answer_values_sql()}),
+hits AS (
+  SELECT r.qid, r.rank, r.parent_docid,
+         bool_or((' ' || array_to_string(c.toks, ' ') || ' ')
+                 LIKE ('% ' || a.answer || ' %')) AS hit
+  FROM ranked r JOIN c ON r.chunk_docid = c.docid
+       JOIN ans a ON a.qid = r.qid
+  WHERE r.rank <= {TOP_K}
+  GROUP BY r.qid, r.rank, r.parent_docid
+)
+SELECT qid, parent_docid AS parent,
+       COALESCE(min(rank) FILTER (WHERE hit), 0) AS best_hit
+FROM hits GROUP BY qid, parent_docid
+"""
+)
+
+
 # --------------------------------------------------------------------- ANN --
 
 KNN_K = 5
@@ -742,6 +898,8 @@ def queries_dict():
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "chunk_corpus": q_chunk_corpus,
+        "chunked_bm25": q_chunked_bm25,
+        "chunk_hits": q_chunk_hits,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
@@ -767,6 +925,8 @@ def oracle_sql_dict():
         "text_quality": TEXT_QUALITY_SQL,
         "token_count": TOKEN_COUNT_SQL,
         "chunk_corpus": CHUNK_CORPUS_SQL,
+        "chunked_bm25": CHUNKED_BM25_SQL,
+        "chunk_hits": CHUNK_HITS_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,

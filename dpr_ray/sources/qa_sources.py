@@ -111,6 +111,50 @@ def read_kilt_jsonl(path: str) -> pa.Table:
     return _qa_table(ids, questions, answers)
 
 
+def read_biencoder_json(path: str, require_positive: bool = True) -> pa.Table:
+    """Biencoder training-sample JSON (reference ``JsonQADataset``,
+    ``dpr/data/biencoder_data.py:81-108``; FIXTURES.md F6): rows without a
+    positive context are filtered (``biencoder_data.py:77-78``). Nested ctx
+    pools become Arrow list<struct<title, text>> columns — the training-ETL
+    part of the reference that stays in engine scope."""
+    with open(path) as f:
+        data = json.load(f)
+    ctx_t = pa.list_(
+        pa.struct([("title", pa.string()), ("text", pa.string())])
+    )
+
+    def pool(sample, key):
+        return [
+            {"title": c.get("title", ""), "text": c.get("text", "")}
+            for c in sample.get(key, [])
+        ]
+
+    rows = [
+        s for s in data
+        if not require_positive or len(s.get("positive_ctxs", [])) > 0
+    ]
+    return pa.table(
+        {
+            "question": pa.array(
+                [normalize_question(s["question"]) for s in rows]
+            ),
+            "answers": pa.array(
+                [[str(a) for a in s.get("answers", [])] for s in rows],
+                pa.list_(pa.string()),
+            ),
+            "positive_ctxs": pa.array(
+                [pool(s, "positive_ctxs") for s in rows], ctx_t
+            ),
+            "negative_ctxs": pa.array(
+                [pool(s, "negative_ctxs") for s in rows], ctx_t
+            ),
+            "hard_negative_ctxs": pa.array(
+                [pool(s, "hard_negative_ctxs") for s in rows], ctx_t
+            ),
+        }
+    )
+
+
 def read_ctx_tsv(path: str, id_prefix: str = "") -> pa.Table:
     """Passage TSV → input_hint corpus rows. The external id becomes
     ``repo=<id_prefix.rstrip(':') or 'ctx'>``, ``path=<id>`` so
