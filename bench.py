@@ -110,7 +110,7 @@ def run_bench() -> dict:
     ]
     qds = ray.data.from_items(
         [{"qid": f"q{i}", "question": q} for i, q in enumerate(questions)]
-    ).repartition(max(8, num_cpus))
+    ).repartition(max(16, num_cpus * 4))
     t0 = time.time()
     n_results = search_pipeline(qds, index_dir, k=10).count()
     timings["query_batch"] = time.time() - t0

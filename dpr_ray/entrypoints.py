@@ -30,7 +30,7 @@ from .index import manifest as man
 from .index.build import build_index
 from .index import segments as seg
 
-ENGINE_VERSION = "v2"
+ENGINE_VERSION = "v3"
 K1, B = 0.9, 0.4
 
 # (qid, question, answers) — vocabulary of the documents tables

@@ -103,10 +103,14 @@ class EmitEncodedPostings:
                 sv = (d >> np.uint64(shift)).astype(np.int64)
                 groups = [(int(s), sv == s) for s in np.unique(sv)]
             for salt, mask in groups:
+                # intermediate sub-lists are ONE block each: small WAND-sized
+                # blocks here mean ~100k tiny numpy encode/decode calls per
+                # 10M postings (measured 40+ CPU-s of pure overhead); the
+                # final merge re-blocks at the queryable block_size
                 new = seg.encode_posting_list(
                     t, d[mask], tf[mask], dl[mask],
                     self.avgdl, self.params, self.num_tbuckets,
-                    self.block_size, max_postings_per_slice=1 << 62,
+                    block_size=1 << 30, max_postings_per_slice=1 << 62,
                 )
                 rows.extend(new)
                 salts.extend([salt] * len(new))
@@ -187,13 +191,12 @@ def build_index(
             Featurize(docid_strategy=docid_strategy, num_dbuckets=num_dbuckets),
             batch_format="pyarrow",
         )
-        try:
-            feat.write_parquet(
-                docstore_dir, partition_cols=["dbucket"],
-                min_rows_per_file=65_536,
-            )
-        except TypeError:  # older Ray: no min_rows_per_file kwarg
-            feat.write_parquet(docstore_dir, partition_cols=["dbucket"])
+        # docid-SORTED plain parquet: files cover docid ranges, so point
+        # lookups (DocJoin) prune via row-group stats, and downstream stages
+        # read a few large blocks instead of thousands of hive fragments
+        # (hive partition_cols write is also pathologically slow in this
+        # Ray version — measured 49s vs 3.5s for 500k rows)
+        feat.sort("docid").write_parquet(docstore_dir)
         with open(docstore_marker, "w") as f:
             json.dump({"complete": True}, f)
     t_docstore = time.time()
@@ -216,9 +219,19 @@ def build_index(
     # 2^(space_bits-shift) ≈ df_est/group_budget ranges (pow2-rounded)
     salt_map: dict[str, int] = {}  # term -> shift
     if n_docs and sample_mod >= 1:
+        # sample = the first 1/mod of the docid space: a RANGE predicate, so
+        # the sorted docstore prunes row groups instead of decoding all
+        # content to discard (mod-1)/mod of it. Deterministic and
+        # block-independent; the estimate only drives the skew plan.
+        import pyarrow.compute as pc_
+
+        cutoff = max_docid // sample_mod + 1
+        flt = pc_.field("docid") < cutoff if sample_mod > 1 else None
         df_sample = (
-            ray.data.read_parquet(docstore_dir, columns=["docid", "content"])
-            .map_batches(SampleDf(sample_mod), batch_format="pyarrow")
+            ray.data.read_parquet(
+                docstore_dir, columns=["docid", "content"], filter=flt,
+            )
+            .map_batches(SampleDf(1), batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("df_part", alias_name="df_est"))
         )
@@ -247,34 +260,31 @@ def build_index(
     posts = ray.data.read_parquet(
         docstore_dir, columns=["docid", "content", "doclen"]
     )
-    if emit_concurrency is None:
-        # autoscaling pool, min 1: a pool whose MIN size equals the node's
-        # CPU count deadlocks against the upstream read task (observed), and
-        # reserving every CPU starves the groupby/write stages anyway.
-        total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        emit_concurrency = (1, max(1, total_cpus - 1))
-    # explicit batch_size: docstore blocks can be small (hive-partitioned
-    # write), and emit cost is per-BATCH (one sub-list row per term per
-    # batch) — tiny batches blow up both dispatch count and shuffle rows
-    posts = posts.map_batches(
-        EmitEncodedPostings,
-        fn_constructor_args=(salt_ref, avgdl, params, num_tbuckets, block_size),
-        batch_format="pyarrow", concurrency=emit_concurrency,
-        batch_size=8192,
-    )
+    # Emit runs as plain TASKS, not an actor pool: it has no per-call state
+    # worth amortizing (the salt map rides in the pickled instance; actors
+    # would pay ~1s spawn each and ramp-up idle time — measured slower).
+    # Explicit batch_size: emit cost is per-BATCH (one sub-list row per term
+    # per batch) — tiny blocks otherwise blow up dispatch + shuffle rows.
+    if emit_concurrency is not None:
+        posts = posts.map_batches(
+            EmitEncodedPostings,
+            fn_constructor_args=(salt_ref, avgdl, params, num_tbuckets, block_size),
+            batch_format="pyarrow", concurrency=emit_concurrency,
+            batch_size=8192,
+        )
+    else:
+        emit = EmitEncodedPostings(None, avgdl, params, num_tbuckets, block_size)
+        emit.shift_map = salt_map  # by value: small; avoids per-task ray.get
+        posts = posts.map_batches(emit, batch_format="pyarrow", batch_size=8192)
     final = posts.groupby(["term", "salt"]).map_groups(
         merge_sublists, batch_format="pyarrow"
     )
     import shutil as _sh
 
+    from .io import write_partitioned
+
     _sh.rmtree(segments_dir, ignore_errors=True)
-    if write_min_rows_per_file:
-        final.write_parquet(
-            segments_dir, partition_cols=["tbucket"],
-            min_rows_per_file=write_min_rows_per_file,
-        )
-    else:
-        final.write_parquet(segments_dir, partition_cols=["tbucket"])
+    write_partitioned(final, segments_dir, "tbucket")
     t_segments = time.time()
 
     # ---- stage 5: stats + manifest ----------------------------------------

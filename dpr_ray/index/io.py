@@ -1,0 +1,43 @@
+"""Parallel hive-partitioned parquet sink.
+
+``ray.data.Dataset.write_parquet(partition_cols=...)`` in this Ray version
+serializes most of the write (measured: 49s vs 3.5s for the same 500k-row
+dataset without partition_cols). This sink does the same layout —
+``<out>/<col>=<value>/part-<uuid>.parquet`` — inside ``map_batches``: each
+block writes one file per partition value it contains, fully parallel.
+Readers are unchanged (hive partitioning). File NAMES are not deterministic
+(uuid per task); all determinism guarantees are content-level (sorted row
+sets), which is what the resume/merge property tests assert.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str) -> int:
+    """Write ``ds`` under ``out_dir`` hive-partitioned by ``partition_col``
+    (int-valued). Returns total rows written. Consumes the dataset."""
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        vals = batch[partition_col].to_numpy(zero_copy_only=False)
+        tid = uuid.uuid4().hex[:12]
+        col_idx = batch.schema.get_field_index(partition_col)
+        body = batch.remove_column(col_idx)
+        for v in np.unique(vals):
+            sub = body.filter(pa.array(vals == v))
+            d = os.path.join(out_dir, f"{partition_col}={int(v)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, f"part-{tid}.parquet"))
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = ds.map_batches(write_block, batch_format="pyarrow")
+    return int(written.sum("rows") or 0)

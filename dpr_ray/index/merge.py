@@ -79,11 +79,14 @@ def merge_indexes(
     shutil.rmtree(out_segments, ignore_errors=True)
     shutil.rmtree(out_docstore, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    segs.groupby("term").map_groups(remerge, batch_format="pyarrow").write_parquet(
-        out_segments, partition_cols=["tbucket"]
+    from .io import write_partitioned
+
+    write_partitioned(
+        segs.groupby("term").map_groups(remerge, batch_format="pyarrow"),
+        out_segments, "tbucket",
     )
-    # docstore union (docid-partitioning preserved: dbucket is docid % P)
-    _read_union("docstore").write_parquet(out_docstore, partition_cols=["dbucket"])
+    # docstore union, re-sorted by docid (docid-range file layout preserved)
+    _read_union("docstore").sort("docid").write_parquet(out_docstore)
 
     from ray.data.aggregate import Count, Sum
 

@@ -39,18 +39,51 @@ from ..index import segments as seg
 from . import scorer
 
 
+import ray as _ray
+
+
+@_ray.remote
+def _decode_terms_task(index_dir: str, terms: list[str]) -> dict:
+    """Warmup task: decode + score a chunk of terms once; the returned
+    arrays live in the object store and every executor actor reads them
+    zero-copy (decode happens once per CLUSTER, not once per actor)."""
+    store = SegmentStore(index_dir)
+    out = {}
+    for t in terms:
+        e = store.scored(t)
+        if e is not None:
+            out[t] = e
+    return out
+
+
+def warm_posting_refs(index_dir: str, terms: list[str], chunks: int = 16):
+    """Parallel decode of ``terms`` → list of ObjectRefs of {term: entry}."""
+    terms = sorted(set(terms))
+    if not terms:
+        return []
+    n = max(1, min(chunks, len(terms)))
+    per = (len(terms) + n - 1) // n
+    return [
+        _decode_terms_task.remote(index_dir, terms[i : i + per])
+        for i in range(0, len(terms), per)
+    ]
+
+
 class SegmentStore:
     """Per-actor view of an index: stats + LRU-cached posting lists.
 
-    Two cache layers (both LRU, per actor, shared across batches):
+    Cache layers (all per actor, shared across batches):
     - raw segment rows per term (parquet fetch amortized)
     - decoded + pre-scored arrays per term: (docids, float64 contributions)
       for TAAT — contributions depend only on (tf, dl, df, N, avgdl), all
-      fixed for an index, so repeated terms across queries cost nothing.
+      fixed for an index, so repeated terms across queries cost nothing
+    - optionally a cluster-shared registry of those arrays in the object
+      store (``shared_cache=True``): decode once per cluster, peers read
+      zero-copy from plasma.
     """
 
     def __init__(self, index_dir: str, cache_terms: int = 50_000,
-                 cache_postings: int = 20_000_000):
+                 cache_postings: int = 20_000_000, warm_refs=None):
         self.index_dir = index_dir
         self.stats = seg.read_stats(index_dir)
         self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"])
@@ -72,6 +105,23 @@ class SegmentStore:
         self.dense_size = max_docid + 1 if max_docid < (1 << 23) else 0
         self._dense_buf: np.ndarray | None = None
         self._dense_ids: np.ndarray | None = None
+        if warm_refs:
+            # shared pre-decoded postings: ray.get is zero-copy for the
+            # numpy arrays inside (they stay in plasma, read-only)
+            for chunk in _ray.get(list(warm_refs)):
+                for t, entry in chunk.items():
+                    if t not in self._scored:
+                        self._scored[t] = entry
+                        self._scored_total += len(entry[0])
+
+    def ensure_scored(self, terms: list[str]) -> None:
+        """Decode+score any terms missing from the local cache (one batched
+        parquet fetch)."""
+        missing = [t for t in terms if t not in self._scored]
+        if missing:
+            self.fetch(missing)
+            for t in missing:
+                self.scored(t)
 
     def dense_buffers(self):
         if self._dense_buf is None:
@@ -372,8 +422,11 @@ class QueryExecutor:
         k: int = DEFAULT_TOP_K,
         method: str = "taat",
         cache_terms: int = 50_000,
+        warm_refs=None,
     ):
-        self.store = SegmentStore(index_dir, cache_terms=cache_terms)
+        self.store = SegmentStore(
+            index_dir, cache_terms=cache_terms, warm_refs=warm_refs
+        )
         self.k = k
         self.method = method
         s = self.store.stats
@@ -385,7 +438,11 @@ class QueryExecutor:
         questions = batch["question"].to_pylist()
         q_terms = [sorted(set(toks)) for toks in analyzer.tokenize_batch(questions)]
         all_terms = sorted({t for ts in q_terms for t in ts})
-        self.store.fetch(all_terms)  # one batched parquet scan for the batch
+        if self.method == "taat":
+            # batch-level warm-up: shared-registry pull + one parquet scan
+            self.store.ensure_scored(all_terms)
+        else:
+            self.store.fetch(all_terms)  # one batched parquet scan
         o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
         for qid, question, terms in zip(qids, questions, q_terms):
             if self.method == "taat":
@@ -426,14 +483,12 @@ class QueryExecutor:
 class DocJoin:
     """Attach docstore columns (title/text/ext_id/...) to result rows by
     docid — the J1 join (reference builds a 21M-entry driver dict instead,
-    ``dense_retriever.py:461-469``). Per batch: one partition-pruned parquet
-    scan filtered to the batch's unique docids (dbucket is derivable from
-    docid, so pruning is exact)."""
+    ``dense_retriever.py:461-469``). Per batch: one parquet scan filtered to
+    the batch's unique docids; the docstore is written docid-SORTED, so
+    pyarrow prunes row groups by min/max stats (docid-range pruning)."""
 
     def __init__(self, index_dir: str, columns: list[str] | None = None):
         self.columns = columns or ["ext_id", "title", "content"]
-        stats = seg.read_stats(index_dir)
-        self.num_dbuckets = int(stats.get("num_dbuckets", 16))
         self._ds = pads.dataset(
             os.path.join(index_dir, "docstore"), partitioning="hive"
         )
@@ -446,10 +501,7 @@ class DocJoin:
             return pa.table(out)
         docids = batch["docid"].to_numpy(zero_copy_only=False)
         uniq = np.unique(docids)
-        buckets = sorted({int(d) % self.num_dbuckets for d in uniq})
-        filt = pc.field("dbucket").isin(buckets) & pc.field("docid").isin(
-            pa.array(uniq, pa.uint64())
-        )
+        filt = pc.field("docid").isin(pa.array(uniq, pa.uint64()))
         docs = self._ds.to_table(columns=["docid"] + self.columns, filter=filt)
         d_ids = docs["docid"].to_numpy(zero_copy_only=False)
         order = np.argsort(d_ids)
@@ -468,20 +520,52 @@ def search_pipeline(
     concurrency=None,
     with_docs: bool = False,
     doc_columns: list[str] | None = None,
+    warm: bool = True,
+    max_warm_queries: int = 1_000_000,
 ):
     """queries Dataset (qid, question) → top-k result Dataset
-    (qid, question, rank, docid, score [, doc columns])."""
+    (qid, question, rank, docid, score [, doc columns]).
+
+    ``warm=True``: the query set's distinct terms are decoded+scored ONCE in
+    parallel tasks and broadcast (object-store refs, zero-copy) to every
+    executor actor — per-actor warmup otherwise repeats the decode per
+    actor. Skipped when the query set is too large to scan up front."""
     from .._shipping import ensure_shippable
 
     ensure_shippable()
-    if concurrency is None:
-        import ray
+    import ray
 
-        total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, total - 1))
+    total = int(ray.cluster_resources().get("CPU", 4))
+    warm_refs = None
+    n_queries = None
+    if warm and method == "taat":
+        try:
+            qtbl = queries_ds.limit(max_warm_queries).select_columns(
+                ["question"]
+            ).to_pandas()
+            n_queries = len(qtbl)
+            terms = sorted(
+                {t for q in qtbl["question"] for t in analyzer.tokenize(q)}
+            )
+            warm_refs = warm_posting_refs(index_dir, terms, chunks=total)
+        except Exception:
+            warm_refs = None
+    if concurrency is None:
+        # fixed-size pool, started upfront: scoring is the stage's CPU
+        # bound; an autoscaling pool ramps too slowly for short bursts.
+        # Small query sets don't warrant a full pool (min ~256 queries per
+        # actor when the size is known from the warm scan).
+        n = max(1, total - 1)
+        lo = n
+        if n_queries is not None:
+            lo = max(1, min(n, (n_queries + 255) // 256))
+        concurrency = (lo, n)
     res = queries_ds.map_batches(
         QueryExecutor,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "method": method,
+            "warm_refs": warm_refs,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
