@@ -35,6 +35,35 @@ def find_answer_spans_text(passage: str, answer: str) -> list[tuple[int, int]]:
     return find_answer_spans(analyzer.tokenize(passage), analyzer.tokenize(answer))
 
 
+def select_best_spans(
+    start_scores: np.ndarray,
+    end_scores: np.ndarray,
+    max_answer_length: int = 10,
+    top_spans: int = 1,
+) -> list[tuple[int, int, float]]:
+    """Reader best-span selection (reference ``get_best_spans``,
+    ``dpr/data/reader_data.py:370-416``): score every (start ≤ end <
+    start+max_len) pair as start+end logits, sort descending, keep the top
+    non-overlapping spans. Pure data op (model logits arrive as arrays)."""
+    s = np.asarray(start_scores, dtype=np.float64)
+    e = np.asarray(end_scores, dtype=np.float64)
+    n = len(s)
+    scores = s[:, None] + e[None, :]  # (start, end)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    valid = (jj >= ii) & (jj - ii < max_answer_length)
+    flat = np.flatnonzero(valid)
+    order = flat[np.argsort(-scores.ravel()[flat], kind="stable")]
+    chosen: list[tuple[int, int, float]] = []
+    for idx in order:
+        i, j = int(idx // n), int(idx % n)
+        if any(not (j < ci or i > cj) for ci, cj, _ in chosen):
+            continue  # overlaps a selected span (reader_data.py:399-407)
+        chosen.append((i, j, float(scores[i, j])))
+        if len(chosen) >= top_spans:
+            break
+    return chosen
+
+
 def chunk_level_hits(results_ds, parent_col: str = "parent_docid"):
     """Result Dataset (qid, rank, has_answer, parent_col) → per (qid,
     parent) best rank with chunk hits OR'ed up: a hit on ANY chunk of a

@@ -160,6 +160,7 @@ def build_index(
     emit_concurrency: int | tuple | None = None,
     write_min_rows_per_file: int | None = None,
     resume: bool = False,
+    partition_resume: bool = False,
 ) -> dict:
     """Build a BM25 index under ``index_dir``. Returns the stats dict.
 
@@ -217,8 +218,14 @@ def build_index(
     # ---- stage 3: head-term discovery (skew plan) -------------------------
     # head terms get docid-RANGE salts: salt = docid >> shift, with
     # 2^(space_bits-shift) ≈ df_est/group_budget ranges (pow2-rounded)
+    # (skipped when resuming from an existing spill: the plan is frozen
+    # inside the spilled sub-lists)
+    _spill_exists = (
+        resume and partition_resume
+        and os.path.exists(os.path.join(index_dir, "spill_done.json"))
+    )
     salt_map: dict[str, int] = {}  # term -> shift
-    if n_docs and sample_mod >= 1:
+    if n_docs and sample_mod >= 1 and not _spill_exists:
         # sample = the first 1/mod of the docid space: a RANGE predicate, so
         # the sorted docstore prunes row groups instead of decoding all
         # content to discard (mod-1)/mod of it. Deterministic and
@@ -276,15 +283,54 @@ def build_index(
         emit = EmitEncodedPostings(None, avgdl, params, num_tbuckets, block_size)
         emit.shift_map = salt_map  # by value: small; avoids per-task ray.get
         posts = posts.map_batches(emit, batch_format="pyarrow", batch_size=8192)
-    final = posts.groupby(["term", "salt"]).map_groups(
-        merge_sublists, batch_format="pyarrow"
-    )
     import shutil as _sh
 
     from .io import write_partitioned
 
-    _sh.rmtree(segments_dir, ignore_errors=True)
-    write_partitioned(final, segments_dir, "tbucket")
+    if not partition_resume:
+        final = posts.groupby(["term", "salt"]).map_groups(
+            merge_sublists, batch_format="pyarrow"
+        )
+        _sh.rmtree(segments_dir, ignore_errors=True)
+        write_partitioned(final, segments_dir, "tbucket")
+    else:
+        # Per-PARTITION checkpointing (the external-sort-run shape): spill
+        # the pre-encoded sub-lists once, hive-partitioned by tbucket, then
+        # merge+write one term bucket at a time, recording completion after
+        # each. A killed run resumes at the first unfinished bucket with no
+        # re-tokenization (the spill survives); the skew plan is frozen in
+        # the spill, so resumed output is byte-identical to a clean run.
+        spill_dir = os.path.join(index_dir, "postings_spill")
+        spill_marker = os.path.join(index_dir, "spill_done.json")
+        done_path = os.path.join(index_dir, "segments_done.json")
+        if not (resume and os.path.exists(spill_marker)):
+            _sh.rmtree(spill_dir, ignore_errors=True)
+            write_partitioned(posts, spill_dir, "tbucket")
+            with open(spill_marker, "w") as f:
+                json.dump({"complete": True}, f)
+            for p in (done_path,):
+                if os.path.exists(p):
+                    os.remove(p)
+        done: set[int] = set()
+        if resume and os.path.exists(done_path):
+            with open(done_path) as f:
+                done = set(json.load(f)["buckets"])
+        for b in range(num_tbuckets):
+            if b in done:
+                continue
+            bdir = os.path.join(spill_dir, f"tbucket={b}")
+            out_b = os.path.join(segments_dir, f"tbucket={b}")
+            _sh.rmtree(out_b, ignore_errors=True)
+            if os.path.isdir(bdir):
+                final_b = ray.data.read_parquet(bdir).groupby(
+                    ["term", "salt"]
+                ).map_groups(merge_sublists, batch_format="pyarrow")
+                final_b.write_parquet(out_b)
+            done.add(b)
+            tmp = done_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"buckets": sorted(done)}, f)
+            os.replace(tmp, done_path)
     t_segments = time.time()
 
     # ---- stage 5: stats + manifest ----------------------------------------
