@@ -74,6 +74,19 @@ def has_answer_regex(answers: list[str], text: str) -> bool:
     return False
 
 
+def normalize_kilt(s: str) -> str:
+    """Reference ``qa_validation.py:298-314`` (same pipeline as
+    normalize_answer: lower → strip punctuation → drop articles → squeeze)."""
+    return normalize_answer(s)
+
+
+def has_answer_kilt(answers: list[str], text: str) -> bool:
+    """KILT match mode: normalized substring containment
+    (``qa_validation.py:288-294``)."""
+    text = normalize_kilt(text)
+    return any(normalize_kilt(a) in text for a in answers if a)
+
+
 class AttachHasAnswer:
     """map_batches stage: result rows (qid, ..., content) → + has_answer.
 
@@ -89,7 +102,11 @@ class AttachHasAnswer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["qid"].to_pylist()
         texts = batch["content"].to_pylist()
-        fn = has_answer_string if self.match == "string" else has_answer_regex
+        fn = {
+            "string": has_answer_string,
+            "regex": has_answer_regex,
+            "kilt": has_answer_kilt,
+        }[self.match]
         flags = [
             fn(self.answers.get(qid, []), text) for qid, text in zip(qids, texts)
         ]

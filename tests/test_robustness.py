@@ -1,0 +1,106 @@
+"""Robustness: wide rows (≥1 MB content — FIXTURES F1 length outliers),
+KILT match mode, golden results JSON (F5) vs the brute-force oracle."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from dpr_ray.eval import qa
+
+
+def test_has_answer_kilt():
+    assert qa.has_answer_kilt(["The Cat!"], "a big cat sat down")
+    assert qa.has_answer_kilt(["big cat"], "one big, cat")  # punct stripped
+    assert not qa.has_answer_kilt(["dog"], "a big cat")
+    assert not qa.has_answer_kilt([""], "anything")
+
+
+def test_wide_rows_build_and_query(ray_session, tmp_path):
+    """A 1 MB document flows through featurize → postings → query → doc
+    join without splitting errors, and scores exactly per the oracle."""
+    import ray.data
+
+    from dpr_ray.config import BM25Params
+    from dpr_ray.index.build import build_index
+    from dpr_ray.query.executor import search_pipeline
+    from dpr_ray.query.oracle import BruteForceBM25
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    big = " ".join(rng.choice(vocab, size=230_000)) + " needle_xyz"
+    assert len(big) >= 1_000_000
+    docs = [big, "needle_xyz small doc", "w1 w2 w3 unrelated"]
+    tbl = pa.table(
+        {
+            "repo": ["r/a", "r/b", "r/c"],
+            "path": ["big.txt", "small.txt", "other.txt"],
+            "commit": ["0" * 40] * 3,
+            "lang": ["txt"] * 3,
+            "content": pa.array(docs, pa.large_string()),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    stats = build_index(ray.data.from_arrow(tbl), idx, docid_strategy="hash64")
+    assert stats["N"] == 3 and stats["sum_dl"] > 150_000
+    qds = ray.data.from_items([{"qid": "q", "question": "needle_xyz"}])
+    res = search_pipeline(qds, idx, k=3, with_docs=True).to_pandas()
+    assert len(res) == 2  # both needle docs
+    ext = [f"{r}/{p}" for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())]
+    oracle = BruteForceBM25([docid_from_ext_id(e) for e in ext], docs, BM25Params())
+    expected = oracle.top_k("needle_xyz", 3)
+    got = list(zip(res.sort_values("rank")["docid"], res.sort_values("rank")["score"]))
+    assert [(int(d), s) for d, s in got] == expected
+
+
+def test_golden_results_json(ray_session, tmp_path):
+    """save_results output must match an oracle-constructed golden file
+    byte-for-byte (F5: stringified 6-decimal scores, score-desc ctxs)."""
+    import ray.data
+
+    from dpr_ray import corpus as corpus_mod
+    from dpr_ray.config import BM25Params
+    from dpr_ray.index.build import build_index
+    from dpr_ray.pipelines import retrieve_and_evaluate
+    from dpr_ray.query.oracle import BruteForceBM25
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    tbl = corpus_mod.synth_corpus_table(40, seed=29)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), idx, docid_strategy="hash64")
+    queries = pa.table(
+        {
+            "qid": pa.array(["g0", "g1"]),
+            "question": pa.array(["answer_5 class", "def struct"]),
+            "answers": pa.array([["answer_5"], ["zzz"]], pa.list_(pa.string())),
+        }
+    )
+    out_json = str(tmp_path / "results.json")
+    retrieve_and_evaluate(queries, idx, k=5, out_json=out_json)
+
+    # golden: construct the same structure from the oracle
+    ext = [f"{r}/{p}" for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())]
+    docids = [docid_from_ext_id(e) for e in ext]
+    by_id = {d: (e, c) for d, e, c in zip(docids, ext, tbl["content"].to_pylist())}
+    oracle = BruteForceBM25(docids, tbl["content"].to_pylist(), BM25Params())
+    golden = []
+    for qid, question, answers in [
+        ("g0", "answer_5 class", ["answer_5"]),
+        ("g1", "def struct", ["zzz"]),
+    ]:
+        ctxs = []
+        for d, s in oracle.top_k(question, 5):
+            e, c = by_id[d]
+            ctxs.append(
+                {
+                    "id": e,
+                    "title": e,
+                    "text": c,
+                    "score": f"{s:.6f}",
+                    "has_answer": qa.has_answer_string(answers, c),
+                }
+            )
+        golden.append({"question": question, "answers": answers, "ctxs": ctxs})
+    golden.sort(key=lambda r: r["question"])
+    assert json.load(open(out_json)) == golden
