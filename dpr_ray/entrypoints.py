@@ -762,6 +762,33 @@ FROM r WHERE rank <= {KNN_K}
 """
 
 
+NEAR_DUP_COS = 0.3  # random 64-d vectors rarely exceed ~0.4: yields few rows
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    from .stages.ann import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_pairs(ds, threshold=NEAR_DUP_COS)
+
+
+EMBEDDING_DUP_SQL = f"""
+WITH prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT id_a, id_b, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+  FROM prs GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_i6
+FROM sims WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
 def q_lsh_knn(sf_dir: str):
     from .stages.ann import lsh_knn
 
@@ -903,6 +930,7 @@ def queries_dict():
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "lsh_knn": q_lsh_knn,
         "events_window": q_events_window,
         "sessions": q_sessions,
@@ -928,6 +956,7 @@ def oracle_sql_dict():
         "chunked_bm25": CHUNKED_BM25_SQL,
         "chunk_hits": CHUNK_HITS_SQL,
         "knn_cosine": KNN_COSINE_SQL,
+        "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,
         # no SQL (driver falls back to rows-only): minhash_lsh, simhash,

@@ -125,6 +125,77 @@ def brute_force_knn(
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
 
 
+def embedding_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+):
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+
+    Shape: the dataset is materialized into normalized blocks held in the
+    object store once (ray.put per block), then an upper-triangular grid of
+    block-pair tasks each does one float64 matmul — O(n²/B²) tasks, exact.
+    At 10^8+ vectors swap the grid for the LSH bucketer in this module
+    (candidates from shared buckets, verify with the same matmul).
+    """
+    ensure_shippable()
+    blocks = []
+    ids_blocks = []
+    for batch in ds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
+        ids_blocks.append(batch[id_col].to_numpy(zero_copy_only=False).copy())
+        blocks.append(ray.put(_normalize(_to_matrix(batch[vec_col]))))
+
+    @ray.remote
+    def pair_block(ids_a, a, ids_b, b, same: bool):
+        # a/b arrive as zero-copy views: Ray dereferences top-level
+        # ObjectRef args automatically (plasma-backed numpy)
+        sims = a @ b.T
+        ia, ib = np.nonzero(sims >= threshold)
+        out_a, out_b, out_s = [], [], []
+        for x, y in zip(ia, ib):
+            da, db = int(ids_a[x]), int(ids_b[y])
+            if same:
+                if da >= db:  # both orderings present on the diagonal
+                    continue
+            elif da == db:
+                continue
+            lo, hi = (da, db) if da < db else (db, da)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(float(sims[x, y]))
+        return out_a, out_b, out_s
+
+    refs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            refs.append(
+                pair_block.remote(
+                    ids_blocks[i], blocks[i], ids_blocks[j], blocks[j], i == j
+                )
+            )
+    import pyarrow as pa_
+
+    out_a, out_b, out_s = [], [], []
+    for ra, rb, rs in ray.get(refs):
+        out_a.extend(ra)
+        out_b.extend(rb)
+        out_s.extend(rs)
+    from ..util import to_i6
+
+    tbl = pa_.table(
+        {
+            "id_a": pa_.array(out_a, pa_.int64()),
+            "id_b": pa_.array(out_b, pa_.int64()),
+            "cos_i6": pa_.array(to_i6(np.array(out_s, dtype=np.float64)), pa_.int64()),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
 class LSHIndexPlan:
     """Deterministic random-hyperplane bucketer: bucket(v) = sign bits of
     G @ v (G seeded). Multiprobe flips the lowest-margin bits."""
