@@ -221,7 +221,7 @@ ranked AS (
 """
 
 
-def _bm25_results(sf_dir: str) -> pd.DataFrame:
+def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
     """Engine top-k as a DataFrame reranked by (score_i6 desc, docid):
     the shared Ray/SQL total order (exact-scored, then i6-snapped)."""
     from .query.executor import search_pipeline
@@ -230,7 +230,7 @@ def _bm25_results(sf_dir: str) -> pd.DataFrame:
     qds = ray.data.from_items(
         [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
     )
-    res = search_pipeline(qds, index_dir, k=TOP_K + 10).to_pandas()
+    res = search_pipeline(qds, index_dir, k=TOP_K + 10, method=method).to_pandas()
     if res.empty:
         return pd.DataFrame(
             {"qid": [], "docid": [], "rank": [], "score_i6": []}
@@ -248,6 +248,14 @@ def _bm25_results(sf_dir: str) -> pd.DataFrame:
 
 def q_bm25_topk(sf_dir: str):
     return _bm25_results(sf_dir)[["qid", "docid", "rank", "score_i6"]]
+
+
+def q_bm25_topk_bmw(sf_dir: str):
+    """Same results via the block-max WAND executor (the scale path must be
+    rank-identical to TAAT and to the SQL oracle)."""
+    return _bm25_results(sf_dir, method="bmw")[
+        ["qid", "docid", "rank", "score_i6"]
+    ]
 
 
 BM25_TOPK_SQL = (
@@ -916,6 +924,7 @@ def queries_dict():
         "term_stats": q_term_stats,
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_bmw": q_bm25_topk_bmw,
         "qa_eval": q_qa_eval,
         "hits_at_k": q_hits_at_k,
         "dedup_exact": q_dedup_exact,
@@ -946,6 +955,7 @@ def oracle_sql_dict():
         "term_stats": TERM_STATS_SQL,
         "postings": POSTINGS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
+        "bm25_topk_bmw": BM25_TOPK_SQL,
         "qa_eval": QA_EVAL_SQL,
         "hits_at_k": HITS_AT_K_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
