@@ -115,6 +115,21 @@ def run_bench() -> dict:
     n_results = search_pipeline(qds, index_dir, k=10).count()
     timings["query_batch"] = time.time() - t0
 
+    # ---- query latency percentiles (single warm executor, serial) ---------
+    from dpr_ray.query.executor import QueryExecutor
+
+    ex = QueryExecutor(index_dir, k=10)
+    lat_qs = questions[:200]
+    ex(pa.table({"qid": ["w"], "question": [lat_qs[0]]}))  # warm caches
+    lats = []
+    for i, q in enumerate(lat_qs):
+        t0 = time.time()
+        ex(pa.table({"qid": [f"l{i}"], "question": [q]}))
+        lats.append(time.time() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p95 = lats[int(len(lats) * 0.95)]
+
     # ---- secondary operator timings ---------------------------------------
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         from dpr_ray import entrypoints as ep
@@ -139,6 +154,8 @@ def run_bench() -> dict:
         "n_docs_indexed": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "query_qps": round(n_queries / timings["query_batch"], 1),
+        "query_p50_ms": round(p50 * 1000, 2),
+        "query_p95_ms": round(p95 * 1000, 2),
         "n_query_results": n_results,
     }
     ray.shutdown()
