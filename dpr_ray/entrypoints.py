@@ -807,6 +807,16 @@ def q_lsh_knn(sf_dir: str):
     return lsh_knn(ds, qids, qmat, k=KNN_K, n_bits=6, n_probe=3)
 
 
+def q_ivf_knn(sf_dir: str):
+    from .stages.ann import ivf_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    return ivf_knn(ds, qids, qmat, k=KNN_K, n_lists=12, n_probe=4)
+
+
 # ------------------------------------------------------------------ events --
 
 
@@ -941,6 +951,7 @@ def queries_dict():
         "knn_cosine": q_knn_cosine,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lsh_knn": q_lsh_knn,
+        "ivf_knn": q_ivf_knn,
         "events_window": q_events_window,
         "sessions": q_sessions,
         "media_decode": q_media_decode,

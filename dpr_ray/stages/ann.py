@@ -125,6 +125,113 @@ def brute_force_knn(
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
 
 
+class IVFPlan:
+    """Deterministic IVF coarse quantizer: k-means on a seeded sample
+    (driver-side Lloyd iterations — the sample is small), cosine metric.
+    The reference's trained-index analog (``DenseHNSWSQIndexer.train``,
+    ``faiss_indexers.py:201-232``) without FAISS."""
+
+    def __init__(self, sample: np.ndarray, n_lists: int = 16, iters: int = 8,
+                 seed: int = 7):
+        rng = np.random.default_rng(seed)
+        s = _normalize(np.asarray(sample, dtype=np.float64))
+        n_lists = min(n_lists, len(s))
+        idx = rng.choice(len(s), size=n_lists, replace=False)
+        c = s[np.sort(idx)].copy()
+        for _ in range(iters):
+            assign = np.argmax(s @ c.T, axis=1)
+            for j in range(n_lists):
+                members = s[assign == j]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm = np.linalg.norm(m)
+                    if norm > 0:
+                        c[j] = m / norm
+        self.centroids = c
+        self.n_lists = n_lists
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(m) @ self.centroids.T, axis=1)
+
+    def probe(self, v: np.ndarray, n_probe: int) -> np.ndarray:
+        sims = self.centroids @ (v / (np.linalg.norm(v) or 1.0))
+        return np.argsort(-sims)[:n_probe]
+
+
+def ivf_knn(
+    ds,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate cosine top-k via IVF: train a coarse quantizer on a
+    deterministic sample, score each query only against vectors whose
+    assigned list is among the query's ``n_probe`` closest centroids.
+    Same output schema as brute_force_knn; recall tested vs brute force."""
+    ensure_shippable()
+    # deterministic training sample: the first train_sample rows
+    first = ds.limit(train_sample).to_arrow_refs()
+    import ray as _r
+
+    tables = [_r.get(r) for r in first]
+    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables if t.num_rows])
+    plan = IVFPlan(mat, n_lists=n_lists)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    probe_map: dict[int, set[int]] = {}
+    for qid, v in zip(query_ids, qm):
+        for b in plan.probe(v, n_probe):
+            probe_map.setdefault(int(b), set()).add(int(qid))
+    q_ref = ray.put({"qids": list(query_ids), "matrix": qm})
+    plan_ref = ray.put(plan)
+    probe_ref = ray.put(probe_map)
+
+    class ListTopK(_BatchTopK):
+        def __init__(self):
+            super().__init__(q_ref, k, id_col, vec_col, None)
+            self.plan = ray.get(plan_ref)
+            self.probe_map = ray.get(probe_ref)
+            self.qid_to_row = {q: i for i, q in enumerate(self.qids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            mat = _to_matrix(batch[self.vec_col])
+            lists = self.plan.assign(mat)
+            nmat = _normalize(mat)
+            out_q, out_v, out_s = [], [], []
+            for b in np.unique(lists):
+                qids = self.probe_map.get(int(b))
+                if not qids:
+                    continue
+                sel = lists == b
+                sub_ids = ids[sel]
+                sub = nmat[sel]
+                for qid in sorted(qids):
+                    row = self.qmat[self.qid_to_row[qid]] @ sub.T
+                    kk = min(k, len(row))
+                    part = (
+                        np.argpartition(-row, kk - 1)[:kk]
+                        if len(row) > kk else np.arange(len(row))
+                    )
+                    out_q.extend([qid] * len(part))
+                    out_v.extend(sub_ids[part].tolist())
+                    out_s.extend(row[part].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = ds.map_batches(ListTopK, batch_format="pyarrow", concurrency=(1, 4))
+    return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,

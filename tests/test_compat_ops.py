@@ -200,3 +200,36 @@ def test_multimodal_plumbing(ray_session):
         DecodeImage(fake=False)(
             pa.table({"media_id": [1], "payload": [b"x"]})
         )
+
+
+def test_ivf_knn_recall(ray_session):
+    import ray.data
+
+    from dpr_ray.stages.ann import brute_force_knn, ivf_knn
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    qids = list(range(5))
+    qm = mat[:5].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    bf = brute_force_knn(ds, qids, qm, k=10).to_pandas()
+    ivf = ivf_knn(ds, qids, qm, k=10, n_lists=8, n_probe=4).to_pandas()
+    recall = 0.0
+    for q in qids:
+        truth = set(bf[bf["qid"] == q]["vec_id"])
+        got = set(ivf[ivf["qid"] == q]["vec_id"])
+        recall += len(truth & got) / len(truth)
+    recall /= len(qids)
+    assert recall >= 0.5
+    # determinism: second run identical
+    ivf2 = ivf_knn(ds, qids, qm, k=10, n_lists=8, n_probe=4).to_pandas()
+    assert ivf.sort_values(["qid", "rank"]).reset_index(drop=True).equals(
+        ivf2.sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
