@@ -198,6 +198,23 @@ def build_index(
         # (hive partition_cols write is also pathologically slow in this
         # Ray version — measured 49s vs 3.5s for 500k rows)
         feat.sort("docid").write_parquet(docstore_dir)
+        if not os.path.isdir(docstore_dir):
+            # empty corpus: write_parquet emitted nothing; create an empty
+            # docstore file so downstream reads see a valid (0-row) table
+            import pyarrow.parquet as pq_
+
+            os.makedirs(docstore_dir, exist_ok=True)
+            empty = Featurize(docid_strategy=docid_strategy,
+                              num_dbuckets=num_dbuckets)(
+                pa.table({
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "commit": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "content": pa.array([], pa.large_string()),
+                })
+            )
+            pq_.write_table(empty, os.path.join(docstore_dir, "empty.parquet"))
         with open(docstore_marker, "w") as f:
             json.dump({"complete": True}, f)
     t_docstore = time.time()
@@ -331,6 +348,22 @@ def build_index(
             with open(tmp, "w") as f:
                 json.dump({"buckets": sorted(done)}, f)
             os.replace(tmp, done_path)
+    # empty corpus / empty buckets: guarantee at least one (0-row) segment
+    # file so readers always see the canonical schema
+    has_seg_files = any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(segments_dir)
+        for f in fs
+    )
+    if not has_seg_files:
+        import pyarrow.parquet as pq_
+
+        d0 = os.path.join(segments_dir, "tbucket=0")
+        os.makedirs(d0, exist_ok=True)
+        empty_seg = seg.rows_to_table([]).remove_column(
+            seg.SEGMENT_SCHEMA.get_field_index("tbucket")
+        )
+        pq_.write_table(empty_seg, os.path.join(d0, "empty.parquet"))
     t_segments = time.time()
 
     # ---- stage 5: stats + manifest ----------------------------------------

@@ -104,3 +104,28 @@ def test_golden_results_json(ray_session, tmp_path):
         golden.append({"question": question, "answers": answers, "ctxs": ctxs})
     golden.sort(key=lambda r: r["question"])
     assert json.load(open(out_json)) == golden
+
+
+def test_empty_corpus_build_and_query(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.index.build import build_index
+    from dpr_ray.query.executor import QueryExecutor
+
+    empty = pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.large_string()),
+        }
+    )
+    idx = str(tmp_path / "empty")
+    stats = build_index(ray.data.from_arrow(empty), idx, docid_strategy="hash64")
+    assert stats["N"] == 0 and stats["postings"] == 0
+    out = QueryExecutor(idx, k=5)(
+        pa.table({"qid": ["q"], "question": ["anything at all"]})
+    )
+    assert out.num_rows == 0
