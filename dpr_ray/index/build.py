@@ -119,10 +119,11 @@ class EmitEncodedPostings:
 
 
 class SampleDf:
-    """Deterministic head-term discovery: keep docs with docid % mod == 0,
-    emit per-batch partial (term, df). Sampling by docid is independent of
-    block boundaries, so the head set (and hence nothing about the final
-    index — merge re-blocks) is reproducible."""
+    """Head-term df partials: emit per-batch (term, df) counts. The caller
+    selects the sample rows (a docid-range predicate pushed into the
+    docstore read — deterministic and block-independent), so mod=1 here
+    keeps every row it is given; mod>1 filters docid % mod == 0 when a
+    range predicate isn't available."""
 
     def __init__(self, sample_mod: int):
         self.sample_mod = sample_mod
@@ -158,7 +159,6 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     max_postings_per_slice: int = seg.MAX_POSTINGS_PER_SLICE,
     emit_concurrency: int | tuple | None = None,
-    write_min_rows_per_file: int | None = None,
     resume: bool = False,
     partition_resume: bool = False,
 ) -> dict:
