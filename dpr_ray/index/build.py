@@ -161,6 +161,7 @@ def build_index(
     emit_concurrency: int | tuple | None = None,
     resume: bool = False,
     partition_resume: bool = False,
+    dedup_ids: bool = False,
 ) -> dict:
     """Build a BM25 index under ``index_dir``. Returns the stats dict.
 
@@ -197,7 +198,25 @@ def build_index(
         # read a few large blocks instead of thousands of hive fragments
         # (hive partition_cols write is also pathologically slow in this
         # Ray version — measured 49s vs 3.5s for 500k rows)
-        feat.sort("docid").write_parquet(docstore_dir)
+        if dedup_ids:
+            # (repo, path) dedup (D1 analog): the same ext_id appearing
+            # multiple times (e.g. several commits of one file) keeps ONE
+            # deterministic row — the lexicographically greatest
+            # (commit, sha256). groupby is sort-based, so the output is
+            # docid-sorted like the plain path. Costlier (per-group calls):
+            # off by default; enable when the corpus may carry duplicates.
+            import pandas as pd_
+
+            def first_wins(g: "pd_.DataFrame") -> "pd_.DataFrame":
+                return g.sort_values(
+                    ["commit", "sha256"], ascending=False
+                ).head(1)
+
+            feat.groupby("docid").map_groups(
+                first_wins, batch_format="pandas"
+            ).write_parquet(docstore_dir)
+        else:
+            feat.sort("docid").write_parquet(docstore_dir)
         if not os.path.isdir(docstore_dir):
             # empty corpus: write_parquet emitted nothing; create an empty
             # docstore file so downstream reads see a valid (0-row) table

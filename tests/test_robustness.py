@@ -129,3 +129,35 @@ def test_empty_corpus_build_and_query(ray_session, tmp_path):
         pa.table({"qid": ["q"], "question": ["anything at all"]})
     )
     assert out.num_rows == 0
+
+
+def test_dedup_ids_on_duplicate_ext_ids(ray_session, tmp_path):
+    """Same (repo, path) at two commits → dedup_ids keeps exactly one row
+    (the greatest (commit, sha)) and the index scores only that version."""
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.index.build import build_index
+    from dpr_ray.query.executor import QueryExecutor
+
+    tbl = pa.table(
+        {
+            "repo": ["r/x", "r/x", "r/y"],
+            "path": ["f.py", "f.py", "g.py"],
+            "commit": ["a" * 40, "b" * 40, "c" * 40],
+            "lang": ["py"] * 3,
+            "content": pa.array(
+                ["old version tokone", "new version toktwo", "other tokthree"],
+                pa.large_string(),
+            ),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    stats = build_index(
+        ray.data.from_arrow(tbl), idx, docid_strategy="hash64", dedup_ids=True
+    )
+    assert stats["N"] == 2  # duplicate (repo, path) collapsed
+    ex = QueryExecutor(idx, k=5)
+    # the kept row is the greater commit ("b"*40) → "toktwo" hits, "tokone" doesn't
+    assert ex(pa.table({"qid": ["q"], "question": ["toktwo"]})).num_rows == 1
+    assert ex(pa.table({"qid": ["q"], "question": ["tokone"]})).num_rows == 0
