@@ -103,3 +103,41 @@ def test_merged_index_search_matches_oracle(ray_session, tmp_path):
         got = ex(pa.table({"qid": ["x"], "question": [q]})).to_pylist()
         expected = oracle.top_k(q, 15)
         assert [(r["docid"], r["score"]) for r in got] == expected, q
+
+
+def test_merge_of_salted_indexes_is_logically_exact(ray_session, tmp_path):
+    """merge_indexes over inputs built with aggressive salting (multi-slice
+    terms) must produce the same logical postings and query results as a
+    direct build of the union."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    tbl = corpus_mod.synth_corpus_table(90, seed=41)
+    a, b = tbl.slice(0, 45), tbl.slice(45)
+    da, db, dm, dab = (str(tmp_path / x) for x in ["a", "b", "m", "ab"])
+    for src, dst in ((a, da), (b, db)):
+        build_index(ray.data.from_arrow(src).repartition(2), dst,
+                    docid_strategy="hash64", group_budget=15, sample_mod=1)
+    merge_indexes([da, db], dm)
+    build_index(ray.data.from_arrow(tbl).repartition(3), dab,
+                docid_strategy="hash64", group_budget=10**9, sample_mod=1)
+    # logical postings equal term-by-term
+    by_term_m, by_term_ab = {}, {}
+    for d, acc in ((dm, by_term_m), (dab, by_term_ab)):
+        for r in _segment_rows(d):
+            acc.setdefault(r["term"], []).append(r)
+    assert set(by_term_m) == set(by_term_ab)
+    for t in by_term_m:
+        dm_, tm_, lm_ = seg.decode_rows(by_term_m[t])
+        dab_, tab_, lab_ = seg.decode_rows(by_term_ab[t])
+        assert np.array_equal(dm_, dab_) and np.array_equal(tm_, tab_)
+        assert np.array_equal(lm_, lab_)
+    q = pa.table({"qid": ["q"], "question": ["def return rare class fn"]})
+    for method in ("taat", "bmw"):
+        assert (
+            QueryExecutor(dm, k=12, method=method)(q).to_pylist()
+            == QueryExecutor(dab, k=12, method=method)(q).to_pylist()
+        )
