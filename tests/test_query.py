@@ -108,3 +108,42 @@ def test_search_pipeline_with_docs(setup):
     got0 = [r["docid"] for r in sorted(
         (r for r in res if r["qid"] == "q0"), key=lambda r: r["rank"])]
     assert got0 == [d for d, _s in oracle.top_k("rare_tok_7", 5)]
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DPR_RAY_SLOW"),
+    reason="10k-doc conformance: run with DPR_RAY_SLOW=1",
+)
+def test_rank_identical_at_10k_docs(ray_session, tmp_path_factory):
+    """FIXTURES.md correctness scale: 10k docs, rank- and score-identical
+    to the brute-force oracle for both methods on a mixed query set."""
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(10_000, seed=77)
+    index_dir = str(tmp_path_factory.mktemp("qidx10k"))
+    build_index(
+        ray.data.from_arrow(tbl).repartition(8), index_dir,
+        docid_strategy="hash64", group_budget=2000, sample_mod=4,
+    )
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    ext = [f"{r}/{p}" for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())]
+    oracle = BruteForceBM25(
+        [docid_from_ext_id(e) for e in ext], tbl["content"].to_pylist(), BM25Params()
+    )
+    queries = ["def return", "rare class", "answer_12", "import fn struct impl",
+               "café", "the a an", "tok 9999"]
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"qid": [f"q{i}" for i in range(len(queries))], "question": queries}
+    )
+    for method in ["taat", "bmw"]:
+        res = qe.QueryExecutor(index_dir, k=50, method=method)(batch).to_pylist()
+        by_qid = {}
+        for r in res:
+            by_qid.setdefault(r["qid"], []).append(r)
+        for i, q in enumerate(queries):
+            expected = oracle.top_k(q, 50)
+            got = sorted(by_qid.get(f"q{i}", []), key=lambda r: r["rank"])
+            assert [(r["docid"], r["score"]) for r in got] == expected, (method, q)
