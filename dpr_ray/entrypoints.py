@@ -258,6 +258,13 @@ def q_bm25_topk_bmw(sf_dir: str):
     ]
 
 
+def q_bm25_topk_maxscore(sf_dir: str):
+    """Same results via the MaxScore-pruned executor."""
+    return _bm25_results(sf_dir, method="maxscore")[
+        ["qid", "docid", "rank", "score_i6"]
+    ]
+
+
 BM25_TOPK_SQL = (
     "WITH " + _BM25_CORE_SQL.format(qvalues=_query_values_sql())
     + f"SELECT qid, docid, rank, score_i6 FROM ranked WHERE rank <= {TOP_K}"
@@ -935,6 +942,7 @@ def queries_dict():
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_bmw": q_bm25_topk_bmw,
+        "bm25_topk_maxscore": q_bm25_topk_maxscore,
         "qa_eval": q_qa_eval,
         "hits_at_k": q_hits_at_k,
         "dedup_exact": q_dedup_exact,
@@ -967,6 +975,7 @@ def oracle_sql_dict():
         "postings": POSTINGS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "bm25_topk_bmw": BM25_TOPK_SQL,
+        "bm25_topk_maxscore": BM25_TOPK_SQL,
         "qa_eval": QA_EVAL_SQL,
         "hits_at_k": HITS_AT_K_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
