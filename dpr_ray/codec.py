@@ -35,6 +35,23 @@ def encode_varint(values: np.ndarray) -> bytes:
     return mat[keep].tobytes()  # row-major: bytes of value i precede value i+1
 
 
+def encode_varint_with_counts(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode and ALSO return the per-value byte counts, so callers
+    can slice the byte stream at arbitrary value boundaries (the batched
+    many-posting-lists encoder needs per-term offsets)."""
+    v = np.ascontiguousarray(values).astype(np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    payload = (v[:, None] >> _SHIFTS[None, :]) & np.uint64(0x7F)
+    cont = np.arange(10)[None, :] < (nbytes - 1)[:, None]
+    mat = (payload | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    keep = np.arange(10)[None, :] < nbytes[:, None]
+    return mat[keep].tobytes(), nbytes
+
+
 def decode_varint(buf: bytes | memoryview) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -90,32 +90,53 @@ class EmitEncodedPostings:
                 e[0].append(d)
                 e[1].append(c)
                 e[2].append(l)
+        # unsalted terms go through the BATCHED single-block encoder (one
+        # numpy pass for the whole batch — per-term numpy calls dominate on
+        # code-scale vocabularies); salted head terms (few) per-term
+        u_terms: list[str] = []
+        u_off = [0]
+        u_d: list[int] = []
+        u_tf: list[int] = []
+        u_dl: list[int] = []
         rows: list[dict] = []
         salts: list[int] = []
         for t, (d_l, tf_l, dl_l) in per_term.items():
-            d = np.array(d_l, dtype=np.uint64)
-            tf = np.array(tf_l, dtype=np.uint64)
-            dl = np.array(dl_l, dtype=np.uint64)
             shift = self.shift_map.get(t)
             if shift is None:
-                groups = [(0, slice(None))]
+                u_terms.append(t)
+                u_d.extend(d_l)
+                u_tf.extend(tf_l)
+                u_dl.extend(dl_l)
+                u_off.append(len(u_d))
             else:
+                d = np.array(d_l, dtype=np.uint64)
+                tf = np.array(tf_l, dtype=np.uint64)
+                dl = np.array(dl_l, dtype=np.uint64)
                 sv = (d >> np.uint64(shift)).astype(np.int64)
-                groups = [(int(s), sv == s) for s in np.unique(sv)]
-            for salt, mask in groups:
-                # intermediate sub-lists are ONE block each: small WAND-sized
-                # blocks here mean ~100k tiny numpy encode/decode calls per
-                # 10M postings (measured 40+ CPU-s of pure overhead); the
-                # final merge re-blocks at the queryable block_size
-                new = seg.encode_posting_list(
-                    t, d[mask], tf[mask], dl[mask],
-                    self.avgdl, self.params, self.num_tbuckets,
-                    block_size=1 << 30, max_postings_per_slice=1 << 62,
-                )
-                rows.extend(new)
-                salts.extend([salt] * len(new))
-        tbl = seg.rows_to_table(rows)
-        return tbl.append_column("salt", pa.array(salts, pa.int64()))
+                for s in np.unique(sv):
+                    mask = sv == s
+                    new = seg.encode_posting_list(
+                        t, d[mask], tf[mask], dl[mask],
+                        self.avgdl, self.params, self.num_tbuckets,
+                        block_size=1 << 30, max_postings_per_slice=1 << 62,
+                    )
+                    rows.extend(new)
+                    salts.extend([int(s)] * len(new))
+        small_tbl, _ = seg.encode_single_block_lists(
+            u_terms,
+            np.asarray(u_off, dtype=np.int64),
+            np.asarray(u_d, dtype=np.uint64),
+            np.asarray(u_tf, dtype=np.uint64),
+            np.asarray(u_dl, dtype=np.uint64),
+            self.avgdl, self.params, self.num_tbuckets,
+            salts=np.zeros(len(u_terms), dtype=np.int64),
+        )
+        if rows:
+            big_tbl = seg.rows_to_table(rows).append_column(
+                "salt", pa.array(salts, pa.int64())
+            )
+            return pa.concat_tables([small_tbl, big_tbl])
+        return small_tbl
 
 
 class SampleDf:
@@ -287,18 +308,109 @@ def build_index(
     salt_ref = ray.put(salt_map)  # broadcast once; actors ray.get in __init__
     t_sample = time.time()
 
-    # ---- stage 4: pre-encoded postings → groupby(term, salt) → segments ---
-    def merge_sublists(group: pa.Table) -> pa.Table:
-        term = group["term"][0].as_py()
+    # ---- stage 4: pre-encoded postings → groupby(tbucket, salt) → segments
+    # Grouping at BUCKET granularity (not per term): map_groups costs ~1ms
+    # of Python per group, which at code-scale vocabularies (100k+ terms)
+    # dominates the whole stage. One group = one term bucket; inside, all
+    # sub-lists are decoded in ONE vectorized pass (concatenated varint
+    # decode + cumsum-with-resets), lexsorted by (term, docid), and small
+    # terms are re-encoded by the batched single-block encoder.
+    def merge_bucket(group: pa.Table) -> pa.Table:
         salt = int(group["salt"][0].as_py())
-        docids, tfs, dls = seg.decode_rows(group.to_pylist())
-        rows = seg.encode_posting_list(
-            term, docids, tfs, dls,
-            avgdl, params, num_tbuckets, block_size, max_postings_per_slice,
-            slice_id_offset=salt * 64,  # ≤64 sub-slices per docid-range salt
+        d_all, tf_all, dl_all, tidx, terms_sorted = _bulk_decode_group(group)
+        if len(d_all) == 0:
+            return seg.rows_to_table([])
+        order = np.lexsort((d_all, tidx))
+        d_all, tf_all, dl_all, tidx = (
+            d_all[order], tf_all[order], dl_all[order], tidx[order],
         )
-        assert len(rows) <= 64, f"slice overflow for term {term!r} salt {salt}"
-        return seg.rows_to_table(rows)
+        bounds = np.flatnonzero(np.diff(tidx)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tidx)]])
+        small_terms: list[str] = []
+        s_off = [0]
+        s_idx: list[np.ndarray] = []
+        out_rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            term = terms_sorted[tidx[s]]
+            n = e - s
+            if n <= block_size and salt == 0:
+                small_terms.append(term)
+                s_idx.append(np.arange(s, e))
+                s_off.append(s_off[-1] + n)
+            else:
+                rows = seg.encode_posting_list(
+                    term, d_all[s:e], tf_all[s:e], dl_all[s:e],
+                    avgdl, params, num_tbuckets, block_size,
+                    max_postings_per_slice, slice_id_offset=salt * 64,
+                )
+                assert len(rows) <= 64, f"slice overflow {term!r} salt {salt}"
+                out_rows.extend(rows)
+        parts = []
+        if small_terms:
+            sel = np.concatenate(s_idx)
+            small_tbl, _ = seg.encode_single_block_lists(
+                small_terms, np.asarray(s_off, dtype=np.int64),
+                d_all[sel], tf_all[sel], dl_all[sel],
+                avgdl, params, num_tbuckets,
+            )
+            parts.append(small_tbl)
+        if out_rows:
+            parts.append(seg.rows_to_table(out_rows))
+        if not parts:
+            return seg.rows_to_table([])
+        return pa.concat_tables(parts)
+
+    def _bulk_decode_group(group: pa.Table):
+        """All sub-lists of a (tbucket, salt) group → concatenated
+        (docids, tfs, dls, term_idx) via ONE varint decode per stream."""
+        from .. import codec as codec_
+
+        terms_col = group["term"].to_pylist()
+        uniq_terms = sorted(set(terms_col))
+        t_to_i = {t: i for i, t in enumerate(uniq_terms)}
+        d_blobs: list[bytes] = []
+        tf_blobs: list[bytes] = []
+        dl_blobs: list[bytes] = []
+        counts: list[int] = []
+        row_tidx: list[int] = []
+        for i in range(group.num_rows):
+            for b_d, b_t, b_l in zip(
+                group["block_docids"][i].as_py(),
+                group["block_tfs"][i].as_py(),
+                group["block_dls"][i].as_py(),
+            ):
+                d_blobs.append(b_d)
+                tf_blobs.append(b_t)
+                dl_blobs.append(b_l)
+                row_tidx.append(t_to_i[terms_col[i]])
+        if not d_blobs:
+            z = np.empty(0, np.uint64)
+            return z, z, z, np.empty(0, np.int64), uniq_terms
+        deltas = codec_.decode_varint(b"".join(d_blobs))
+        tfs = codec_.decode_varint(b"".join(tf_blobs))
+        dls = codec_.decode_varint(b"".join(dl_blobs))
+        # per-blob value counts: a varint value ends on a byte < 0x80 —
+        # count terminator bytes inside each blob's byte range
+        ends_mask = (
+            np.frombuffer(b"".join(d_blobs), dtype=np.uint8) & 0x80
+        ) == 0
+        blob_byte_lens = np.array([len(b) for b in d_blobs], dtype=np.int64)
+        blob_byte_ends = np.cumsum(blob_byte_lens)
+        # number of values per blob = count of terminator bytes in its range
+        term_cum = np.concatenate([[0], np.cumsum(ends_mask)])
+        vals_per_blob = np.diff(
+            np.concatenate([[0], term_cum[blob_byte_ends]])
+        )
+        val_starts = np.concatenate([[0], np.cumsum(vals_per_blob)[:-1]])
+        # absolute docids: cumsum with reset at each blob start
+        absd = np.cumsum(deltas)
+        corr = absd[val_starts] - deltas[val_starts]
+        docids = absd - np.repeat(corr, vals_per_blob)
+        tidx = np.repeat(
+            np.asarray(row_tidx, dtype=np.int64), vals_per_blob
+        )
+        return docids, tfs, dls, tidx, uniq_terms
 
     posts = ray.data.read_parquet(
         docstore_dir, columns=["docid", "content", "doclen"]
@@ -324,8 +436,8 @@ def build_index(
     from .io import write_partitioned
 
     if not partition_resume:
-        final = posts.groupby(["term", "salt"]).map_groups(
-            merge_sublists, batch_format="pyarrow"
+        final = posts.groupby(["tbucket", "salt"]).map_groups(
+            merge_bucket, batch_format="pyarrow"
         )
         _sh.rmtree(segments_dir, ignore_errors=True)
         write_partitioned(final, segments_dir, "tbucket")
@@ -359,8 +471,8 @@ def build_index(
             _sh.rmtree(out_b, ignore_errors=True)
             if os.path.isdir(bdir):
                 final_b = ray.data.read_parquet(bdir).groupby(
-                    ["term", "salt"]
-                ).map_groups(merge_sublists, batch_format="pyarrow")
+                    "salt"
+                ).map_groups(merge_bucket, batch_format="pyarrow")
                 final_b.write_parquet(out_b)
             done.add(b)
             tmp = done_path + ".tmp"

@@ -118,6 +118,95 @@ def encode_posting_list(
     return rows
 
 
+def encode_single_block_lists(
+    terms: list[str],
+    group_offsets: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    params: BM25Params,
+    num_tbuckets: int,
+    salts: np.ndarray | None = None,
+) -> tuple[pa.Table, np.ndarray]:
+    """Vectorized encode of MANY single-block posting lists at once.
+
+    Inputs are per-term-CONCATENATED arrays (term i owns
+    ``[group_offsets[i], group_offsets[i+1])``, docid-sorted within each
+    term). One numpy pass computes deltas-with-resets, varint bytes with
+    per-value counts, per-term byte offsets, reduceat df/cf/block-max —
+    no per-term numpy calls, which otherwise dominate on code-scale
+    vocabularies (~70µs × |vocab| per batch, measured). Byte output is
+    IDENTICAL to ``encode_posting_list`` for n ≤ block_size terms.
+
+    Returns (segment table [+ salt column when given], per-term salt)."""
+    T = len(terms)
+    if T == 0:
+        empty = rows_to_table([])
+        if salts is not None:
+            empty = empty.append_column("salt", pa.array([], pa.int64()))
+        return empty, np.empty(0, np.int64)
+    docids = docids.astype(np.uint64)
+    starts = group_offsets[:-1]
+    ends = group_offsets[1:]
+    deltas = docids.copy()
+    deltas[1:] = docids[1:] - docids[:-1]
+    deltas[starts] = docids[starts]
+    d_bytes, d_cnt = codec.encode_varint_with_counts(deltas)
+    t_bytes, t_cnt = codec.encode_varint_with_counts(tfs)
+    l_bytes, l_cnt = codec.encode_varint_with_counts(dls)
+    d_off = np.zeros(len(docids) + 1, dtype=np.int64)
+    np.cumsum(d_cnt, out=d_off[1:])
+    t_off = np.zeros_like(d_off)
+    np.cumsum(t_cnt, out=t_off[1:])
+    l_off = np.zeros_like(d_off)
+    np.cumsum(l_cnt, out=l_off[1:])
+    tf64 = tfs.astype(np.float64)
+    dl64 = dls.astype(np.float64)
+    norm = tf64 * (params.k1 + 1.0) / (
+        tf64 + params.k1 * (1.0 - params.b + params.b * dl64 / avgdl)
+    )
+    bmax = np.nextafter(
+        np.maximum.reduceat(norm, starts).astype(np.float32),
+        np.float32(np.inf),
+    )
+    dfs = (ends - starts).astype(np.int64)
+    cfs = np.add.reduceat(tfs.astype(np.int64), starts)
+    first = docids[starts]
+    last = docids[ends - 1]
+    crc = zlib.crc32
+    tbuckets = [crc(t.encode()) % num_tbuckets for t in terms]
+    dmv = memoryview(d_bytes)
+    tmv = memoryview(t_bytes)
+    lmv = memoryview(l_bytes)
+    cols = {
+        "term": pa.array(terms, pa.string()),
+        "tbucket": pa.array(tbuckets, pa.int32()),
+        "slice_id": pa.array(np.zeros(T, np.int32), pa.int32()),
+        "df": pa.array(dfs, pa.int64()),
+        "cf": pa.array(cfs, pa.int64()),
+        "block_first": pa.array([[int(x)] for x in first], pa.list_(pa.uint64())),
+        "block_last": pa.array([[int(x)] for x in last], pa.list_(pa.uint64())),
+        "block_max": pa.array([[float(x)] for x in bmax], pa.list_(pa.float32())),
+        "block_docids": pa.array(
+            [[bytes(dmv[d_off[s] : d_off[e]])] for s, e in zip(starts, ends)],
+            pa.list_(pa.binary()),
+        ),
+        "block_tfs": pa.array(
+            [[bytes(tmv[t_off[s] : t_off[e]])] for s, e in zip(starts, ends)],
+            pa.list_(pa.binary()),
+        ),
+        "block_dls": pa.array(
+            [[bytes(lmv[l_off[s] : l_off[e]])] for s, e in zip(starts, ends)],
+            pa.list_(pa.binary()),
+        ),
+    }
+    tbl = pa.table(cols)
+    if salts is not None:
+        tbl = tbl.append_column("salt", pa.array(salts.astype(np.int64), pa.int64()))
+    return tbl, dfs
+
+
 def decode_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Segment rows (any mix of slices/sub-lists of ONE term) →
     (docids, tfs, dls) concatenated uint64 arrays (not re-sorted)."""
