@@ -8,17 +8,21 @@ with postings instead of dense vectors:
   → aggregate global stats (N, avgdl, max docid — the A5-analog aggregates)
   → deterministic 1/sample_mod corpus sample → head-term df estimate
   → map_batches(EmitEncodedPostings)  — map-side combine: per-batch
-       per-(term, salt) delta+varint-encoded sub-lists; head terms salted by
-       docid RANGE (salt = docid >> shift) so groups stay ≤ group_budget
-       postings (skew: SURVEY §4)
-  → groupby(term, salt).map_groups(merge)  — the ONLY shuffle, and it moves
-       compressed sub-lists (one row per term per batch), not raw postings;
-       merge decodes, re-sorts by docid, re-blocks → slice_id = salt (ranges
-       are ordered, so slices concatenate docid-sorted). Same skew plan +
-       same corpus ⇒ byte-identical segments at any parallelism (resume
-       determinism; the plan itself is a deterministic function of the
-       corpus sample).
-  → write_parquet(segments/, partition_cols=["tbucket"])
+       per-(term, salt) delta+varint-encoded sub-lists (small terms via the
+       BATCHED single-block encoder — one numpy pass per batch, which is
+       what survives code-scale vocabularies); head terms salted by docid
+       RANGE (salt = docid >> shift) so groups stay ≤ group_budget postings
+       (skew: SURVEY §4)
+  → groupby(tbucket, salt).map_groups(merge_bucket)  — the ONLY shuffle,
+       moving compressed sub-lists; groups are term BUCKETS (16), not terms
+       (map_groups costs ~1ms Python per group). Each bucket decodes all
+       sub-lists in one concatenated varint pass, lexsorts (term, docid),
+       re-encodes: small terms batched, head terms per-term with
+       slice_id = salt (ordered docid ranges ⇒ slices concatenate sorted).
+       Same skew plan + same corpus ⇒ byte-identical segments at any
+       parallelism (resume determinism; the plan is a deterministic
+       function of the corpus sample).
+  → parallel hive writer (segments/tbucket=i/; index/io.py)
 
 The driver never materializes the corpus (the reference holds all passages
 in driver RAM — ``dense_retriever.py:461-469`` — the one scalability sin this
