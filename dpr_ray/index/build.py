@@ -368,8 +368,6 @@ def build_index(
     def _bulk_decode_group(group: pa.Table):
         """All sub-lists of a (tbucket, salt) group → concatenated
         (docids, tfs, dls, term_idx) via ONE varint decode per stream."""
-        from .. import codec as codec_
-
         terms_col = group["term"].to_pylist()
         uniq_terms = sorted(set(terms_col))
         t_to_i = {t: i for i, t in enumerate(uniq_terms)}
@@ -391,26 +389,9 @@ def build_index(
         if not d_blobs:
             z = np.empty(0, np.uint64)
             return z, z, z, np.empty(0, np.int64), uniq_terms
-        deltas = codec_.decode_varint(b"".join(d_blobs))
-        tfs = codec_.decode_varint(b"".join(tf_blobs))
-        dls = codec_.decode_varint(b"".join(dl_blobs))
-        # per-blob value counts: a varint value ends on a byte < 0x80 —
-        # count terminator bytes inside each blob's byte range
-        ends_mask = (
-            np.frombuffer(b"".join(d_blobs), dtype=np.uint8) & 0x80
-        ) == 0
-        blob_byte_lens = np.array([len(b) for b in d_blobs], dtype=np.int64)
-        blob_byte_ends = np.cumsum(blob_byte_lens)
-        # number of values per blob = count of terminator bytes in its range
-        term_cum = np.concatenate([[0], np.cumsum(ends_mask)])
-        vals_per_blob = np.diff(
-            np.concatenate([[0], term_cum[blob_byte_ends]])
-        )
-        val_starts = np.concatenate([[0], np.cumsum(vals_per_blob)[:-1]])
-        # absolute docids: cumsum with reset at each blob start
-        absd = np.cumsum(deltas)
-        corr = absd[val_starts] - deltas[val_starts]
-        docids = absd - np.repeat(corr, vals_per_blob)
+        docids, vals_per_blob = seg.concat_delta_decode(d_blobs)
+        tfs, _ = seg.concat_varint_decode(tf_blobs)
+        dls, _ = seg.concat_varint_decode(dl_blobs)
         tidx = np.repeat(
             np.asarray(row_tidx, dtype=np.int64), vals_per_blob
         )

@@ -207,25 +207,51 @@ def encode_single_block_lists(
     return tbl, dfs
 
 
+def concat_varint_decode(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY varint byte strings in one numpy pass. Returns
+    (values, values_per_blob). A value ends on a byte < 0x80, so per-blob
+    value counts fall out of the terminator mask — no per-blob calls."""
+    if not blobs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    joined = b"".join(blobs)
+    values = codec.decode_varint(joined)
+    ends_mask = (np.frombuffer(joined, dtype=np.uint8) & 0x80) == 0
+    term_cum = np.concatenate([[0], np.cumsum(ends_mask)])
+    byte_ends = np.cumsum(np.array([len(b) for b in blobs], dtype=np.int64))
+    vals_per_blob = np.diff(np.concatenate([[0], term_cum[byte_ends]]))
+    return values, vals_per_blob
+
+
+def concat_delta_decode(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Like concat_varint_decode but each blob is a delta stream that
+    RESTARTS at its first value (absolute). One cumsum with per-blob
+    corrections reconstructs all absolutes."""
+    deltas, vals_per_blob = concat_varint_decode(blobs)
+    if len(deltas) == 0:
+        return deltas, vals_per_blob
+    starts = np.concatenate([[0], np.cumsum(vals_per_blob)[:-1]])
+    absd = np.cumsum(deltas)
+    corr = absd[starts] - deltas[starts]
+    return absd - np.repeat(corr, vals_per_blob), vals_per_blob
+
+
 def decode_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Segment rows (any mix of slices/sub-lists of ONE term) →
-    (docids, tfs, dls) concatenated uint64 arrays (not re-sorted)."""
-    doc_parts, tf_parts, dl_parts = [], [], []
-    for row in sorted(rows, key=lambda r: r.get("slice_id", 0)):
-        for b in row["block_docids"]:
-            doc_parts.append(codec.delta_decode(b))
-        for b in row["block_tfs"]:
-            tf_parts.append(codec.decode_varint(b))
-        for b in row["block_dls"]:
-            dl_parts.append(codec.decode_varint(b))
-    if not doc_parts:
+    (docids, tfs, dls) concatenated uint64 arrays (not re-sorted).
+    Vectorized: ONE varint decode per stream regardless of block count
+    (per-block numpy calls cost ~30µs each — 550 blocks of a head term
+    made cold scoring ~400ms before this)."""
+    rows_sorted = sorted(rows, key=lambda r: r.get("slice_id", 0))
+    d_blobs = [b for row in rows_sorted for b in row["block_docids"]]
+    t_blobs = [b for row in rows_sorted for b in row["block_tfs"]]
+    l_blobs = [b for row in rows_sorted for b in row["block_dls"]]
+    if not d_blobs:
         z = np.empty(0, np.uint64)
         return z, z.copy(), z.copy()
-    return (
-        np.concatenate(doc_parts),
-        np.concatenate(tf_parts),
-        np.concatenate(dl_parts),
-    )
+    docids, _ = concat_delta_decode(d_blobs)
+    tfs, _ = concat_varint_decode(t_blobs)
+    dls, _ = concat_varint_decode(l_blobs)
+    return docids, tfs, dls
 
 
 def rows_to_table(rows: list[dict]) -> pa.Table:
