@@ -78,12 +78,11 @@ class SegmentStore:
 
     Cache layers (all per actor, shared across batches):
     - raw segment rows per term (parquet fetch amortized)
-    - decoded + pre-scored arrays per term: (docids, float64 contributions)
-      for TAAT — contributions depend only on (tf, dl, df, N, avgdl), all
-      fixed for an index, so repeated terms across queries cost nothing
-    - optionally a cluster-shared registry of those arrays in the object
-      store (``shared_cache=True``): decode once per cluster, peers read
-      zero-copy from plasma.
+    - decoded + pre-scored arrays per term: (docids, float64 contributions,
+      upper bound) — contributions depend only on (tf, dl, df, N, avgdl),
+      all fixed for an index, so repeated terms across queries cost nothing
+    - optionally pre-warmed from broadcast ``warm_refs`` (decode once per
+      cluster via warm_posting_refs; plasma numpy reads are zero-copy).
     """
 
     def __init__(self, index_dir: str, cache_terms: int = 50_000,
