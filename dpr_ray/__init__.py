@@ -21,3 +21,27 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "build_index": ("dpr_ray.index.build", "build_index"),
+    "merge_indexes": ("dpr_ray.index.merge", "merge_indexes"),
+    "search_pipeline": ("dpr_ray.query.executor", "search_pipeline"),
+    "QueryExecutor": ("dpr_ray.query.executor", "QueryExecutor"),
+    "retrieve_and_evaluate": ("dpr_ray.pipelines", "retrieve_and_evaluate"),
+    "tokenize": ("dpr_ray.analyzer", "tokenize"),
+    "BM25Params": ("dpr_ray.config", "BM25Params"),
+}
+
+__all__ = list(_LAZY)
+
+
+def __getattr__(name):
+    # lazy top-level API: `from dpr_ray import build_index` without paying
+    # ray/pyarrow import cost for modules the caller never touches
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
