@@ -103,6 +103,9 @@ def run_bench() -> dict:
     stats = build_index(
         corpus, index_dir, docid_strategy="provided",
         group_budget=200_000, sample_mod=16,
+        # term buckets must scale with vocabulary (merge-group parallelism
+        # and size); identifier-heavy corpora carry ~1 rare term per doc
+        num_tbuckets=int(os.environ.get("BENCH_TBUCKETS", "64")),
     )
     timings["index_build"] = time.time() - t0
     n_docs = stats["N"]
