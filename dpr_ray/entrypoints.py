@@ -20,7 +20,6 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.dataset as pads
 import ray
 import ray.data
 
@@ -120,7 +119,7 @@ def q_corpus_stats(sf_dir: str):
 
 
 CORPUS_STATS_SQL = f"""
-SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
        CAST(ROUND(avg(dl * 1.0) * 1000000) AS BIGINT) AS avgdl_i6
 FROM ({DL_SQL})
 """
@@ -142,7 +141,8 @@ def q_term_stats(sf_dir: str):
 
 
 TERM_STATS_SQL = f"""
-SELECT term, count(*) AS df, sum(tf) AS cf FROM ({TF_SQL}) GROUP BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM ({TF_SQL}) GROUP BY term
 """
 
 
@@ -154,17 +154,36 @@ def q_postings(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
 
     def decode(batch: pa.Table) -> pa.Table:
-        terms, docids, tfs = [], [], []
-        for row in batch.to_pylist():
-            d, t, _l = seg.decode_rows([row])
-            terms.extend([row["term"]] * len(d))
-            docids.extend(d.tolist())
-            tfs.extend(t.tolist())
+        """Vectorized postings dump: ONE concatenated varint decode per
+        stream for the whole batch (segments.concat_*_decode), terms
+        re-attached by repeat counts — no per-row Python decode."""
+        import pyarrow.compute as pc_
+
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "docid": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        bd = batch["block_docids"].combine_chunks()
+        bt = batch["block_tfs"].combine_chunks()
+        n_blocks = pc_.list_value_length(bd).to_numpy(zero_copy_only=False)
+        d_blobs = bd.flatten().to_pylist()
+        if not d_blobs:
+            return empty
+        docids, vpb = seg.concat_delta_decode(d_blobs)
+        tfs, _ = seg.concat_varint_decode(bt.flatten().to_pylist())
+        row_per_blob = np.repeat(np.arange(batch.num_rows), n_blocks)
+        row_per_val = np.repeat(row_per_blob, vpb)
+        terms = batch["term"].take(pa.array(row_per_val, pa.int64()))
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "docid": pa.array(docids, pa.int64()),
-                "tf": pa.array(tfs, pa.int64()),
+                "term": terms,
+                "docid": pa.array(docids.astype(np.int64), pa.int64()),
+                "tf": pa.array(tfs.astype(np.int64), pa.int64()),
             }
         )
 
@@ -221,26 +240,47 @@ ranked AS (
 """
 
 
+def _i6_snap_rank(res: pd.DataFrame, id_col: str, depth: int) -> tuple[pd.DataFrame, bool]:
+    """Snap exact scores to i6, re-rank by (score_i6 desc, id). Returns
+    (ranked df, boundary_safe): unsafe iff some query was truncated at
+    ``depth`` AND its TOP_K-th snapped score ties the deepest fetched one —
+    an unfetched doc could then round to the boundary value and, with a
+    smaller id, displace the SQL oracle's top-K (which ranks ALL docs)."""
+    res = res.sort_values(["qid", "score_i6", id_col], ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    safe = True
+    for _qid, grp in res.groupby("qid"):
+        if len(grp) >= depth and len(grp) > TOP_K:
+            kth = grp["score_i6"].iloc[TOP_K - 1]
+            if kth <= grp["score_i6"].iloc[-1]:
+                safe = False
+                break
+    return res, safe
+
+
 def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
     """Engine top-k as a DataFrame reranked by (score_i6 desc, docid):
-    the shared Ray/SQL total order (exact-scored, then i6-snapped)."""
+    the shared Ray/SQL total order (exact-scored, then i6-snapped).
+    Fetch depth doubles until the K-th i6 value is strictly above the
+    deepest fetched one (i6 ties at the boundary would otherwise admit
+    unfetched smaller-docid rows in the oracle's total order)."""
     from .query.executor import search_pipeline
 
     index_dir = ensure_index(sf_dir)
-    qds = ray.data.from_items(
-        [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
-    )
-    res = search_pipeline(qds, index_dir, k=TOP_K + 10, method=method).to_pandas()
-    if res.empty:
-        return pd.DataFrame(
-            {"qid": [], "docid": [], "rank": [], "score_i6": []}
+    depth = TOP_K + 10
+    for _attempt in range(4):
+        qds = ray.data.from_items(
+            [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
         )
-    res["docid"] = res["docid"].astype("int64")
-    res["score_i6"] = _i6(res["score"])
-    res = res.sort_values(
-        ["qid", "score_i6", "docid"], ascending=[True, False, True]
-    )
-    res["rank"] = res.groupby("qid").cumcount() + 1
+        res = search_pipeline(qds, index_dir, k=depth, method=method).to_pandas()
+        if res.empty:
+            return pd.DataFrame({"qid": [], "docid": [], "rank": [], "score_i6": []})
+        res["docid"] = res["docid"].astype("int64")
+        res["score_i6"] = _i6(res["score"])
+        res, safe = _i6_snap_rank(res, "docid", depth)
+        if safe:
+            break
+        depth *= 4
     res = res[res["rank"] <= TOP_K].reset_index(drop=True)
     res["rank"] = res["rank"].astype("int64")
     return res
@@ -275,20 +315,31 @@ BM25_TOPK_SQL = (
 
 
 def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
-    from .eval.qa import has_answer_string
+    """Top-k results + has_answer via the distributed stages (DocJoin
+    batch-pruned parquet probe + AttachHasAnswer), never materializing the
+    docstore on the driver. The result set itself is query-scale (tiny)."""
+    from .eval.qa import AttachHasAnswer
+    from .query.executor import DocJoin
 
     res = _bm25_results(sf_dir)
     index_dir = ensure_index(sf_dir)
-    docs = pads.dataset(
-        os.path.join(index_dir, "docstore"), partitioning="hive"
-    ).to_table(columns=["docid", "content"]).to_pandas()
-    docs["docid"] = docs["docid"].astype("int64")
-    m = res.merge(docs, on="docid", how="left")
-    ans = {qid: a for qid, _q, a in BM25_QUERIES}
-    m["has_answer"] = [
-        has_answer_string(ans[r.qid], r.content) for r in m.itertuples()
-    ]
-    return m
+    ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
+    ds = (
+        ray.data.from_pandas(res[["qid", "rank", "docid"]])
+        .map_batches(
+            DocJoin,
+            fn_constructor_kwargs={"index_dir": index_dir, "columns": ["content"]},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .map_batches(
+            AttachHasAnswer,
+            fn_constructor_kwargs={"answers_ref": ans_ref, "match": "string"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+    )
+    return ds.to_pandas()
 
 
 def q_qa_eval(sf_dir: str):
@@ -609,22 +660,25 @@ def _chunked_results(sf_dir: str) -> pd.DataFrame:
     from .query.executor import search_pipeline
 
     index_dir = ensure_chunk_index(sf_dir)
-    qds = ray.data.from_items(
-        [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
-    )
-    res = search_pipeline(qds, index_dir, k=TOP_K + 10).to_pandas()
-    if res.empty:
-        return pd.DataFrame(
-            {"qid": [], "chunk_docid": [], "parent_docid": [], "rank": [],
-             "score_i6": []}
+    depth = TOP_K + 10
+    for _attempt in range(4):
+        qds = ray.data.from_items(
+            [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
         )
-    res["chunk_docid"] = res["docid"].astype("int64")
-    res["parent_docid"] = res["chunk_docid"] // 64
-    res["score_i6"] = _i6(res["score"])
-    res = res.sort_values(
-        ["qid", "score_i6", "chunk_docid"], ascending=[True, False, True]
-    )
-    res["rank"] = (res.groupby("qid").cumcount() + 1).astype("int64")
+        res = search_pipeline(qds, index_dir, k=depth).to_pandas()
+        if res.empty:
+            return pd.DataFrame(
+                {"qid": [], "chunk_docid": [], "parent_docid": [], "rank": [],
+                 "score_i6": []}
+            )
+        res["chunk_docid"] = res["docid"].astype("int64")
+        res["parent_docid"] = res["chunk_docid"] // 64
+        res["score_i6"] = _i6(res["score"])
+        res, safe = _i6_snap_rank(res, "chunk_docid", depth)
+        if safe:
+            break
+        depth *= 4
+    res["rank"] = res["rank"].astype("int64")
     return res[res["rank"] <= TOP_K].reset_index(drop=True)
 
 
@@ -676,24 +730,39 @@ CHUNKED_BM25_SQL = (
 
 
 def q_chunk_hits(sf_dir: str):
-    """Parent-level best hit over the chunked top-k (A2 semantics)."""
-    from .eval.qa import has_answer_string
+    """Parent-level best hit over the chunked top-k (A2 semantics), via
+    DocJoin (batch-pruned probe of the chunk docstore) + AttachHasAnswer —
+    no driver-side docstore materialization."""
+    from .eval.qa import AttachHasAnswer
     from .eval.spans import chunk_level_hits
+    from .query.executor import DocJoin
 
     res = _chunked_results(sf_dir)
-    docs = pads.dataset(
-        os.path.join(ensure_chunk_index(sf_dir), "docstore"), partitioning="hive"
-    ).to_table(columns=["docid", "content"]).to_pandas()
-    docs["chunk_docid"] = docs["docid"].astype("int64")
-    m = res.merge(docs[["chunk_docid", "content"]], on="chunk_docid", how="left")
-    ans = {qid: a for qid, _q, a in BM25_QUERIES}
-    m["has_answer"] = [
-        has_answer_string(ans[r.qid], r.content) for r in m.itertuples()
-    ]
-    ds = ray.data.from_pandas(
-        m[["qid", "rank", "has_answer", "parent_docid"]]
+    ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
+    joined = (
+        ray.data.from_pandas(
+            res[["qid", "rank", "chunk_docid", "parent_docid"]].rename(
+                columns={"chunk_docid": "docid"}
+            )
+        )
+        .map_batches(
+            DocJoin,
+            fn_constructor_kwargs={
+                "index_dir": ensure_chunk_index(sf_dir),
+                "columns": ["content"],
+            },
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .map_batches(
+            AttachHasAnswer,
+            fn_constructor_kwargs={"answers_ref": ans_ref, "match": "string"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .select_columns(["qid", "rank", "has_answer", "parent_docid"])
     )
-    out = chunk_level_hits(ds, parent_col="parent_docid").to_pandas()
+    out = chunk_level_hits(joined, parent_col="parent_docid").to_pandas()
     out["parent"] = out["parent"].astype("int64")
     out["best_hit"] = out["best_hit"].astype("int64")
     return out[["qid", "parent", "best_hit"]]

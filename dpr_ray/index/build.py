@@ -208,6 +208,21 @@ def build_index(
     if resume and man.is_complete(index_dir):
         return seg.read_stats(index_dir)
     os.makedirs(index_dir, exist_ok=True)
+    # Invalidate any prior completeness claim BEFORE mutating outputs: a
+    # rebuild killed mid-way must not leave a dir whose stale manifest still
+    # says "complete" (a later resume would then return stale stats over a
+    # wiped/partial docstore). Non-resume rebuilds also drop stage markers.
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        os.remove(man_path)
+    if not resume:
+        for marker in (
+            docstore_marker,
+            os.path.join(index_dir, "spill_done.json"),
+            os.path.join(index_dir, "segments_done.json"),
+        ):
+            if os.path.exists(marker):
+                os.remove(marker)
 
     # ---- stage 1: featurize → docstore ------------------------------------
     if resume and os.path.exists(docstore_marker):

@@ -4,9 +4,13 @@
 indexes with a groupby(term) over the ENCODED sub-lists (compact — the
 shuffle moves compressed postings, not raw tokens), decodes, re-sorts by
 docid and re-blocks with the MERGED corpus stats (block-max bounds depend
-on the merged avgdl). Because the final encode is a pure function of the
-logical posting set + stats, ``merge(build(A), build(B)) == build(A ∪ B)``
-byte-for-byte (property-tested).
+on the merged avgdl). The remerge encodes each term with contiguous
+slice_ids, so for UNSALTED builds ``merge(build(A), build(B)) ==
+build(A ∪ B)`` byte-for-byte (property-tested). When head terms were
+salted, build emits per-salt slice_id offsets (salt*64) while the remerge
+re-derives contiguous ids — the equality then holds LOGICALLY (same
+decoded posting sets, same scores; ``test_merge_of_salted_indexes``), not
+byte-for-byte.
 
 Replaces the reference's index serialize/ingest cycle
 (``faiss_indexers.py:41-105``), which cannot merge two HNSW indexes at all

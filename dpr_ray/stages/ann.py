@@ -37,6 +37,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _local_topk_idx(row: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k largest values of ``row`` PLUS every entry tied
+    with the k-th value — a candidate tied at the local boundary must
+    survive to the global (-sim, vec_id) merge or a smaller vec_id could
+    be dropped, diverging from the oracle's total order."""
+    if len(row) <= k:
+        return np.arange(len(row))
+    kth = np.partition(row, len(row) - k)[len(row) - k]
+    return np.flatnonzero(row >= kth)
+
+
+def _auto_pool(frac: float = 1.0) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized from the cluster, never a
+    hard-coded cap (a (1,4) pool starves a 32-CPU node)."""
+    n = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    return (1, max(2, int(n * frac)))
+
+
 class _BatchTopK:
     """Per-batch exact cosine vs the broadcast query matrix; emits each
     query's local top-k so the shuffle moves k rows per (query, block)."""
@@ -69,7 +87,7 @@ class _BatchTopK:
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            part = np.argpartition(-row, k - 1)[:k] if len(row) > k else np.arange(len(row))
+            part = _local_topk_idx(row, k)
             out_q.extend([int(self.qids[qi])] * len(part))
             out_v.extend(ids[part].tolist())
             out_s.extend(row[part].tolist())
@@ -120,7 +138,7 @@ def brute_force_knn(
         _BatchTopK,
         fn_constructor_args=(q_ref, k, id_col, vec_col, ex_ref),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=_auto_pool(),
     )
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
 
@@ -212,11 +230,7 @@ def ivf_knn(
                 sub = nmat[sel]
                 for qid in sorted(qids):
                     row = self.qmat[self.qid_to_row[qid]] @ sub.T
-                    kk = min(k, len(row))
-                    part = (
-                        np.argpartition(-row, kk - 1)[:kk]
-                        if len(row) > kk else np.arange(len(row))
-                    )
+                    part = _local_topk_idx(row, min(k, len(row)))
                     out_q.extend([qid] * len(part))
                     out_v.extend(sub_ids[part].tolist())
                     out_s.extend(row[part].tolist())
@@ -228,7 +242,7 @@ def ivf_knn(
                 }
             )
 
-    cand = ds.map_batches(ListTopK, batch_format="pyarrow", concurrency=(1, 4))
+    cand = ds.map_batches(ListTopK, batch_format="pyarrow", concurrency=_auto_pool())
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
 
 
@@ -372,15 +386,7 @@ def lsh_knn(
                 sub = nmat[sel]
                 for qid in sorted(qids):
                     row = self.qmat[self.qid_to_row[qid]] @ sub.T
-                    keep = (
-                        sub_ids != qid if self.exclude and qid in self.exclude else slice(None)
-                    )
-                    kk = min(k, len(row))
-                    part = (
-                        np.argpartition(-row, kk - 1)[:kk]
-                        if len(row) > kk
-                        else np.arange(len(row))
-                    )
+                    part = _local_topk_idx(row, min(k, len(row)))
                     for p in part:
                         if self.exclude and int(sub_ids[p]) in self.exclude:
                             continue
@@ -395,5 +401,5 @@ def lsh_knn(
                 }
             )
 
-    cand = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=(1, 4))
+    cand = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=_auto_pool())
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
