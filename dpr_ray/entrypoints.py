@@ -472,6 +472,91 @@ WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
 """
 
 
+# SQL-expressible rolling hashes (dpr_ray.util.token_hash31 / poly_mod31):
+# token/shingle hash = Horner base-131 over code points mod 2^31-1, written
+# in DuckDB as list_reduce(list_prepend(0, codepoints), ...). Every hash in
+# the minhash/simhash/fingerprint pipelines reduces to this, so those
+# queries get FULL value oracles (not rows-only checks).
+_ROLL131 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> unicode(c))), "
+    "(a,c) -> (a*131+c) % 2147483647)"
+)
+_ROLL137 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> unicode(c))), "
+    "(a,c) -> (a*137+c) % 2147483647)"
+)
+
+# distinct k=3 shingles per doc over space-split text (mirrors ngram SQL)
+_SHINGLE_SQL = """
+t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(a) - 1, 1)),
+           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+  FROM t WHERE len(a) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(a, ' ') AS shingle FROM t WHERE len(a) < 3
+)
+"""
+
+
+def _minhash_perm_values() -> str:
+    """The engine's seeded MinHash coefficients as SQL VALUES rows."""
+    from .stages.dedup import MinHasher
+
+    h = MinHasher(num_perm=64, seed=1337)
+    return ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(h.a[:, 0], h.b[:, 0]))
+    )
+
+
+def _make_minhash_sql() -> str:
+    thr = int(NGRAM_THRESHOLD * 1e6)
+    xh = _ROLL131.format(s="shingle")
+    return f"""
+WITH {_SHINGLE_SQL.strip()},
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+x AS (SELECT doc_id, shingle, {xh} AS xh FROM s),
+perm(i, a, b) AS (VALUES {_minhash_perm_values()}),
+sig AS (
+  SELECT x.doc_id, perm.i, min((perm.a * x.xh + perm.b) % 2147483647) AS v
+  FROM x CROSS JOIN perm GROUP BY 1, 2
+),
+band AS (
+  SELECT doc_id, i // 4 AS band, list(v ORDER BY i) AS bv
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c JOIN s sa ON sa.doc_id = c.da
+       JOIN s sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.da, c.db,
+         CAST(ROUND(COALESCE(i.i, 0) * 1000000.0
+              / (sza.n + szb.n - COALESCE(i.i, 0))) AS BIGINT) AS jac_i6
+  FROM cand c
+  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+  JOIN sz sza ON sza.doc_id = c.da
+  JOIN sz szb ON szb.doc_id = c.db
+)
+SELECT da AS docid_a, db AS docid_b, jac_i6 FROM j WHERE jac_i6 >= {thr}
+"""
+
+
+MINHASH_LSH_SQL = _make_minhash_sql()
+
+
 def q_minhash_lsh(sf_dir: str):
     from .stages.dedup import minhash_lsh_pairs
 
@@ -499,6 +584,40 @@ def q_simhash(sf_dir: str):
     from .stages.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_docs_ds(sf_dir), id_col="doc_id", text_col="text")
+
+
+def _make_simhash_sql() -> str:
+    h131 = _ROLL131.format(s="term")
+    h137 = _ROLL137.format(s="term")
+    return f"""
+WITH tf AS ({TF_SQL}),
+h AS (
+  SELECT term,
+         CASE WHEN term = '' THEN 0
+              ELSE {h131} + {h137} * 2147483648 END AS h62
+  FROM (SELECT DISTINCT term FROM tf)
+),
+bits AS (
+  SELECT tf.doc_id, b.b,
+         sum(CASE WHEN (h.h62 >> b.b) & 1 = 1 THEN tf.tf ELSE -tf.tf END) AS acc
+  FROM tf JOIN h USING (term)
+  CROSS JOIN (SELECT unnest(range(0, 62)) AS b) b
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id AS docid, v >> 1 AS simhash,
+       v & 65535 AS b0, (v >> 16) & 65535 AS b1,
+       (v >> 32) & 65535 AS b2, (v >> 48) & 65535 AS b3
+FROM sh
+"""
+
+
+SIMHASH_SQL = _make_simhash_sql()
 
 
 # ------------------------------------------------------------- text stats --
@@ -581,12 +700,57 @@ def q_langid(sf_dir: str):
     )
 
 
+def _make_langid_sql() -> str:
+    from .stages.text_stats import _LANG_PROFILES
+
+    prof = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lang])
+    )
+    return f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({TOK_SQL})),
+prof(lang, term) AS (VALUES {prof}),
+hit AS (
+  SELECT dt.doc_id, prof.lang, count(*) AS n
+  FROM dt JOIN prof ON dt.term = prof.term GROUP BY 1, 2
+),
+fl AS (
+  SELECT d.doc_id, l.lang, COALESCE(h.n, 0) AS n
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+  LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = l.lang
+),
+r AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk
+  FROM fl
+)
+SELECT r1.doc_id AS docid,
+       CASE WHEN r1.n = 0 OR r1.n = r2.n THEN 'und' ELSE r1.lang END AS lang_pred
+FROM r r1 JOIN r r2 ON r1.doc_id = r2.doc_id AND r1.rk = 1 AND r2.rk = 2
+"""
+
+
+LANGID_SQL = _make_langid_sql()
+
+
 def q_fingerprint(sf_dir: str):
     from .stages.text_stats import Fingerprint
 
     return _docs_ds(sf_dir).map_batches(
         Fingerprint(id_col="doc_id", text_col="text"), batch_format="pyarrow"
     )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id AS docid,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(regexp_split_to_array(text, ' '),
+      t -> CASE WHEN t = '' THEN 0 ELSE {_ROLL131.format(s="t")} END)),
+    (a,h) -> (a*137+h) % 2147483647) AS fingerprint
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------- chunking --
@@ -1049,6 +1213,10 @@ def oracle_sql_dict():
         "hits_at_k": HITS_AT_K_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "minhash_lsh": MINHASH_LSH_SQL,
+        "simhash": SIMHASH_SQL,
+        "langid": LANGID_SQL,
+        "fingerprint": FINGERPRINT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "token_count": TOKEN_COUNT_SQL,
         "chunk_corpus": CHUNK_CORPUS_SQL,
@@ -1058,8 +1226,9 @@ def oracle_sql_dict():
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,
-        # no SQL (driver falls back to rows-only): minhash_lsh, simhash,
-        # langid, fingerprint, lsh_knn, media_decode, media_features
+        # no SQL (driver falls back to rows-only): lsh_knn, ivf_knn (seeded
+        # gaussian projections aren't SQL-expressible), media_decode,
+        # media_features (deterministic synthetic binary payloads)
     }
 
 

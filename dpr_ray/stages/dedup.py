@@ -4,23 +4,30 @@ MinHash+LSH, SimHash. Ray-Data-native shapes per the scale playbook:
 - exact: content-hash in map_batches → groupby(hash) → first-wins
   (the reference's only dedup is first-wins on a stringified key,
   ``dpr/data/biencoder_data.py:379-380``).
-- n-gram Jaccard: shingle explode → groupby(shingle) co-occurrence pairs →
-  groupby(pair) intersection counts → exact Jaccard with broadcast set
-  sizes. EXACT for any threshold (every qualifying pair shares ≥1 shingle);
-  ``shingle_df_cap`` optionally drops ultra-hot shingles at scale (documented
-  approximation, off by default).
-- MinHash+LSH: per-batch signatures (vectorized universal hashing) → band
-  explode → groupby(band) candidates → exact-Jaccard verification.
-- SimHash: 64-bit tf-weighted fingerprints; near-dup candidates via 4×16-bit
-  band equality, verified by Hamming distance.
+- n-gram Jaccard: shingle explode (each row carries its doc's shingle-set
+  size — no driver-side sizes table) → groupby(shingle) co-occurrence pairs
+  → groupby(pair) intersection counts → exact Jaccard. EXACT for any
+  threshold (every qualifying pair shares ≥1 shingle) UNLESS a shingle's
+  df exceeds ``shingle_df_cap`` (default 4096): such ultra-hot shingles
+  (license headers, boilerplate) would emit O(df²) pair rows, so they are
+  dropped with a logged warning — the documented scale cap.
+- MinHash+LSH: per-batch signatures (vectorized universal hashing over
+  31-bit rolling shingle hashes) → band explode → groupby(band) candidates
+  → exact-Jaccard verification (batched source fetch per verify batch).
+  The 31-bit hash chain is SQL-expressible, so the DuckDB oracle reproduces
+  the FULL pipeline (signatures → band candidates → verified pairs).
+- SimHash: 62-bit tf-weighted fingerprints (two 31-bit rolling hashes per
+  token — SQL-expressible); near-dup candidates via 4×16-bit band equality,
+  verified by Hamming distance.
 
-All hashes are blake2b/arithmetic — deterministic across processes (never
-python ``hash()``).
+All hashes are rolling-mod-p31/arithmetic — deterministic across processes
+(never python ``hash()``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 from itertools import combinations
 
 import numpy as np
@@ -29,10 +36,9 @@ import ray
 
 from .. import analyzer
 from .._shipping import ensure_shippable
-from ..util import round_half_away
-from .text_stats import hash_token
+from ..util import auto_pool, poly_mod31, round_half_away
 
-_MERSENNE = (1 << 61) - 1
+logger = logging.getLogger("dpr_ray.dedup")
 
 
 def shingles(tokens: list[str], k: int = 3) -> set[str]:
@@ -42,9 +48,16 @@ def shingles(tokens: list[str], k: int = 3) -> set[str]:
 
 
 def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
-    return np.fromiter(
-        (hash_token(s) for s in shingles(tokens, k)), dtype=np.uint64
-    )
+    """31-bit rolling hashes (base 131, mod 2^31-1) of the doc's distinct
+    shingles — one vectorized poly_mod31 pass over the concatenated code
+    points (SQL-reproducible, unlike a cryptographic digest)."""
+    ss = sorted(shingles(tokens, k))
+    if not ss:
+        return np.empty(0, np.uint64)
+    offs = np.zeros(len(ss) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in ss], out=offs[1:])
+    cps = np.frombuffer("".join(ss).encode("utf-32-le"), dtype=np.uint32)
+    return poly_mod31(cps, offs, 131)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -90,68 +103,81 @@ def ngram_jaccard_pairs(
     text_col: str = "content",
     k: int = 3,
     threshold: float = 0.2,
-    shingle_df_cap: int | None = None,
+    shingle_df_cap: int | None = 4096,
 ):
     """→ Dataset (docid_a, docid_b, jaccard) for pairs with exact k-gram
-    Jaccard ≥ threshold (docid_a < docid_b; jaccard rounded to 6)."""
+    Jaccard ≥ threshold (docid_a < docid_b; jaccard rounded to 6).
+
+    Scale shape: every (shingle, docid) row carries the doc's shingle-set
+    size, so the pair finisher needs NO broadcast sizes table (unbounded in
+    n_docs) — union = na + nb - |intersection| from the group alone.
+    Shingles with df > ``shingle_df_cap`` are dropped with a warning (each
+    would emit df²/2 pair rows; a pair sharing ONLY capped shingles is
+    missed — boilerplate at corpus scale. cap=None restores strict
+    exactness)."""
     ensure_shippable()
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_s, out_d = [], []
+        out_s, out_d, out_n = [], [], []
         ids = batch[id_col].to_pylist()
         for i, toks in enumerate(
             analyzer.tokenize_batch(batch[text_col].to_pylist())
         ):
-            for s in shingles(toks, k):
+            ss = shingles(toks, k)
+            for s in ss:
                 out_s.append(s)
                 out_d.append(ids[i])
+                out_n.append(len(ss))
         return pa.table(
             {
                 "shingle": pa.array(out_s, pa.string()),
                 "docid": pa.array(out_d, pa.int64()),
+                "n_shingles": pa.array(out_n, pa.int64()),
             }
         )
 
     sh = ds.map_batches(explode, batch_format="pyarrow")
 
-    # set sizes: distinct shingles per doc — small (one row per doc), broadcast
-    def count_sizes(group: pa.Table) -> pa.Table:
-        return pa.table(
+    def pairs_of(group: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "docid": group["docid"][:1],
-                "n_shingles": pa.array([group.num_rows], pa.int64()),
+                "docid_a": pa.array([], pa.int64()),
+                "docid_b": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
             }
         )
-
-    sizes_tbl = (
-        sh.groupby("docid").map_groups(count_sizes, batch_format="pyarrow").to_pandas()
-    )
-    sizes_ref = ray.put(dict(zip(sizes_tbl["docid"], sizes_tbl["n_shingles"])))
-
-    def pairs_of(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["docid"].to_pylist()))
-        if len(ids) < 2 or (shingle_df_cap and len(ids) > shingle_df_cap):
-            return pa.table(
-                {"docid_a": pa.array([], pa.int64()), "docid_b": pa.array([], pa.int64())}
+        m = group.num_rows  # one row per doc (shingles() is a set)
+        if m < 2:
+            return empty
+        if shingle_df_cap and m > shingle_df_cap:
+            logger.warning(
+                "ngram_jaccard: dropping shingle %r (df=%d > cap=%d); pairs "
+                "sharing only this shingle are not compared",
+                group["shingle"][0].as_py(), m, shingle_df_cap,
             )
-        a, b = zip(*combinations(ids, 2))
+            return empty
+        d = group["docid"].to_numpy(zero_copy_only=False)
+        n = group["n_shingles"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        ii, jj = np.triu_indices(m, 1)
         return pa.table(
-            {"docid_a": pa.array(a, pa.int64()), "docid_b": pa.array(b, pa.int64())}
+            {
+                "docid_a": pa.array(d[ii], pa.int64()),
+                "docid_b": pa.array(d[jj], pa.int64()),
+                "na": pa.array(n[ii], pa.int64()),
+                "nb": pa.array(n[jj], pa.int64()),
+            }
         )
 
     pairs = sh.groupby("shingle").map_groups(pairs_of, batch_format="pyarrow")
 
-    _sizes_cache: dict = {}
-
     def finish_pair(group: pa.Table) -> pa.Table:
-        sizes = _sizes_cache.get("s")
-        if sizes is None:  # one fetch per task; groups within a task reuse it
-            sizes = ray.get(sizes_ref)
-            _sizes_cache["s"] = sizes
         da = int(group["docid_a"][0].as_py())
         db = int(group["docid_b"][0].as_py())
         inter = group.num_rows  # one row per shared shingle
-        union = sizes[da] + sizes[db] - inter
+        union = int(group["na"][0].as_py()) + int(group["nb"][0].as_py()) - inter
         j = float(round_half_away(inter / union)) if union else 0.0
         if j < threshold:
             return pa.table(
@@ -239,14 +265,15 @@ def minhash_lsh_pairs(
     source_parquet: str | None = None,
 ):
     """→ Dataset (docid_a, docid_b, jaccard) of LSH candidate pairs whose
-    EXACT shingle Jaccard ≥ threshold. Verification re-reads the two docs'
-    text from ``source_parquet`` (point lookups, LRU-cached per actor)."""
+    EXACT shingle Jaccard ≥ threshold. Verification re-reads candidate docs'
+    text from ``source_parquet`` — ONE isin-filtered parquet scan per verify
+    batch (the DocJoin pattern), LRU-cached per actor."""
     ensure_shippable()
     emit = ds.map_batches(
         _MinHashEmit,
         fn_constructor_args=(id_col, text_col, k, num_perm, bands, 1337),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
     )
 
     def candidates(group: pa.Table) -> pa.Table:
@@ -269,35 +296,47 @@ def minhash_lsh_pairs(
 
     class Verify:
         def __init__(self):
+            from collections import OrderedDict
+
             import pyarrow.dataset as pads
 
             self._ds = pads.dataset(source_parquet) if source_parquet else None
-            self._cache: dict[int, set] = {}
+            self._cache: "OrderedDict[int, set]" = OrderedDict()
+            self._cache_max = 100_000
 
-        def _shingles(self, docid: int) -> set:
-            s = self._cache.get(docid)
-            if s is None:
-                import pyarrow.compute as pc_
+        def _fetch(self, docids: list[int]) -> None:
+            """Batch-fetch shingle sets for every docid missing from the
+            LRU — one isin-filtered scan per batch, not per docid."""
+            missing = [d for d in docids if d not in self._cache]
+            if not missing or self._ds is None:
+                return
+            import pyarrow.compute as pc_
 
-                tbl = self._ds.to_table(
-                    columns=[id_col, text_col],
-                    filter=pc_.field(id_col) == docid,
-                )
-                toks = analyzer.tokenize(tbl[text_col][0].as_py())
-                s = shingles(toks, k)
-                self._cache[docid] = s
-            return s
+            tbl = self._ds.to_table(
+                columns=[id_col, text_col],
+                filter=pc_.field(id_col).isin(missing),
+            )
+            ids = tbl[id_col].to_pylist()
+            for did, toks in zip(
+                ids, analyzer.tokenize_batch(tbl[text_col].to_pylist())
+            ):
+                self._cache[int(did)] = shingles(toks, k)
+            while len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_a = batch["docid_a"].to_pylist()
+            ids_b = batch["docid_b"].to_pylist()
+            self._fetch(sorted({*ids_a, *ids_b}))
             out_a, out_b, out_j = [], [], []
-            for r in batch.to_pylist():
-                sa = self._shingles(int(r["docid_a"]))
-                sb = self._shingles(int(r["docid_b"]))
+            for da, db in zip(ids_a, ids_b):
+                sa = self._cache.get(int(da), set())
+                sb = self._cache.get(int(db), set())
                 union = len(sa | sb)
                 j = float(round_half_away(len(sa & sb) / union)) if union else 0.0
                 if j >= threshold:
-                    out_a.append(int(r["docid_a"]))
-                    out_b.append(int(r["docid_b"]))
+                    out_a.append(int(da))
+                    out_b.append(int(db))
                     out_j.append(j)
             return pa.table(
                 {
@@ -307,29 +346,30 @@ def minhash_lsh_pairs(
                 }
             )
 
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=auto_pool())
 
 
 # ------------------------------------------------------------- SimHash -----
 
 
 def simhash64(tokens: list[str]) -> int:
-    """tf-weighted 64-bit SimHash of the token multiset."""
+    """tf-weighted SimHash of the token multiset over 62-bit token hashes
+    (two 31-bit rolling hashes — SQL-expressible; bits 62/63 always 0).
+    Vectorized: ONE (n_terms, 64) bit-matrix op per document, no per-term
+    or per-bit Python loop."""
     if not tokens:
         return 0
     from collections import Counter
 
-    acc = np.zeros(64, dtype=np.int64)
-    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for t, tf in Counter(tokens).items():
-        h = np.uint64(hash_token(t))
-        sign = ((h & bits) != 0).astype(np.int64) * 2 - 1
-        acc += sign * tf
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    from ..util import token_hash62
+
+    c = Counter(tokens)
+    hs = np.fromiter((token_hash62(t) for t in c), dtype=np.uint64, count=len(c))
+    tfs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
 class SimHash:
@@ -346,10 +386,11 @@ class SimHash:
                 "docid": batch[self.id_col],
                 "simhash": pa.array([h >> 1 for h in hs], pa.int64()),
                 # 4×16-bit bands for banding-based near-dup candidates
-                "b0": pa.array([h & 0xFFFF for h in hs], pa.int32()),
-                "b1": pa.array([(h >> 16) & 0xFFFF for h in hs], pa.int32()),
-                "b2": pa.array([(h >> 32) & 0xFFFF for h in hs], pa.int32()),
-                "b3": pa.array([(h >> 48) & 0xFFFF for h in hs], pa.int32()),
+                # (int64 so the DuckDB oracle's BIGINT bit ops match dtype)
+                "b0": pa.array([h & 0xFFFF for h in hs], pa.int64()),
+                "b1": pa.array([(h >> 16) & 0xFFFF for h in hs], pa.int64()),
+                "b2": pa.array([(h >> 32) & 0xFFFF for h in hs], pa.int64()),
+                "b3": pa.array([(h >> 48) & 0xFFFF for h in hs], pa.int64()),
             }
         )
 

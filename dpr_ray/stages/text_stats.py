@@ -93,39 +93,43 @@ class LangId:
         )
 
 
-_FP_BASE = 1099511628211  # FNV-ish multiplier
-_MASK64 = (1 << 64) - 1
+_FP_BASE = 137  # doc-level Horner base (token-level uses 131)
 
 
 def token_fingerprint(tokens: list[str]) -> int:
     """Order-sensitive polynomial rolling hash over the token stream
-    (document fingerprint; deterministic across processes)."""
-    h = 14695981039346656037
-    for t in tokens:
-        h = (h * _FP_BASE + hash_token(t)) & _MASK64
-    return h >> 1  # fit int64
+    (document fingerprint): Horner base-137 over per-token 31-bit rolling
+    hashes, mod 2^31-1. Deterministic across processes AND reproducible by
+    the DuckDB oracle via nested list_reduce (see FINGERPRINT_SQL)."""
+    from ..util import poly_mod31, token_hash31
 
-
-def hash_token(t: str) -> int:
-    """Deterministic 64-bit token hash (blake2b; NOT python hash(), which is
-    salted per process)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+    ths = np.fromiter(
+        (token_hash31(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    return int(poly_mod31(ths, np.array([0, len(ths)]), _FP_BASE)[0])
 
 
 class Fingerprint:
-    """(docid, content) → order-sensitive rolling-hash fingerprint."""
+    """(docid, content) → order-sensitive rolling-hash fingerprint.
+    Vectorized: one poly_mod31 pass over the whole batch's concatenated
+    token-hash stream (per-doc offsets), no per-doc Python Horner loop."""
 
     def __init__(self, id_col: str = "docid", text_col: str = "content"):
         self.id_col = id_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [
-            token_fingerprint(toks)
-            for toks in analyzer.tokenize_batch(batch[self.text_col].to_pylist())
-        ]
+        from ..util import poly_mod31, token_hash31
+
+        token_lists = analyzer.tokenize_batch(batch[self.text_col].to_pylist())
+        offs = np.zeros(len(token_lists) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in token_lists], out=offs[1:])
+        ths = np.fromiter(
+            (token_hash31(t) for toks in token_lists for t in toks),
+            dtype=np.uint64,
+            count=int(offs[-1]),
+        )
+        fps = poly_mod31(ths, offs, _FP_BASE).astype(np.int64)
         return pa.table(
             {
                 "docid": batch[self.id_col],

@@ -2,7 +2,71 @@
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+P31 = (1 << 31) - 1  # Mersenne prime; 31-bit hashes keep all products in u64
+
+
+def poly_mod31(values, offsets, base: int) -> np.ndarray:
+    """Per-group polynomial hash ``sum(v_i * base^(n-1-i)) mod (2^31-1)``
+    (Horner-equivalent), vectorized across ALL groups at once. ``offsets``
+    has length n_groups+1; group j owns values[offsets[j]:offsets[j+1]].
+    Empty groups hash to 0.
+
+    Deterministic across processes AND expressible in SQL as
+    ``list_reduce(list_prepend(0, vals), (a,v) -> (a*base+v) % 2147483647)``
+    — the property the DuckDB oracle checks rely on."""
+    values = np.asarray(values, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    p = np.uint64(P31)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.diff(offsets)
+    if len(values) == 0 or n == 0 or lens.max() == 0:
+        return out
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen, dtype=np.uint64)
+    acc = 1
+    for i in range(maxlen):
+        pows[i] = acc
+        acc = (acc * base) % P31
+    owner_end = np.repeat(offsets[1:], lens)
+    revpos = owner_end - 1 - np.arange(len(values), dtype=np.int64)
+    # v%p < 2^31 and pow < 2^31 → product < 2^62 (no u64 overflow); group
+    # sums of L terms < L·2^31 stay in u64 for any realistic L
+    terms = ((values % p) * pows[revpos]) % p
+    nz = lens > 0
+    out[nz] = np.add.reduceat(terms, offsets[:-1][nz]) % p
+    return out
+
+
+@functools.lru_cache(maxsize=1_000_000)
+def token_hash31(t: str, base: int = 131) -> int:
+    """31-bit rolling hash of a token's code points (SQL-expressible,
+    deterministic — never python hash()). Cached per worker: vocabularies
+    repeat heavily across batches."""
+    h = 0
+    for c in t:
+        h = (h * base + ord(c)) % P31
+    return h
+
+
+def token_hash62(t: str) -> int:
+    """62-bit token hash from two independent 31-bit rolling hashes
+    (bases 131/137) — bit-addressable for SimHash, SQL-expressible."""
+    return token_hash31(t, 131) | (token_hash31(t, 137) << 31)
+
+
+def auto_pool(frac: float = 1.0) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized from the cluster — never a
+    hard-coded cap (a (1,4) pool starves a 32-CPU node), never min ==
+    total CPUs (deadlocks against upstream read tasks)."""
+    import ray
+
+    n = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    return (1, max(2, int(n * frac)))
 
 
 def round_half_away(x, decimals: int = 6) -> np.ndarray:
