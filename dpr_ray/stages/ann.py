@@ -246,75 +246,165 @@ def ivf_knn(
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
 
 
+def _pair_table(ids_a, ids_b, sims, threshold, same: bool) -> pa.Table:
+    """Vectorized (lo < hi, cos ≥ threshold) pair extraction from a sim
+    matrix; ``same=True`` keeps only the upper triangle."""
+    from ..util import to_i6
+
+    ia, ib = np.nonzero(sims >= threshold)
+    da, db = ids_a[ia], ids_b[ib]
+    keep = (da < db) if same else (da != db)
+    da, db, s = da[keep], db[keep], sims[ia[keep], ib[keep]]
+    lo = np.minimum(da, db)
+    hi = np.maximum(da, db)
+    return pa.table(
+        {
+            "id_a": pa.array(lo.astype(np.int64), pa.int64()),
+            "id_b": pa.array(hi.astype(np.int64), pa.int64()),
+            "cos_i6": pa.array(to_i6(s), pa.int64()),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    method: str = "auto",
+    exact_max_rows: int = 200_000,
+    lsh_tables: int = 8,
+    lsh_bits: int = 12,
+    bucket_cap: int = 20_000,
 ):
-    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+    """Embedding-cosine near-duplicate pairs → Dataset (id_a < id_b, cos_i6).
 
-    Shape: the dataset is materialized into normalized blocks held in the
-    object store once (ray.put per block), then an upper-triangular grid of
-    block-pair tasks each does one float64 matmul — O(n²/B²) tasks, exact.
-    At 10^8+ vectors swap the grid for the LSH bucketer in this module
-    (candidates from shared buckets, verify with the same matmul).
-    """
+    ``method="exact"`` (auto for ≤ ``exact_max_rows`` rows): normalized
+    blocks go to the object store once; the upper-triangular grid of
+    block-pairs becomes a DATASET of (i, j) items scored by a map_batches
+    actor pool — one float64 matmul per pair, results stream (no driver-side
+    ray.get of pair outputs). O(n²/B²) tasks: exact, fine to ~10^5-10^6.
+
+    ``method="lsh"`` (auto above the cutoff): each vector is hashed into
+    ``lsh_tables`` random-hyperplane bucket tables (deterministic seed);
+    groupby(table, bucket) verifies candidates with the same matmul and a
+    final groupby dedups pairs found in several tables. Linear shuffle
+    volume (T × n rows), approximate — recall vs the exact grid is
+    test-gated; buckets above ``bucket_cap`` are dropped with a warning
+    (no silent truncation)."""
     ensure_shippable()
-    blocks = []
-    ids_blocks = []
-    for batch in ds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
-        ids_blocks.append(batch[id_col].to_numpy(zero_copy_only=False).copy())
-        blocks.append(ray.put(_normalize(_to_matrix(batch[vec_col]))))
-
-    @ray.remote
-    def pair_block(ids_a, a, ids_b, b, same: bool):
-        # a/b arrive as zero-copy views: Ray dereferences top-level
-        # ObjectRef args automatically (plasma-backed numpy)
-        sims = a @ b.T
-        ia, ib = np.nonzero(sims >= threshold)
-        out_a, out_b, out_s = [], [], []
-        for x, y in zip(ia, ib):
-            da, db = int(ids_a[x]), int(ids_b[y])
-            if same:
-                if da >= db:  # both orderings present on the diagonal
-                    continue
-            elif da == db:
-                continue
-            lo, hi = (da, db) if da < db else (db, da)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_s.append(float(sims[x, y]))
-        return out_a, out_b, out_s
-
-    refs = []
-    for i in range(len(blocks)):
-        for j in range(i, len(blocks)):
-            refs.append(
-                pair_block.remote(
-                    ids_blocks[i], blocks[i], ids_blocks[j], blocks[j], i == j
-                )
-            )
-    import pyarrow as pa_
-
-    out_a, out_b, out_s = [], [], []
-    for ra, rb, rs in ray.get(refs):
-        out_a.extend(ra)
-        out_b.extend(rb)
-        out_s.extend(rs)
-    from ..util import to_i6
-
-    tbl = pa_.table(
-        {
-            "id_a": pa_.array(out_a, pa_.int64()),
-            "id_b": pa_.array(out_b, pa_.int64()),
-            "cos_i6": pa_.array(to_i6(np.array(out_s, dtype=np.float64)), pa_.int64()),
-        }
-    )
     import ray.data as rd
 
-    return rd.from_arrow(tbl)
+    if method == "auto":
+        method = "exact" if ds.count() <= exact_max_rows else "lsh"
+
+    if method == "exact":
+        blocks = []
+        for batch in ds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
+            ids = batch[id_col].to_numpy(zero_copy_only=False).copy()
+            blocks.append(
+                (ray.put(ids), ray.put(_normalize(_to_matrix(batch[vec_col]))))
+            )
+        nb = len(blocks)
+        blocks_ref = ray.put(blocks)
+        grid = rd.from_items(
+            [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+        )
+
+        class PairBlocks:
+            def __init__(self):
+                self.blocks = ray.get(blocks_ref)  # list of (ids_ref, mat_ref)
+                self._cache: dict[int, tuple] = {}
+
+            def _get(self, i: int):
+                e = self._cache.get(i)
+                if e is None:
+                    e = (ray.get(self.blocks[i][0]), ray.get(self.blocks[i][1]))
+                    self._cache[i] = e  # plasma numpy: zero-copy, no eviction need
+                return e
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                parts = []
+                for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+                    ids_a, a = self._get(i)
+                    ids_b, b = self._get(j)
+                    parts.append(
+                        _pair_table(ids_a, ids_b, a @ b.T, threshold, i == j)
+                    )
+                return pa.concat_tables(parts)
+
+        return grid.map_batches(
+            PairBlocks, batch_format="pyarrow", concurrency=_auto_pool(),
+            batch_size=4,
+        )
+
+    # ---- LSH path: linear shuffle, bucket-local verify --------------------
+    import logging
+
+    logger = logging.getLogger("dpr_ray.ann")
+    seed = 31
+
+    class EmitBuckets:
+        def __init__(self):
+            self.planes = None  # built on first batch (needs dim)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _to_matrix(batch[vec_col])
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal(
+                    (lsh_tables, lsh_bits, mat.shape[1])
+                )
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            pow2 = 1 << np.arange(lsh_bits)
+            tbls, parts = [], []
+            for t in range(lsh_tables):
+                bucket = ((mat @ self.planes[t].T) > 0) @ pow2
+                parts.append(
+                    pa.table(
+                        {
+                            "bkey": pa.array(
+                                t * (1 << lsh_bits) + bucket, pa.int64()
+                            ),
+                            "vid": pa.array(ids.astype(np.int64), pa.int64()),
+                            "vec": batch[vec_col],
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos_i6": pa.array([], pa.int64()),
+            }
+        )
+        m = group.num_rows
+        if m < 2:
+            return empty
+        if m > bucket_cap:
+            logger.warning(
+                "embedding_near_dup LSH: dropping bucket %d with %d members "
+                "(> cap %d); raise lsh_bits to split hot buckets",
+                int(group["bkey"][0].as_py()), m, bucket_cap,
+            )
+            return empty
+        ids = group["vid"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(group["vec"]))
+        return _pair_table(ids, ids, mat @ mat.T, threshold, True)
+
+    cand = (
+        ds.map_batches(EmitBuckets, batch_format="pyarrow", concurrency=_auto_pool())
+        .groupby("bkey")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+    # a pair found in several tables appears several times: keep one
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
 
 
 class LSHIndexPlan:

@@ -233,3 +233,43 @@ def test_ivf_knn_recall(ray_session):
     assert ivf.sort_values(["qid", "rank"]).reset_index(drop=True).equals(
         ivf2.sort_values(["qid", "rank"]).reset_index(drop=True)
     )
+
+
+def test_embedding_near_dup_exact_vs_lsh(ray_session):
+    """The LSH-bucketed scale path must find (nearly) all pairs the exact
+    block-grid finds at a high threshold, with identical cos_i6 values."""
+    import ray.data
+
+    from dpr_ray.stages.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    vecs, ids = [], []
+    vid = 0
+    for i in range(40):
+        for _ in range(3):  # 3 near-copies per base → planted near-dup pairs
+            vecs.append(base[i] + rng.standard_normal(32) * 0.02)
+            ids.append(vid)
+            vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    exact = embedding_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.95, method="exact", block_rows=32
+    ).to_pandas()
+    lsh = embedding_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.95, method="lsh",
+        lsh_tables=12, lsh_bits=8,
+    ).to_pandas()
+    e_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    l_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert len(e_pairs) >= 40 * 3  # every clone pair found by exact
+    assert l_pairs <= e_pairs  # LSH verifies exactly: no false positives
+    assert len(l_pairs & e_pairs) / len(e_pairs) >= 0.9  # recall bound
+    e_i6 = dict(zip(zip(exact["id_a"], exact["id_b"]), exact["cos_i6"]))
+    l_i6 = dict(zip(zip(lsh["id_a"], lsh["id_b"]), lsh["cos_i6"]))
+    assert all(e_i6[p] == l_i6[p] for p in l_pairs)
