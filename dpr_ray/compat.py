@@ -76,3 +76,50 @@ def union_ctx_sources(*corpora):
     for c in corpora[1:]:
         ds = ds.union(c)
     return ds
+
+
+def convert_to_kilt(results_ds, id_map_ref, gold_ref=None):
+    """S13/J4: flattened result Dataset (qid, question, rank, docid) →
+    KILT-provenance Dataset, one row per question:
+    ``{id, input, output: [{provenance: [{wikipedia_id, end_paragraph_id},
+    ...]}]}`` with provenance in rank order (reference
+    ``KiltCsvCtxSrc.convert_to_kilt``, ``dpr/data/retriever_data.py:304-336``).
+
+    ``id_map_ref`` is a ray.put broadcast of {docid: (wikipedia_id,
+    end_paragraph_id)} (the reference's pickled mapping file, J4);
+    ``gold_ref`` optionally broadcasts {question: kilt_gold_id} so output
+    ids follow the gold file as the reference does (falls back to qid)."""
+    import json
+
+    import ray
+
+    from ._shipping import ensure_shippable
+
+    ensure_shippable()
+    id_map = ray.get(id_map_ref)
+    gold = ray.get(gold_ref) if gold_ref is not None else {}
+
+    def per_question(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: r["rank"])
+        question = rows[0]["question"]
+        provenance = [
+            {
+                "wikipedia_id": id_map[int(r["docid"])][0],
+                "end_paragraph_id": id_map[int(r["docid"])][1],
+            }
+            for r in rows
+            if int(r["docid"]) in id_map
+        ]
+        return pa.table(
+            {
+                "id": pa.array([str(gold.get(question, rows[0]["qid"]))]),
+                "input": pa.array([question]),
+                "output": pa.array(
+                    [json.dumps([{"provenance": provenance}])]
+                ),
+            }
+        )
+
+    return results_ds.groupby("qid").map_groups(
+        per_question, batch_format="pyarrow"
+    )

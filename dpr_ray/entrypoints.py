@@ -29,7 +29,7 @@ from .index import manifest as man
 from .index.build import build_index
 from .index import segments as seg
 
-ENGINE_VERSION = "v3"
+ENGINE_VERSION = "v4"  # v4: mod-sampled skew plan (fused docstore pass)
 K1, B = 0.9, 0.4
 
 # (qid, question, answers) — vocabulary of the documents tables
@@ -952,6 +952,102 @@ FROM hits GROUP BY qid, parent_docid
 )
 
 
+# -------------------------------------------------------------- reader ETL --
+
+
+def q_reader_etl(sf_dir: str):
+    """Retriever results → reader training samples (M20): positives with
+    shifted answer spans, negatives capped, no-positive queries skipped —
+    the reference's ``preprocess_retriever_data`` semantics over the BM25
+    top-k (``dpr/data/reader_data.py:234-317``)."""
+    from .eval.reader_etl import preprocess_retriever_results
+    from .query.executor import DocJoin
+
+    res = _bm25_results(sf_dir).copy()
+    res["question"] = res["qid"].map({qid: q for qid, q, _a in BM25_QUERIES})
+    ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
+    ds = ray.data.from_pandas(
+        res[["qid", "question", "rank", "docid"]]
+    ).map_batches(
+        DocJoin,
+        fn_constructor_kwargs={
+            "index_dir": ensure_index(sf_dir),
+            "columns": ["title", "content"],
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    return preprocess_retriever_results(ds, ans_ref, is_train=True)
+
+
+def _qmeta_values_sql() -> str:
+    return ", ".join(
+        f"('{qid}', '{q}', {len(analyzer.tokenize(q))})"
+        for qid, q, _a in BM25_QUERIES
+    )
+
+
+def _answer_ord_values_sql() -> str:
+    rows = []
+    for qid, _q, answers in BM25_QUERIES:
+        for i, a in enumerate(answers):
+            rows.append(f"('{qid}', {i}, '{a}')")
+    return ", ".join(rows)
+
+
+def _make_reader_etl_sql() -> str:
+    # caps (max_positives=20, negatives ≥ 50) never bind at TOP_K=10, so the
+    # oracle covers this configuration without re-expressing the cap chain
+    title_toks = (
+        r"len(regexp_extract_all(lower(d.source || '/doc/' "
+        r"|| CAST(d.doc_id AS VARCHAR) || '.txt'), "
+        r"'[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]'))"
+    )
+    return (
+        "WITH " + _BM25_CORE_SQL.format(qvalues=_query_values_sql())
+        + f""",
+qmeta(qid, question, qlen) AS (VALUES {_qmeta_values_sql()}),
+anso(qid, aord, answer) AS (VALUES {_answer_ord_values_sql()}),
+doc AS (
+  SELECT r.qid, r.rank, r.docid, regexp_split_to_array(d.text, ' ') AS toks,
+         {title_toks} AS tlen
+  FROM ranked r JOIN documents d ON r.docid = d.doc_id
+  WHERE r.rank <= {TOP_K}
+),
+sp AS (
+  SELECT doc.qid, doc.rank, a.aord, u.p - 1 AS s0,
+         u.p + len(regexp_split_to_array(a.answer, ' ')) - 2 AS e0
+  FROM doc JOIN anso a ON a.qid = doc.qid,
+       LATERAL unnest(range(1, len(doc.toks)
+         - len(regexp_split_to_array(a.answer, ' ')) + 2)) AS u(p)
+  WHERE doc.toks[u.p : u.p + len(regexp_split_to_array(a.answer, ' ')) - 1]
+        = regexp_split_to_array(a.answer, ' ')
+),
+agg AS (SELECT qid, rank, count(*) AS n_spans FROM sp GROUP BY 1, 2),
+fst AS (
+  SELECT qid, rank, s0, e0 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, rank ORDER BY aord, s0) AS rk
+    FROM sp
+  ) WHERE rk = 1
+)
+SELECT d.qid, q.question, d.docid, d.rank,
+       CASE WHEN a.n_spans IS NOT NULL THEN 'pos' ELSE 'neg' END AS role,
+       q.qlen + d.tlen AS passage_offset,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(f.s0 + q.qlen + d.tlen, -1) AS span0_start,
+       COALESCE(f.e0 + q.qlen + d.tlen, -1) AS span0_end
+FROM doc d
+JOIN qmeta q ON q.qid = d.qid
+LEFT JOIN agg a ON a.qid = d.qid AND a.rank = d.rank
+LEFT JOIN fst f ON f.qid = d.qid AND f.rank = d.rank
+WHERE EXISTS (SELECT 1 FROM sp WHERE sp.qid = d.qid)
+"""
+    )
+
+
+READER_ETL_SQL = _make_reader_etl_sql()
+
+
 # --------------------------------------------------------------------- ANN --
 
 KNN_K = 5
@@ -1187,6 +1283,7 @@ def queries_dict():
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
+        "reader_etl": q_reader_etl,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
@@ -1222,6 +1319,7 @@ def oracle_sql_dict():
         "chunk_corpus": CHUNK_CORPUS_SQL,
         "chunked_bm25": CHUNKED_BM25_SQL,
         "chunk_hits": CHUNK_HITS_SQL,
+        "reader_etl": READER_ETL_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,

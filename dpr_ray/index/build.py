@@ -4,9 +4,12 @@ Ray-Data restatement of the reference's index-build front half
 (``generate_dense_embeddings.py:41-149`` + ``faiss_indexers.py:86-105``),
 with postings instead of dense vectors:
 
-  read corpus → map_batches(Featurize) → write docstore (docid-partitioned)
-  → aggregate global stats (N, avgdl, max docid — the A5-analog aggregates)
-  → deterministic 1/sample_mod corpus sample → head-term df estimate
+  read corpus → map_batches(Featurize) → sort(docid) →
+  map_batches(DocstoreWriter)  — ONE fused execution that writes the
+       docid-sorted docstore AND emits partials for the global stats
+       (N, avgdl, max docid — the A5-analog aggregates) and the
+       deterministic docid%mod head-term df sample (skew plan); the
+       stats + salt plan persist in the docstore resume marker
   → map_batches(EmitEncodedPostings)  — map-side combine: per-batch
        per-(term, salt) delta+varint-encoded sub-lists (small terms via the
        BATCHED single-block encoder — one numpy pass per batch, which is
@@ -143,30 +146,66 @@ class EmitEncodedPostings:
         return small_tbl
 
 
-class SampleDf:
-    """Head-term df partials: emit per-batch (term, df) counts. The caller
-    selects the sample rows (a docid-range predicate pushed into the
-    docstore read — deterministic and block-independent), so mod=1 here
-    keeps every row it is given; mod>1 filters docid % mod == 0 when a
-    range predicate isn't available."""
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df_part", pa.int64()),
+        ("cnt", pa.int64()),
+        ("sum_dl", pa.int64()),
+        ("max_docid", pa.int64()),
+    ]
+)
 
-    def __init__(self, sample_mod: int):
+
+class DocstoreWriter:
+    """Terminal docstore stage: writes each docid-sorted block as one
+    parquet file (named by its docid range — idempotent under task retry,
+    range-prunable by DocJoin) and emits TINY partial rows that fold the
+    former stats and skew-sample executions into this single pass:
+
+    - one ``term=""`` row per block with (cnt, sum_dl, max_docid) partials
+      (the A5-analog global aggregates),
+    - one (term, df_part) row per term seen in the block's deterministic
+      ``docid % sample_mod == 0`` sample (drives the head-term salt plan).
+
+    Each standalone Dataset execution costs seconds of fixed dispatch on
+    top of the work — measured ~7s of the build's non-scaling time at both
+    8 and 32 CPUs before the fold."""
+
+    def __init__(self, out_dir: str, sample_mod: int):
+        self.out_dir = out_dir
         self.sample_mod = sample_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_PARTIAL_SCHEMA)
         docids = batch["docid"].to_numpy(zero_copy_only=False)
-        keep = docids % self.sample_mod == 0
-        texts = [t for t, k in zip(batch["content"].to_pylist(), keep) if k]
-        df: Counter = Counter()
-        for toks in analyzer.tokenize_batch(texts):
-            df.update(set(toks))
-        if not df:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "df_part": pa.array([], pa.int64())})
+        name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
+        pq_.write_table(batch, os.path.join(self.out_dir, name))
+        terms: list[str] = []
+        dfp: list[int] = []
+        if self.sample_mod >= 1:
+            keep = docids % self.sample_mod == 0
+            texts = [
+                t for t, k in zip(batch["content"].to_pylist(), keep) if k
+            ]
+            df: Counter = Counter()
+            for toks in analyzer.tokenize_batch(texts):
+                df.update(set(toks))
+            terms = list(df.keys())
+            dfp = list(df.values())
+        n = batch.num_rows
+        dl_sum = int(batch["doclen"].to_numpy(zero_copy_only=False).sum())
+        z = [0] * len(terms)
         return pa.table(
             {
-                "term": pa.array(list(df.keys()), pa.string()),
-                "df_part": pa.array(list(df.values()), pa.int64()),
+                "term": pa.array([""] + terms, pa.string()),
+                "df_part": pa.array([0] + dfp, pa.int64()),
+                "cnt": pa.array([n] + z, pa.int64()),
+                "sum_dl": pa.array([dl_sum] + z, pa.int64()),
+                "max_docid": pa.array([int(docids.max())] + z, pa.int64()),
             }
         )
 
@@ -224,11 +263,26 @@ def build_index(
             if os.path.exists(marker):
                 os.remove(marker)
 
-    # ---- stage 1: featurize → docstore ------------------------------------
+    # ---- stage 1 (fused): featurize → sorted docstore + stats + skew plan
+    # ONE Dataset execution writes the docid-sorted docstore AND emits the
+    # partial rows for (N, sum_dl, max_docid) and the head-term df sample
+    # (DocstoreWriter); the former separate stats + sample executions each
+    # re-read the docstore and cost seconds of fixed dispatch that did not
+    # shrink with CPUs (the round-1 scaling gap). The resume marker persists
+    # the stats + salt plan so a resumed run recomputes nothing.
+    from ray.data.aggregate import Max
+
+    salt_map: dict[str, int] = {}  # term -> shift
     if resume and os.path.exists(docstore_marker):
-        pass  # docstore stage completed in a prior run
+        with open(docstore_marker) as f:
+            dmark = json.load(f)
+        n_docs = int(dmark["n_docs"])
+        sum_dl = int(dmark["sum_dl"])
+        max_docid = int(dmark["max_docid"])
+        salt_map = {k: int(v) for k, v in dmark["salt_map"].items()}
     else:
         shutil.rmtree(docstore_dir, ignore_errors=True)
+        os.makedirs(docstore_dir, exist_ok=True)
         feat = corpus_ds.map_batches(
             Featurize(docid_strategy=docid_strategy, num_dbuckets=num_dbuckets),
             batch_format="pyarrow",
@@ -245,24 +299,53 @@ def build_index(
             # (commit, sha256). groupby is sort-based, so the output is
             # docid-sorted like the plain path. Costlier (per-group calls):
             # off by default; enable when the corpus may carry duplicates.
-            import pandas as pd_
+            import pyarrow.compute as pc_
 
-            def first_wins(g: "pd_.DataFrame") -> "pd_.DataFrame":
-                return g.sort_values(
-                    ["commit", "sha256"], ascending=False
-                ).head(1)
+            def first_wins(g: pa.Table) -> pa.Table:
+                order = pc_.sort_indices(
+                    g,
+                    sort_keys=[("commit", "descending"),
+                               ("sha256", "descending")],
+                )
+                return g.take(order[:1])
 
-            feat.groupby("docid").map_groups(
-                first_wins, batch_format="pandas"
-            ).write_parquet(docstore_dir)
+            sorted_feat = feat.groupby("docid").map_groups(
+                first_wins, batch_format="pyarrow"
+            )
         else:
-            feat.sort("docid").write_parquet(docstore_dir)
-        if not os.path.isdir(docstore_dir):
-            # empty corpus: write_parquet emitted nothing; create an empty
-            # docstore file so downstream reads see a valid (0-row) table
+            sorted_feat = feat.sort("docid")
+        partials = sorted_feat.map_batches(
+            DocstoreWriter(docstore_dir, sample_mod), batch_format="pyarrow"
+        ).materialize()  # executes the write ONCE; keeps only the tiny rows
+        agg = partials.aggregate(
+            Sum("cnt"), Sum("sum_dl"), Max("max_docid")
+        )
+        n_docs = int(agg["sum(cnt)"] or 0)
+        sum_dl = int(agg["sum(sum_dl)"] or 0)
+        max_docid = int(agg["max(max_docid)"] or 0)
+        space_bits = max(1, max_docid.bit_length())
+        if n_docs and sample_mod >= 1:
+            # head terms get docid-RANGE salts: salt = docid >> shift, with
+            # 2^(space_bits-shift) ≈ df_est*mod/group_budget ranges
+            # (pow2-rounded). The "" stats rows carry df_part=0 and never
+            # pass the positive threshold.
+            head = (
+                partials.groupby("term")
+                .aggregate(Sum("df_part", alias_name="df_est"))
+                .filter(expr=f"df_est > {group_budget / sample_mod}")
+                .take_all()
+            )
+            for r in head:
+                n_salts = max(
+                    1, math.ceil(r["df_est"] * sample_mod / group_budget)
+                )
+                bits = max(1, (n_salts - 1).bit_length())
+                salt_map[r["term"]] = max(0, space_bits - bits)
+        if not any(f.endswith(".parquet") for f in os.listdir(docstore_dir)):
+            # empty corpus: create an empty docstore file so downstream
+            # reads see a valid (0-row) table with the canonical schema
             import pyarrow.parquet as pq_
 
-            os.makedirs(docstore_dir, exist_ok=True)
             empty = Featurize(docid_strategy=docid_strategy,
                               num_dbuckets=num_dbuckets)(
                 pa.table({
@@ -275,57 +358,19 @@ def build_index(
             )
             pq_.write_table(empty, os.path.join(docstore_dir, "empty.parquet"))
         with open(docstore_marker, "w") as f:
-            json.dump({"complete": True}, f)
-    t_docstore = time.time()
-
-    # ---- stage 2: global stats (N, avgdl, docid space) --------------------
-    from ray.data.aggregate import Max
-
-    agg = ray.data.read_parquet(
-        docstore_dir, columns=["docid", "doclen"]
-    ).aggregate(Count(), Sum("doclen"), Max("docid"))
-    n_docs = int(agg["count()"])
-    sum_dl = int(agg["sum(doclen)"] or 0)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    max_docid = int(agg["max(docid)"] or 0)
-    space_bits = max(1, max_docid.bit_length())
-    t_stats = time.time()
-
-    # ---- stage 3: head-term discovery (skew plan) -------------------------
-    # head terms get docid-RANGE salts: salt = docid >> shift, with
-    # 2^(space_bits-shift) ≈ df_est/group_budget ranges (pow2-rounded)
-    # (skipped when resuming from an existing spill: the plan is frozen
-    # inside the spilled sub-lists)
-    _spill_exists = (
-        resume and partition_resume
-        and os.path.exists(os.path.join(index_dir, "spill_done.json"))
-    )
-    salt_map: dict[str, int] = {}  # term -> shift
-    if n_docs and sample_mod >= 1 and not _spill_exists:
-        # sample = the first 1/mod of the docid space: a RANGE predicate, so
-        # the sorted docstore prunes row groups instead of decoding all
-        # content to discard (mod-1)/mod of it. Deterministic and
-        # block-independent; the estimate only drives the skew plan.
-        import pyarrow.compute as pc_
-
-        cutoff = max_docid // sample_mod + 1
-        flt = pc_.field("docid") < cutoff if sample_mod > 1 else None
-        df_sample = (
-            ray.data.read_parquet(
-                docstore_dir, columns=["docid", "content"], filter=flt,
+            json.dump(
+                {
+                    "complete": True,
+                    "n_docs": n_docs,
+                    "sum_dl": sum_dl,
+                    "max_docid": max_docid,
+                    "salt_map": salt_map,
+                },
+                f,
             )
-            .map_batches(SampleDf(1), batch_format="pyarrow")
-            .groupby("term")
-            .aggregate(Sum("df_part", alias_name="df_est"))
-        )
-        # head terms are at most sample_tokens/ (budget/mod) rows — tiny
-        head = df_sample.filter(expr=f"df_est > {group_budget / sample_mod}").take_all()
-        for r in head:
-            n_salts = max(1, math.ceil(r["df_est"] * sample_mod / group_budget))
-            bits = max(1, (n_salts - 1).bit_length())
-            salt_map[r["term"]] = max(0, space_bits - bits)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
     salt_ref = ray.put(salt_map)  # broadcast once; actors ray.get in __init__
-    t_sample = time.time()
+    t_docstore = t_stats = t_sample = time.time()
 
     # ---- stage 4: pre-encoded postings → groupby(tbucket, salt) → segments
     # Grouping at BUCKET granularity (not per term): map_groups costs ~1ms
@@ -435,12 +480,15 @@ def build_index(
 
     from .io import write_partitioned
 
+    n_slices = n_postings = None
     if not partition_resume:
         final = posts.groupby(["tbucket", "salt"]).map_groups(
             merge_bucket, batch_format="pyarrow"
         )
         _sh.rmtree(segments_dir, ignore_errors=True)
-        write_partitioned(final, segments_dir, "tbucket")
+        wres = write_partitioned(final, segments_dir, "tbucket", sum_cols=["df"])
+        n_slices = wres["rows"]  # one slice row per segment row
+        n_postings = wres["sum_df"]
     else:
         # Per-PARTITION checkpointing (the external-sort-run shape): spill
         # the pre-encoded sub-lists once, hive-partitioned by tbucket, then
@@ -497,12 +545,13 @@ def build_index(
         pq_.write_table(empty_seg, os.path.join(d0, "empty.parquet"))
     t_segments = time.time()
 
-    # ---- stage 5: stats + manifest ----------------------------------------
-    seg_agg = ray.data.read_parquet(
-        segments_dir, columns=["term", "df"]
-    ).aggregate(Count(), Sum("df"))
-    n_slices = int(seg_agg["count()"])
-    n_postings = int(seg_agg["sum(df)"] or 0)
+    # ---- stage 5: stats + manifest (write-pass partials when available) ---
+    if n_slices is None:
+        seg_agg = ray.data.read_parquet(
+            segments_dir, columns=["term", "df"]
+        ).aggregate(Count(), Sum("df"))
+        n_slices = int(seg_agg["count()"])
+        n_postings = int(seg_agg["sum(df)"] or 0)
     stats = {
         "N": n_docs,
         "sum_dl": sum_dl,

@@ -20,13 +20,25 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def write_partitioned(ds, out_dir: str, partition_col: str) -> int:
+def write_partitioned(
+    ds, out_dir: str, partition_col: str, sum_cols: list[str] | None = None
+) -> dict:
     """Write ``ds`` under ``out_dir`` hive-partitioned by ``partition_col``
-    (int-valued). Returns total rows written. Consumes the dataset."""
+    (int-valued). Consumes the dataset. Returns {"rows": total_rows,
+    "sum_<c>": Σc for each ``sum_cols`` entry} — per-block partials ride the
+    same execution, so callers get output stats without a re-read pass."""
+    sum_cols = sum_cols or []
 
     def write_block(batch: pa.Table) -> pa.Table:
+        out = {"rows": pa.array([batch.num_rows], pa.int64())}
+        for c in sum_cols:
+            s = (
+                int(batch[c].to_numpy(zero_copy_only=False).sum())
+                if batch.num_rows else 0
+            )
+            out[f"sum_{c}"] = pa.array([s], pa.int64())
         if batch.num_rows == 0:
-            return pa.table({"rows": pa.array([0], pa.int64())})
+            return pa.table(out)
         vals = batch[partition_col].to_numpy(zero_copy_only=False)
         tid = uuid.uuid4().hex[:12]
         col_idx = batch.schema.get_field_index(partition_col)
@@ -36,8 +48,17 @@ def write_partitioned(ds, out_dir: str, partition_col: str) -> int:
             d = os.path.join(out_dir, f"{partition_col}={int(v)}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(sub, os.path.join(d, f"part-{tid}.parquet"))
-        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+        return pa.table(out)
 
     os.makedirs(out_dir, exist_ok=True)
-    written = ds.map_batches(write_block, batch_format="pyarrow")
-    return int(written.sum("rows") or 0)
+    from ray.data.aggregate import Sum
+
+    written = ds.map_batches(write_block, batch_format="pyarrow").aggregate(
+        Sum("rows"), *[Sum(f"sum_{c}") for c in sum_cols]
+    )
+    return {
+        "rows": int(written["sum(rows)"] or 0),
+        **{
+            f"sum_{c}": int(written[f"sum(sum_{c})"] or 0) for c in sum_cols
+        },
+    }

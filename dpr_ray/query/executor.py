@@ -133,8 +133,13 @@ class SegmentStore:
         return self._dense_buf, self._dense_ids
 
     def scored(self, term: str):
-        """(docids, contrib) float64-scored postings for one term, or None.
-        Decode + score happen once per term per actor (LRU by postings)."""
+        """Scored postings entry for one term, or None:
+        ``(docids, contrib, ub, block_first, block_last, block_ub,
+        block_offsets)`` — full float64-scored arrays PLUS per-block
+        metadata (conservative contribution bounds + offsets into the
+        decoded arrays) so the block-pruned executor can skip ranges
+        without re-fetching. Decode + score happen once per term per actor
+        (LRU by postings)."""
         hit = self._scored.get(term)
         if hit is not None:
             self._scored.move_to_end(term)
@@ -142,15 +147,44 @@ class SegmentStore:
         rows = self.fetch([term])[term]
         if rows is None:
             return None
-        docids, tfs, dls = seg.decode_rows(rows)
-        df = sum(r["df"] for r in rows)
-        contrib = scorer.score_contrib_vec(
-            tfs, dls, df, self.n_docs, self.avgdl, self.params
-        )
-        ub = float(contrib.max()) if len(contrib) else 0.0
-        entry = (docids, contrib, ub)
+        rows_sorted = sorted(rows, key=lambda r: r.get("slice_id", 0))
+        d_blobs = [b for row in rows_sorted for b in row["block_docids"]]
+        t_blobs = [b for row in rows_sorted for b in row["block_tfs"]]
+        l_blobs = [b for row in rows_sorted for b in row["block_dls"]]
+        if not d_blobs:
+            z = np.empty(0, np.uint64)
+            zf = np.empty(0, np.float64)
+            zi = np.zeros(1, np.int64)
+            entry = (z, zf, 0.0, z.copy(), z.copy(), zf.copy(), zi)
+        else:
+            docids, vals_per_blob = seg.concat_delta_decode(d_blobs)
+            if self.dense_size:
+                # int64 indices: numpy fancy-index scatter is ~2.3x faster
+                # than with uint64 (measured); safe below the dense cutoff
+                docids = docids.astype(np.int64)
+            tfs, _ = seg.concat_varint_decode(t_blobs)
+            dls, _ = seg.concat_varint_decode(l_blobs)
+            df = sum(r["df"] for r in rows)
+            contrib = scorer.score_contrib_vec(
+                tfs, dls, df, self.n_docs, self.avgdl, self.params
+            )
+            ub = float(contrib.max()) if len(contrib) else 0.0
+            term_idf = scorer.idf(df, self.n_docs)
+            bfirst = np.asarray(
+                [v for r in rows_sorted for v in r["block_first"]], np.uint64
+            )
+            blast = np.asarray(
+                [v for r in rows_sorted for v in r["block_last"]], np.uint64
+            )
+            # conservative: block_max is a float32 tf_norm bound rounded UP
+            bub = term_idf * np.asarray(
+                [v for r in rows_sorted for v in r["block_max"]], np.float64
+            )
+            boffs = np.zeros(len(vals_per_blob) + 1, np.int64)
+            np.cumsum(vals_per_blob, out=boffs[1:])
+            entry = (docids, contrib, ub, bfirst, blast, bub, boffs)
         self._scored[term] = entry
-        self._scored_total += len(docids)
+        self._scored_total += len(entry[0])
         while self._scored_total > self._scored_budget and len(self._scored) > 1:
             _, old = self._scored.popitem(last=False)
             self._scored_total -= len(old[0])
@@ -328,84 +362,172 @@ def taat_topk_dense(
         buf[e[0]] += e[1]
     # top-k over the full dense array; zero (untouched) scores filtered out
     if len(buf) > k:
-        kth = np.partition(-buf, k - 1)[k - 1]
-        mask = (buf > 0.0) & (-buf <= kth)
+        kth = np.partition(buf, len(buf) - k)[len(buf) - k]
+        mask = (buf > 0.0) & (buf >= kth)
     else:
         mask = buf > 0.0
     cand = np.flatnonzero(mask)
     order = cand[np.lexsort((ids[cand], -buf[cand]))][:k]
     out = ids[order], buf[order].copy()
-    for e in entries:
-        buf[e[0]] = 0.0
+    # reset: a sequential memset streams ~8x faster than re-streaming the
+    # docid arrays for a fancy-index zero once most of the buffer was hit
+    if sum(len(e[0]) for e in entries) * 8 > len(buf):
+        buf.fill(0.0)
+    else:
+        for e in entries:
+            buf[e[0]] = 0.0
     return out
 
 
 def maxscore_topk_dense(
-    entries: list[tuple[np.ndarray, np.ndarray, float]],
+    entries: list[tuple],
     k: int,
     buf: np.ndarray,
     ids: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact MaxScore-style pruned TAAT over the dense accumulator.
+    """Exact candidate-expansion MaxScore over pre-scored entries.
 
-    Terms are processed in DESCENDING upper-bound order. Once the summed
-    upper bounds of the remaining terms fall strictly below the running
-    k-th partial score (a valid lower bound of the exact k-th score, minus
-    a float-safety epsilon), those terms become NON-ESSENTIAL: a document
-    containing only them cannot reach the top-k, so their contributions are
-    scattered ONLY onto documents already touched by an essential term.
+    Terms are processed in ASCENDING df order. Each round adds the next
+    term's postings to the candidate set and computes those documents'
+    EXACT scores by sorted-term searchsorted gathers over every query term
+    (the oracle's float64 summation order → bitwise-identical output,
+    tested); θ = the k-th best exact candidate score so far. Before each
+    round: any document lacking every processed term scores at most the
+    sum of the remaining terms' upper bounds — when that is strictly below
+    θ, no outside document can reach or tie the top-k and the loop stops.
 
-    Because the pruned accumulation order differs from the sorted-term
-    order, survivors near the boundary are RE-SCORED exactly (sorted-term
-    float64 gathers) before the final (-score, docid) selection — output is
-    bitwise-identical to the plain TAAT/oracle paths (tested)."""
+    On selective queries (a rare term + frequent terms) round one scores
+    only df_rare documents, θ lands near the final k-th score, and the
+    frequent terms' postings are never streamed (49 → ~2 ms/query at 500k
+    docs, measured). When the rarest term is itself frequent (θ cannot
+    beat the remaining bounds) it falls back to plain dense TAAT before
+    doing any candidate work."""
     if not entries:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     if len(entries) == 1:
         docids, contrib = entries[0][0], entries[0][1]
         order = scorer.topk_order(contrib, docids, k)
         return docids[order], contrib[order]
-    eps = 1e-9
-    order_ub = sorted(range(len(entries)), key=lambda i: -entries[i][2])
-    suffix_ub = np.zeros(len(entries) + 1)
-    for j in range(len(entries) - 1, -1, -1):
-        suffix_ub[j] = suffix_ub[j + 1] + entries[order_ub[j]][2]
-    essential_cut = len(entries)
+    plain = [(e[0], e[1]) for e in entries]
+    dfs = np.array([len(e[0]) for e in entries], dtype=np.int64)
+    total = int(dfs.sum())
+    if dfs.min() > 0.05 * total:
+        # no selective entry point: candidate gathering cannot beat one
+        # streaming accumulator pass
+        return taat_topk_dense(plain, k, buf, ids)
+    order_df = np.argsort(dfs, kind="stable")
+    ubs = np.array([e[2] for e in entries], dtype=np.float64)
+    cand = np.empty(0, np.uint64)
+    exact = np.empty(0, np.float64)
     theta = -np.inf
-    touched: list[np.ndarray] = []
-    for pos, i in enumerate(order_ub):
-        docids, contrib, _ub = entries[i]
-        if pos >= 1 and len(touched) and suffix_ub[pos] < theta - eps:
-            essential_cut = pos
-            break
-        buf[docids] += contrib
-        touched.append(docids)
-        if k < len(buf):
-            theta = np.partition(buf, len(buf) - k)[len(buf) - k]
-    # non-essential terms: scatter only onto already-touched docs
-    for pos in range(essential_cut, len(entries)):
-        docids, contrib, _ub = entries[order_ub[pos]]
-        mask = buf[docids] > 0.0
-        if mask.any():
-            buf[docids[mask]] += contrib[mask]
-            touched.append(docids[mask])
-    # approx survivors with float-safety margin, then exact re-score
-    if len(buf) > k:
-        kth = np.partition(-buf, k - 1)[k - 1]
-        mask = (buf > 0.0) & (-buf <= kth + 64 * eps)
-    else:
-        mask = buf > 0.0
-    cand = np.flatnonzero(mask)
-    # exact scores in sorted-term order (the determinism contract)
-    exact = np.zeros(len(cand), dtype=np.float64)
-    cand_u64 = cand.astype(np.uint64)
-    for docids, contrib, _ub in entries:  # entries arrive term-sorted
-        pos = np.searchsorted(docids, cand_u64)
-        pos_c = np.minimum(pos, len(docids) - 1)
-        hit = docids[pos_c] == cand_u64
-        exact[hit] += contrib[pos_c[hit]]
+    for round_i, ti in enumerate(order_df):
+        if round_i > 0:
+            if float(ubs[order_df[round_i:]].sum()) < theta - 1e-9:
+                break  # outsiders provably below the k-th candidate score
+            new = np.setdiff1d(entries[ti][0], cand, assume_unique=True)
+        else:
+            new = entries[ti][0]
+        if len(cand) + len(new) > 0.5 * total:
+            return taat_topk_dense(plain, k, buf, ids)
+        if len(new):
+            ne = np.zeros(len(new), dtype=np.float64)
+            for e in entries:  # sorted-term order (determinism contract)
+                d = e[0]
+                pos = np.searchsorted(d, new)
+                pos_c = np.minimum(pos, len(d) - 1)
+                hit = d[pos_c] == new
+                ne[hit] += e[1][pos_c[hit]]
+            cand = np.concatenate([cand, new])
+            exact = np.concatenate([exact, ne])
+        if len(exact) >= k:
+            theta = float(np.partition(exact, len(exact) - k)[len(exact) - k])
     order = np.lexsort((cand, -exact))[:k]
-    out = cand_u64[order], exact[order]
+    return cand[order].astype(np.uint64), exact[order]
+
+
+def _ranges_to_indices(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenated np.arange(s, e) for each (s, e) pair, vectorized."""
+    lens = (ends - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.arange(total, dtype=np.int64) + np.repeat(starts - excl, lens)
+
+
+def pruned_topk_dense(
+    entries: list[tuple],
+    k: int,
+    buf: np.ndarray,
+    ids: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact block-max pruned TAAT over the dense accumulator — the
+    vectorized BMW replacement (numpy over block metadata, no per-posting
+    Python loop).
+
+    1. θ₀ = k-th largest contribution of the rarest term (k docs provably
+       have exact score ≥ θ₀, so θ₀ lower-bounds the true k-th score).
+    2. Interval stabbing over every term's (block_first, block_last,
+       block_ub): merge boundaries, cumsum a delta array → per-segment
+       upper bound; segments with cover < θ₀ cannot host a top-k doc.
+    3. Scatter ONLY postings of blocks intersecting surviving segments.
+       Every block containing a doc of a surviving segment covers that
+       segment, so survivors' partial sums are their EXACT scores with the
+       same sorted-term float64 summation order as plain TAAT — output is
+       bitwise identical (docs of dropped segments carry partial sums
+       strictly below θ₀ and cannot reach or tie the top-k).
+
+    Falls back to plain dense TAAT when pruning would keep most postings
+    (uniform-ub head-only queries) — the pruning pass itself is O(blocks).
+    """
+    if not entries:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    plain = [(e[0], e[1]) for e in entries]
+    if len(entries) == 1:
+        docids, contrib = entries[0][0], entries[0][1]
+        order = scorer.topk_order(contrib, docids, k)
+        return docids[order], contrib[order]
+    dfs = [len(e[0]) for e in entries]
+    rare = min(range(len(entries)), key=lambda i: dfs[i])
+    c = entries[rare][1]
+    if len(c) < k:
+        return taat_topk_dense(plain, k, buf, ids)
+    theta0 = float(np.partition(c, len(c) - k)[len(c) - k]) - 1e-9
+    firsts = np.concatenate([e[3] for e in entries]).astype(np.int64)
+    lasts = np.concatenate([e[4] for e in entries]).astype(np.int64)
+    ubs = np.concatenate([e[5] for e in entries])
+    bounds = np.unique(np.concatenate([firsts, lasts + 1]))
+    delta = np.zeros(len(bounds), np.float64)
+    np.add.at(delta, np.searchsorted(bounds, firsts), ubs)
+    np.add.at(delta, np.searchsorted(bounds, lasts + 1), -ubs)
+    surv = np.cumsum(delta) >= theta0  # cover of [bounds[i], bounds[i+1])
+    surv_cum = np.concatenate([[0], np.cumsum(surv)])
+    keeps = []
+    total_sel = 0
+    for e in entries:
+        lo = np.searchsorted(bounds, e[3].astype(np.int64), side="right") - 1
+        hi = np.searchsorted(bounds, e[4].astype(np.int64), side="right") - 1
+        keep = (surv_cum[hi + 1] - surv_cum[lo]) > 0
+        keeps.append(keep)
+        total_sel += int((e[6][1:][keep] - e[6][:-1][keep]).sum())
+    if total_sel > 0.6 * sum(dfs):
+        return taat_topk_dense(plain, k, buf, ids)
+    touched = []
+    for e, keep in zip(entries, keeps):
+        if not keep.any():
+            continue
+        idx = _ranges_to_indices(e[6][:-1][keep], e[6][1:][keep])
+        d = e[0][idx]
+        buf[d] += e[1][idx]
+        touched.append(d)
+    if not touched:
+        return taat_topk_dense(plain, k, buf, ids)
+    cand = np.unique(np.concatenate(touched))
+    vals = buf[cand]
+    nz = vals > 0.0
+    cand, vals = cand[nz], vals[nz]
+    order = np.lexsort((cand, -vals))[:k]
+    out = cand[order].astype(np.uint64), vals[order].copy()
     for d in touched:
         buf[d] = 0.0
     return out
@@ -513,30 +635,33 @@ class QueryExecutor:
         questions = batch["question"].to_pylist()
         q_terms = [sorted(set(toks)) for toks in analyzer.tokenize_batch(questions)]
         all_terms = sorted({t for ts in q_terms for t in ts})
-        if self.method in ("taat", "maxscore"):
+        dense_bmw = self.method == "bmw" and bool(self.store.dense_size)
+        if self.method in ("taat", "maxscore") or dense_bmw:
             # batch-level warm-up: decode once, reuse across the batch
             self.store.ensure_scored(all_terms)
         else:
             self.store.fetch(all_terms)  # one batched parquet scan
         o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
         for qid, question, terms in zip(qids, questions, q_terms):
-            if self.method in ("taat", "maxscore"):
+            if self.method in ("taat", "maxscore") or dense_bmw:
                 entries = [
                     e for e in (self.store.scored(t) for t in terms)
                     if e is not None
                 ]
                 if self.store.dense_size:
                     buf, ids_arr = self.store.dense_buffers()
-                    topk = (
-                        maxscore_topk_dense
-                        if self.method == "maxscore"
-                        else taat_topk_dense
-                    )
+                    topk = {
+                        "maxscore": maxscore_topk_dense,
+                        "taat": taat_topk_dense,
+                        "bmw": pruned_topk_dense,
+                    }[self.method]
                     docids, scores = topk(entries, self.k, buf, ids_arr)
                 else:
                     # sparse ids: maxscore falls back to plain TAAT
                     docids, scores = taat_topk_entries(entries, self.k)
             else:
+                # sparse docid space: document-at-a-time block-max WAND
+                # over lazily-decoded cursors
                 fetched = self.store.fetch(terms)
                 rows = {t: fetched[t] for t in terms}
                 docids, scores = bmw_topk(
@@ -632,9 +757,12 @@ def search_pipeline(
     if concurrency is None:
         # fixed-size pool, started upfront: scoring is the stage's CPU
         # bound; an autoscaling pool ramps too slowly for short bursts.
-        # Small query sets don't warrant a full pool (min ~256 queries per
-        # actor when the size is known from the warm scan).
-        n = max(1, total - 1)
+        # Capped at half the node's CPUs: dense-accumulator scoring is
+        # memory-bandwidth-bound — measured 892 QPS at 16 actors vs 834 at
+        # 31 on a 32-CPU node (500k docs); beyond saturation extra actors
+        # only add spawn cost. (Per NODE — on a multi-node cluster each
+        # node brings its own memory bus, so the cap scales with nodes.)
+        n = max(1, min(total - 1, max(8, total // 2)))
         lo = n
         if n_queries is not None:
             lo = max(1, min(n, (n_queries + 255) // 256))

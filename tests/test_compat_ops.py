@@ -273,3 +273,31 @@ def test_embedding_near_dup_exact_vs_lsh(ray_session):
     e_i6 = dict(zip(zip(exact["id_a"], exact["id_b"]), exact["cos_i6"]))
     l_i6 = dict(zip(zip(lsh["id_a"], lsh["id_b"]), lsh["cos_i6"]))
     assert all(e_i6[p] == l_i6[p] for p in l_pairs)
+
+
+def test_convert_to_kilt(ray_session):
+    import json
+
+    import ray
+    import ray.data
+
+    res = pa.table(
+        {
+            "qid": ["q1", "q1", "q2"],
+            "question": ["who", "who", "what"],
+            "rank": pa.array([2, 1, 1], pa.int64()),
+            "docid": pa.array([10, 11, 12], pa.int64()),
+        }
+    )
+    id_map = {10: ("w10", 3), 11: ("w11", 7), 12: ("w12", 1)}
+    out = compat.convert_to_kilt(
+        ray.data.from_arrow(res),
+        ray.put(id_map),
+        ray.put({"who": 901}),
+    ).to_pandas().sort_values("input").reset_index(drop=True)
+    assert list(out["id"]) == ["q2", "901"]  # gold id when mapped, else qid
+    prov = json.loads(out.loc[1, "output"])[0]["provenance"]
+    assert prov == [  # rank order, not input order
+        {"wikipedia_id": "w11", "end_paragraph_id": 7},
+        {"wikipedia_id": "w10", "end_paragraph_id": 3},
+    ]

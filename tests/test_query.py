@@ -189,3 +189,56 @@ def test_maxscore_exact_vs_oracle(ray_session, tmp_path):
         expected = oracle.top_k(q, 10)
         got = sorted(by_qid.get(f"m{i}", []), key=lambda r: r["rank"])
         assert [(r["docid"], r["score"]) for r in got] == expected, q
+
+
+@pytest.fixture(scope="module")
+def setup_dense(ray_session, tmp_path_factory):
+    """Same corpus with PROVIDED dense docids — exercises the dense
+    accumulator paths (taat/maxscore/pruned-bmw) instead of the sparse
+    fallbacks."""
+    import pyarrow as pa
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(N_DOCS, seed=3)
+    tbl = tbl.append_column(
+        "docid", pa.array(np.arange(N_DOCS, dtype=np.uint64), pa.uint64())
+    )
+    index_dir = str(tmp_path_factory.mktemp("qidx_dense"))
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4), index_dir,
+        docid_strategy="provided", group_budget=40, sample_mod=2, block_size=16,
+    )
+    oracle = BruteForceBM25(
+        list(range(N_DOCS)), tbl["content"].to_pylist(), BM25Params()
+    )
+    return index_dir, oracle
+
+
+@pytest.mark.parametrize("method", ["taat", "maxscore", "bmw"])
+def test_dense_paths_bitwise_identical(setup_dense, method):
+    """pruned_topk_dense (bmw on dense ids) and maxscore must be bitwise
+    float64-equal to the oracle, including at tiny block_size where block
+    pruning actually skips ranges."""
+    index_dir, oracle = setup_dense
+    ex = qe.QueryExecutor(index_dir, k=25, method=method)
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "qid": pa.array([f"q{i}" for i in range(len(QUERIES))]),
+            "question": pa.array(QUERIES),
+        }
+    )
+    assert ex.store.dense_size > 0  # the dense path is actually in play
+    res = ex(batch).to_pylist()
+    by_qid = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for i, q in enumerate(QUERIES):
+        expected = oracle.top_k(q, 25)
+        got = sorted(by_qid.get(f"q{i}", []), key=lambda r: r["rank"])
+        assert len(got) == len(expected), (method, q)
+        for rank, (r, (edoc, escore)) in enumerate(zip(got, expected), start=1):
+            assert r["rank"] == rank
+            assert r["docid"] == edoc, (method, q, rank)
+            assert r["score"] == escore, (method, q, rank)  # bitwise
