@@ -620,6 +620,7 @@ class QueryExecutor:
         method: str = "taat",
         cache_terms: int = 50_000,
         warm_refs=None,
+        result_cache: int = 100_000,
     ):
         self.store = SegmentStore(
             index_dir, cache_terms=cache_terms, warm_refs=warm_refs
@@ -629,6 +630,12 @@ class QueryExecutor:
         s = self.store.stats
         self.n_docs = int(s["N"])
         self.avgdl = float(s["avgdl"])
+        # Result LRU keyed by the query's distinct-term set (the Lucene
+        # query-cache analog): scores depend only on (term set, k, index),
+        # and real query logs repeat heavily. Entries are top-k arrays —
+        # ~200 B each. result_cache=0 disables.
+        self._rcache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._rcache_max = result_cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["qid"].to_pylist()
@@ -643,7 +650,12 @@ class QueryExecutor:
             self.store.fetch(all_terms)  # one batched parquet scan
         o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
         for qid, question, terms in zip(qids, questions, q_terms):
-            if self.method in ("taat", "maxscore") or dense_bmw:
+            ckey = (tuple(terms), self.k) if self._rcache_max else None
+            cached = self._rcache.get(ckey) if ckey else None
+            if cached is not None:
+                self._rcache.move_to_end(ckey)
+                docids, scores = cached
+            elif self.method in ("taat", "maxscore") or dense_bmw:
                 entries = [
                     e for e in (self.store.scored(t) for t in terms)
                     if e is not None
@@ -667,6 +679,10 @@ class QueryExecutor:
                 docids, scores = bmw_topk(
                     rows, self.n_docs, self.avgdl, self.store.params, self.k
                 )
+            if ckey is not None and cached is None:
+                self._rcache[ckey] = (docids, scores)
+                while len(self._rcache) > self._rcache_max:
+                    self._rcache.popitem(last=False)
             n = len(docids)
             o_qid.extend([qid] * n)
             o_q.extend([question] * n)
@@ -726,6 +742,7 @@ def search_pipeline(
     doc_columns: list[str] | None = None,
     warm: bool = True,
     max_warm_queries: int = 1_000_000,
+    dedup_queries: bool = False,
 ):
     """queries Dataset (qid, question) → top-k result Dataset
     (qid, question, rank, docid, score [, doc columns]).
@@ -733,7 +750,16 @@ def search_pipeline(
     ``warm=True``: the query set's distinct terms are decoded+scored ONCE in
     parallel tasks and broadcast (object-store refs, zero-copy) to every
     executor actor — per-actor warmup otherwise repeats the decode per
-    actor. Skipped when the query set is too large to scan up front."""
+    actor. Skipped when the query set is too large to scan up front.
+
+    ``dedup_queries=True``: queries are grouped by their distinct-term-set
+    SIGNATURE before scoring — scores depend only on the term set, so each
+    distinct set is scored ONCE and results fan back out to every qid via a
+    signature-keyed shuffle join. Exact: identical per-qid output. Off by
+    default: the two extra shuffles only pay off when the workload's
+    duplicate rate is high AND per-query scoring is expensive (measured a
+    net LOSS at a 10k-query/35%-dup mix — the per-actor result LRU already
+    absorbs within-actor repeats)."""
     from .._shipping import ensure_shippable
 
     ensure_shippable()
@@ -767,15 +793,108 @@ def search_pipeline(
         if n_queries is not None:
             lo = max(1, min(n, (n_queries + 255) // 256))
         concurrency = (lo, n)
-    res = queries_ds.map_batches(
-        QueryExecutor,
-        fn_constructor_kwargs={
-            "index_dir": index_dir, "k": k, "method": method,
-            "warm_refs": warm_refs,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    exec_kwargs = {
+        "index_dir": index_dir, "k": k, "method": method,
+        "warm_refs": warm_refs,
+    }
+    if dedup_queries:
+        def add_sig(batch: pa.Table) -> pa.Table:
+            toks = analyzer.tokenize_batch(batch["question"].to_pylist())
+            sigs = [" ".join(sorted(set(t))) for t in toks]
+            return batch.append_column("qsig", pa.array(sigs, pa.string()))
+
+        qs = queries_ds.map_batches(add_sig, batch_format="pyarrow")
+        uniq = (
+            qs.groupby("qsig")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .select_columns(["qsig", "question"])
+            .map_batches(
+                lambda b: pa.table(
+                    {"qid": b["qsig"], "question": b["question"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # materialize the unique-signature results (distinct sigs × k rows —
+        # small): this splits the scoring pool and the fan-out shuffle into
+        # separate executions. In ONE execution the idle-but-reserved query
+        # actors starve the downstream sort's task slots on small CPU
+        # budgets (observed deadlock at 4 CPUs).
+        res_u = uniq.map_batches(
+            QueryExecutor,
+            fn_constructor_kwargs=exec_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ).materialize()
+        # fan results back out: one shuffle co-locating each signature's
+        # result rows with its query rows (no driver-side materialization)
+        r_tag = res_u.map_batches(
+            lambda b: pa.table(
+                {
+                    "qsig": b["qid"],
+                    "qid": pa.nulls(b.num_rows, pa.string()),
+                    "question": pa.nulls(b.num_rows, pa.string()),
+                    "rank": b["rank"],
+                    "docid": b["docid"],
+                    "score": b["score"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        q_tag = qs.map_batches(
+            lambda b: pa.table(
+                {
+                    "qsig": b["qsig"],
+                    "qid": b["qid"],
+                    "question": b["question"],
+                    "rank": pa.nulls(b.num_rows, pa.int32()),
+                    "docid": pa.nulls(b.num_rows, pa.uint64()),
+                    "score": pa.nulls(b.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def fan_out(group: pa.Table) -> pa.Table:
+            is_res = group["rank"].is_valid()
+            res_rows = group.filter(is_res)
+            q_rows = group.filter(pc.invert(is_res))
+            if res_rows.num_rows == 0 or q_rows.num_rows == 0:
+                return pa.table(
+                    {
+                        "qid": pa.array([], pa.string()),
+                        "question": pa.array([], pa.string()),
+                        "rank": pa.array([], pa.int32()),
+                        "docid": pa.array([], pa.uint64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            nq = q_rows.num_rows
+            nr = res_rows.num_rows
+            rep = pa.array(np.repeat(np.arange(nq), nr), pa.int64())
+            til = pa.array(np.tile(np.arange(nr), nq), pa.int64())
+            return pa.table(
+                {
+                    "qid": q_rows["qid"].take(rep),
+                    "question": q_rows["question"].take(rep),
+                    "rank": res_rows["rank"].take(til),
+                    "docid": res_rows["docid"].take(til),
+                    "score": res_rows["score"].take(til),
+                }
+            )
+
+        res = (
+            r_tag.union(q_tag)
+            .groupby("qsig")
+            .map_groups(fan_out, batch_format="pyarrow")
+        )
+    else:
+        res = queries_ds.map_batches(
+            QueryExecutor,
+            fn_constructor_kwargs=exec_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
     if with_docs:
         res = res.map_batches(
             DocJoin,

@@ -242,3 +242,30 @@ def test_dense_paths_bitwise_identical(setup_dense, method):
             assert r["rank"] == rank
             assert r["docid"] == edoc, (method, q, rank)
             assert r["score"] == escore, (method, q, rank)  # bitwise
+
+
+def test_dedup_queries_identical(setup_dense, ray_session):
+    """search_pipeline(dedup_queries=True) must emit the identical per-qid
+    result set as the direct path (signature-keyed fan-out is exact)."""
+    import pyarrow as pa
+    import ray.data
+
+    index_dir, _oracle = setup_dense
+    from dpr_ray.query.executor import search_pipeline
+
+    rows = [
+        {"qid": f"q{i}", "question": q}
+        for i, q in enumerate(QUERIES * 3)  # duplicates across qids
+    ]
+
+    def run(dedup):
+        qds = ray.data.from_items(rows).repartition(4)
+        df = search_pipeline(
+            index_dir=index_dir, queries_ds=qds, k=7, dedup_queries=dedup
+        ).to_pandas()
+        return df.sort_values(["qid", "rank"]).reset_index(drop=True)[
+            ["qid", "rank", "docid", "score"]
+        ]
+
+    a, b = run(False), run(True)
+    assert a.equals(b)
