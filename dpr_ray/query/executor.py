@@ -86,7 +86,8 @@ class SegmentStore:
     """
 
     def __init__(self, index_dir: str, cache_terms: int = 50_000,
-                 cache_postings: int = 20_000_000, warm_refs=None):
+                 cache_postings: int = 20_000_000, warm_refs=None,
+                 docid_range: tuple[int, int] | None = None):
         self.index_dir = index_dir
         self.stats = seg.read_stats(index_dir)
         self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"])
@@ -101,11 +102,20 @@ class SegmentStore:
         self._scored: OrderedDict[str, tuple] = OrderedDict()
         self._scored_budget = cache_postings
         self._scored_total = 0
+        # doc-sharded mode: this store only ever DECODES blocks intersecting
+        # [lo, hi) — a hot posting list costs df/n_shards heap per actor, the
+        # lever for corpora whose head terms exceed a worker's memory. df for
+        # idf stays GLOBAL (scores must match the unsharded engine bitwise).
+        self.docid_range = docid_range
         # dense TAAT accumulator: when docids are dense (ordinal strategy),
         # score into a reusable float64 buffer indexed by docid — O(postings)
         # adds, no per-query np.unique sort. Sparse (hash64) ids fall back.
         max_docid = int(self.stats.get("max_docid", 1 << 62))
-        self.dense_size = max_docid + 1 if max_docid < (1 << 23) else 0
+        if docid_range is not None:
+            span = int(docid_range[1]) - int(docid_range[0])
+            self.dense_size = span if span < (1 << 23) else 0
+        else:
+            self.dense_size = max_docid + 1 if max_docid < (1 << 23) else 0
         self._dense_buf: np.ndarray | None = None
         self._dense_ids: np.ndarray | None = None
         if warm_refs:
@@ -148,9 +158,22 @@ class SegmentStore:
         if rows is None:
             return None
         rows_sorted = sorted(rows, key=lambda r: r.get("slice_id", 0))
-        d_blobs = [b for row in rows_sorted for b in row["block_docids"]]
-        t_blobs = [b for row in rows_sorted for b in row["block_tfs"]]
-        l_blobs = [b for row in rows_sorted for b in row["block_dls"]]
+        if self.docid_range is not None:
+            lo, hi = self.docid_range
+            d_blobs, t_blobs, l_blobs = [], [], []
+            for row in rows_sorted:
+                for bf, bl, bd, bt, bdl in zip(
+                    row["block_first"], row["block_last"],
+                    row["block_docids"], row["block_tfs"], row["block_dls"],
+                ):
+                    if bl >= lo and bf < hi:  # block intersects the shard
+                        d_blobs.append(bd)
+                        t_blobs.append(bt)
+                        l_blobs.append(bdl)
+        else:
+            d_blobs = [b for row in rows_sorted for b in row["block_docids"]]
+            t_blobs = [b for row in rows_sorted for b in row["block_tfs"]]
+            l_blobs = [b for row in rows_sorted for b in row["block_dls"]]
         if not d_blobs:
             z = np.empty(0, np.uint64)
             zf = np.empty(0, np.float64)
@@ -158,30 +181,55 @@ class SegmentStore:
             entry = (z, zf, 0.0, z.copy(), z.copy(), zf.copy(), zi)
         else:
             docids, vals_per_blob = seg.concat_delta_decode(d_blobs)
+            tfs, _ = seg.concat_varint_decode(t_blobs)
+            dls, _ = seg.concat_varint_decode(l_blobs)
+            if self.docid_range is not None:
+                # boundary blocks may carry out-of-range postings
+                lo, hi = self.docid_range
+                m = (docids >= np.uint64(lo)) & (docids < np.uint64(hi))
+                docids, tfs, dls = docids[m], tfs[m], dls[m]
             if self.dense_size:
                 # int64 indices: numpy fancy-index scatter is ~2.3x faster
                 # than with uint64 (measured); safe below the dense cutoff
                 docids = docids.astype(np.int64)
-            tfs, _ = seg.concat_varint_decode(t_blobs)
-            dls, _ = seg.concat_varint_decode(l_blobs)
+                if self.docid_range is not None:
+                    docids -= int(self.docid_range[0])  # buffer-local ids
+            # df stays GLOBAL in sharded mode: idf (and thus every score)
+            # must equal the unsharded engine's bitwise
             df = sum(r["df"] for r in rows)
             contrib = scorer.score_contrib_vec(
                 tfs, dls, df, self.n_docs, self.avgdl, self.params
             )
             ub = float(contrib.max()) if len(contrib) else 0.0
             term_idf = scorer.idf(df, self.n_docs)
-            bfirst = np.asarray(
-                [v for r in rows_sorted for v in r["block_first"]], np.uint64
-            )
-            blast = np.asarray(
-                [v for r in rows_sorted for v in r["block_last"]], np.uint64
-            )
-            # conservative: block_max is a float32 tf_norm bound rounded UP
-            bub = term_idf * np.asarray(
-                [v for r in rows_sorted for v in r["block_max"]], np.float64
-            )
-            boffs = np.zeros(len(vals_per_blob) + 1, np.int64)
-            np.cumsum(vals_per_blob, out=boffs[1:])
+            if self.docid_range is None:
+                bfirst = np.asarray(
+                    [v for r in rows_sorted for v in r["block_first"]],
+                    np.uint64,
+                )
+                blast = np.asarray(
+                    [v for r in rows_sorted for v in r["block_last"]],
+                    np.uint64,
+                )
+                # conservative: block_max is a float32 tf_norm bound rounded UP
+                bub = term_idf * np.asarray(
+                    [v for r in rows_sorted for v in r["block_max"]],
+                    np.float64,
+                )
+                boffs = np.zeros(len(vals_per_blob) + 1, np.int64)
+                np.cumsum(vals_per_blob, out=boffs[1:])
+            elif len(docids):
+                # boundary trimming invalidates per-block offsets: expose
+                # the kept range as ONE block (coarser but conservative)
+                bfirst = docids[:1].astype(np.uint64)
+                blast = docids[-1:].astype(np.uint64)
+                bub = np.array([ub], np.float64)
+                boffs = np.array([0, len(docids)], np.int64)
+            else:
+                bfirst = np.empty(0, np.uint64)
+                blast = np.empty(0, np.uint64)
+                bub = np.empty(0, np.float64)
+                boffs = np.zeros(1, np.int64)
             entry = (docids, contrib, ub, bfirst, blast, bub, boffs)
         self._scored[term] = entry
         self._scored_total += len(entry[0])
@@ -621,9 +669,11 @@ class QueryExecutor:
         cache_terms: int = 50_000,
         warm_refs=None,
         result_cache: int = 100_000,
+        docid_range: tuple[int, int] | None = None,
     ):
         self.store = SegmentStore(
-            index_dir, cache_terms=cache_terms, warm_refs=warm_refs
+            index_dir, cache_terms=cache_terms, warm_refs=warm_refs,
+            docid_range=docid_range,
         )
         self.k = k
         self.method = method
@@ -683,6 +733,13 @@ class QueryExecutor:
                 self._rcache[ckey] = (docids, scores)
                 while len(self._rcache) > self._rcache_max:
                     self._rcache.popitem(last=False)
+            if (
+                self.store.docid_range is not None
+                and self.store.dense_size
+                and len(docids)
+            ):
+                # buffer-local ids back to absolute docids
+                docids = docids + np.uint64(self.store.docid_range[0])
             n = len(docids)
             o_qid.extend([qid] * n)
             o_q.extend([question] * n)
@@ -743,6 +800,7 @@ def search_pipeline(
     warm: bool = True,
     max_warm_queries: int = 1_000_000,
     dedup_queries: bool = False,
+    doc_shards: int | None = None,
 ):
     """queries Dataset (qid, question) → top-k result Dataset
     (qid, question, rank, docid, score [, doc columns]).
@@ -759,7 +817,15 @@ def search_pipeline(
     default: the two extra shuffles only pay off when the workload's
     duplicate rate is high AND per-query scoring is expensive (measured a
     net LOSS at a 10k-query/35%-dup mix — the per-actor result LRU already
-    absorbs within-actor repeats)."""
+    absorbs within-actor repeats).
+
+    ``doc_shards=S``: doc-sharded execution for corpora whose hot posting
+    lists exceed a worker's heap — S executor pools each own a docid RANGE
+    and decode ONLY blocks intersecting it (per-actor heap ~ df/S per hot
+    term); per-shard top-k merge by qid with the exact (-score, docid)
+    order. Bitwise-identical to the unsharded path (a doc's postings live
+    in exactly one shard, so per-doc float summation is unchanged);
+    identity test-gated."""
     from .._shipping import ensure_shippable
 
     ensure_shippable()
@@ -797,7 +863,50 @@ def search_pipeline(
         "index_dir": index_dir, "k": k, "method": method,
         "warm_refs": warm_refs,
     }
-    if dedup_queries:
+    if doc_shards and doc_shards > 1:
+        stats = seg.read_stats(index_dir)
+        span = int(stats.get("max_docid", 0)) + 1
+        # integer edge math: hash64 docids approach 2^63, where float64
+        # linspace loses exactness (and int64 casts can overflow)
+        edges = [span * s // doc_shards for s in range(doc_shards + 1)]
+        per_pool = max(1, (total - 1) // doc_shards)
+        shard_res = []
+        for s in range(doc_shards):
+            kw = dict(exec_kwargs)
+            kw["docid_range"] = (edges[s], edges[s + 1])
+            kw["warm_refs"] = None  # warm entries are unsharded decodes
+            shard_res.append(
+                queries_ds.map_batches(
+                    QueryExecutor,
+                    fn_constructor_kwargs=kw,
+                    batch_format="pyarrow",
+                    concurrency=(1, per_pool),
+                )
+            )
+        res = shard_res[0]
+        for r in shard_res[1:]:
+            res = res.union(r)
+
+        def merge_topk(group: pa.Table) -> pa.Table:
+            docids = group["docid"].to_numpy(zero_copy_only=False)
+            scores = group["score"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((docids, -scores))[:k]
+            take = pa.array(order, pa.int64())
+            return pa.table(
+                {
+                    "qid": group["qid"].take(take),
+                    "question": group["question"].take(take),
+                    "rank": pa.array(
+                        np.arange(1, len(order) + 1, dtype=np.int32),
+                        pa.int32(),
+                    ),
+                    "docid": group["docid"].take(take),
+                    "score": group["score"].take(take),
+                }
+            )
+
+        res = res.groupby("qid").map_groups(merge_topk, batch_format="pyarrow")
+    elif dedup_queries:
         def add_sig(batch: pa.Table) -> pa.Table:
             toks = analyzer.tokenize_batch(batch["question"].to_pylist())
             sigs = [" ".join(sorted(set(t))) for t in toks]

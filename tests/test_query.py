@@ -269,3 +269,28 @@ def test_dedup_queries_identical(setup_dense, ray_session):
 
     a, b = run(False), run(True)
     assert a.equals(b)
+
+
+@pytest.mark.parametrize("setup_name", ["setup_dense", "setup"])
+def test_doc_sharded_identical(setup_name, request, ray_session):
+    """doc_shards=3 must emit the identical (bitwise) per-qid result set:
+    per-shard block-filtered decode + (-score, docid) k-way merge, on both
+    dense (provided) and sparse (hash64) docid spaces."""
+    import ray.data
+
+    index_dir, _oracle = request.getfixturevalue(setup_name)
+    from dpr_ray.query.executor import search_pipeline
+
+    rows = [{"qid": f"q{i}", "question": q} for i, q in enumerate(QUERIES)]
+
+    def run(shards):
+        qds = ray.data.from_items(rows).repartition(2)
+        df = search_pipeline(
+            qds, index_dir, k=7, doc_shards=shards
+        ).to_pandas()
+        return df.sort_values(["qid", "rank"]).reset_index(drop=True)[
+            ["qid", "rank", "docid", "score"]
+        ]
+
+    a, b = run(None), run(3)
+    assert a.equals(b)
