@@ -107,3 +107,57 @@ def test_gold_page_preference_and_injection(etl, tmp_path, ray_session):
         cfg=ReaderCfg(include_gold_passage=True),
     )
     assert -1 in set(out2[out2["role"] == "pos"]["docid"])
+
+
+def test_reader_predictions_and_em(ray_session, tmp_path):
+    """S12/A3 semantics: relevance-ranked passage visit, threshold-filtered
+    first span, EM@k aggregation, prediction JSON shape."""
+    import json
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    from dpr_ray.eval.reader_predict import (
+        reader_em_at_k,
+        reader_predictions,
+        save_reader_predictions,
+    )
+
+    def logits(n, best):
+        s = np.full(n, -5.0)
+        s[best] = 5.0
+        return s.tolist()
+
+    rows = [
+        # q1: passage rank 2 has HIGHER relevance; its best span is "right
+        # answer". rank 1 contains "wrong one".
+        {"qid": "q1", "question": "q?", "rank": 1, "relevance_logit": 1.0,
+         "tokens": ["the", "wrong", "one", "here"],
+         "start_logits": logits(4, 1), "end_logits": logits(4, 2)},
+        {"qid": "q1", "question": "q?", "rank": 2, "relevance_logit": 9.0,
+         "tokens": ["a", "right", "answer", "x"],
+         "start_logits": logits(4, 1), "end_logits": logits(4, 2)},
+    ]
+    ds = ray.data.from_items(rows)
+    pred = reader_predictions(ds, passage_thresholds=[1, 2]).to_pandas()
+    pred = pred.sort_values("top_k").reset_index(drop=True)
+    # threshold 1: only rank-1 passage eligible → "wrong one"
+    assert pred.loc[0, "prediction_text"] == "wrong one"
+    # threshold 2: the higher-relevance rank-2 passage wins → "right answer"
+    assert pred.loc[1, "prediction_text"] == "right answer"
+
+    ans_ref = ray.put({"q1": ["right answer"]})
+    pred_ds = reader_predictions(ds, passage_thresholds=[1, 2])
+    em = reader_em_at_k(pred_ds, ans_ref)
+    assert em == {1: 0.0, 2: 1.0}
+
+    out = tmp_path / "preds.json"
+    n = save_reader_predictions(
+        reader_predictions(ds, passage_thresholds=[1, 2]), str(out), ans_ref
+    )
+    assert n == 1
+    data = json.loads(out.read_text())
+    assert data[0]["gold_answers"] == ["right answer"]
+    assert [p["top_k"] for p in data[0]["predictions"]] == [1, 2]
+    assert data[0]["predictions"][1]["prediction"]["text"] == "right answer"
