@@ -78,6 +78,47 @@ def union_ctx_sources(*corpora):
     return ds
 
 
+def multi_set_batches(
+    datasets,
+    batch_size: int,
+    sampling_rates: list[float] | None = None,
+    shuffle_seed: int = 0,
+    epoch: int = 0,
+    shuffle: bool = True,
+):
+    """K8: the ``MultiSetDataIterator`` analog
+    (``dpr/utils/data_utils.py:342-442``) over Ray Datasets — every yielded
+    batch comes from ONE source; the interleaving order is a seeded shuffle
+    of the per-source batch quota multiset, deterministic per (seed, epoch)
+    so a resumed epoch replays the identical schedule (the reference's
+    resume contract, ``data_utils.py:411-413``).
+
+    Yields ``(pyarrow.Table, source_idx)``. ``sampling_rates[i]`` scales
+    source i's quota like the reference (``int(max_iterations * rate)``).
+    """
+    import random
+
+    counts = [ds.count() for ds in datasets]
+    max_its = [(n + batch_size - 1) // batch_size for n in counts]
+    if sampling_rates:
+        quotas = [int(m * r) for m, r in zip(max_its, sampling_rates)]
+    else:
+        quotas = max_its
+    schedule: list[int] = []
+    for src, q in enumerate(quotas):
+        schedule.extend([src] * q)
+    if shuffle:
+        random.Random(shuffle_seed + epoch).shuffle(schedule)
+    iters = [
+        iter(ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"))
+        for ds in datasets
+    ]
+    for src in schedule:
+        batch = next(iters[src], None)
+        if batch is not None:
+            yield batch, src
+
+
 def convert_to_kilt(results_ds, id_map_ref, gold_ref=None):
     """S13/J4: flattened result Dataset (qid, question, rank, docid) →
     KILT-provenance Dataset, one row per question:

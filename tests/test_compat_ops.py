@@ -301,3 +301,30 @@ def test_convert_to_kilt(ray_session):
         {"wikipedia_id": "w11", "end_paragraph_id": 7},
         {"wikipedia_id": "w10", "end_paragraph_id": 3},
     ]
+
+
+def test_multi_set_batches(ray_session):
+    import ray.data
+
+    a = ray.data.from_items([{"v": i, "src": "a"} for i in range(8)])
+    b = ray.data.from_items([{"v": i, "src": "b"} for i in range(4)])
+    out = list(compat.multi_set_batches([a, b], batch_size=2, shuffle_seed=7))
+    # quotas: 4 batches from a, 2 from b; every batch single-source
+    assert len(out) == 6
+    assert sum(1 for _t, s in out if s == 0) == 4
+    assert sum(1 for _t, s in out if s == 1) == 2
+    for t, s in out:
+        assert set(t["src"].to_pylist()) == {"a" if s == 0 else "b"}
+    # deterministic schedule per (seed, epoch)
+    order1 = [s for _t, s in out]
+    order2 = [s for _t, s in
+              compat.multi_set_batches([a, b], batch_size=2, shuffle_seed=7)]
+    assert order1 == order2
+    order3 = [s for _t, s in
+              compat.multi_set_batches([a, b], batch_size=2, shuffle_seed=7,
+                                       epoch=1)]
+    assert order1 != order3  # epoch reshuffles
+    # sampling_rates scale per-source quotas
+    half = list(compat.multi_set_batches([a, b], batch_size=2,
+                                         sampling_rates=[0.5, 1.0]))
+    assert sum(1 for _t, s in half if s == 0) == 2
