@@ -1133,6 +1133,9 @@ FROM sims WHERE cos >= {NEAR_DUP_COS}
 """
 
 
+LSH_BITS, LSH_PROBE = 6, 3
+
+
 def q_lsh_knn(sf_dir: str):
     from .stages.ann import lsh_knn
 
@@ -1140,7 +1143,92 @@ def q_lsh_knn(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).filter(expr=f"vec_id >= {KNN_NQ}")
-    return lsh_knn(ds, qids, qmat, k=KNN_K, n_bits=6, n_probe=3)
+    res = lsh_knn(ds, qids, qmat, k=KNN_K, n_bits=LSH_BITS, n_probe=LSH_PROBE)
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "sim_i6": pa.array(
+                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+def _make_lsh_knn_sql() -> str:
+    """The LSH plan's seeded hyperplanes ride into SQL as VALUES rows, so
+    DuckDB reproduces bucketing, multiprobe (flip the lowest-|projection|
+    bits) and the exact re-rank inside probed buckets."""
+    from .stages.ann import LSHIndexPlan
+
+    plan = LSHIndexPlan(64, n_bits=LSH_BITS, seed=99)
+    vals = ", ".join(
+        f"({b}, {d}, {plan.planes[b, d]!r})"
+        for b in range(LSH_BITS)
+        for d in range(64)
+    )
+    return f"""
+WITH planes(b, d, w) AS (VALUES {vals}),
+q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {KNN_NQ}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {KNN_NQ}),
+cpr AS (
+  SELECT c.vec_id, p.b, sum(p.w * c.embedding[p.d + 1]::DOUBLE) AS proj
+  FROM c, planes p GROUP BY 1, 2
+),
+cbucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM cpr GROUP BY vec_id
+),
+qpr AS (
+  SELECT q.qid, p.b, sum(p.w * q.embedding[p.d + 1]::DOUBLE) AS proj
+  FROM q, planes p GROUP BY 1, 2
+),
+qbase AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS base
+  FROM qpr GROUP BY qid
+),
+qrank AS (
+  SELECT qid, b,
+         row_number() OVER (PARTITION BY qid ORDER BY abs(proj), b) AS rk
+  FROM qpr
+),
+probes AS (
+  SELECT qid, base AS bucket FROM qbase
+  UNION ALL
+  SELECT qb.qid, CAST(xor(qb.base, 1 << qr.b) AS BIGINT)
+  FROM qbase qb JOIN qrank qr ON qr.qid = qb.qid AND qr.rk <= {LSH_PROBE - 1}
+),
+cand AS (
+  SELECT DISTINCT p.qid, cb.vec_id
+  FROM probes p JOIN cbucket cb ON cb.bucket = p.bucket
+),
+prs AS (
+  SELECT cd.qid, cd.vec_id,
+         unnest(q.embedding)::DOUBLE AS x, unnest(c.embedding)::DOUBLE AS y
+  FROM cand cd JOIN q ON q.qid = cd.qid JOIN c ON c.vec_id = cd.vec_id
+),
+sims AS (
+  SELECT qid, vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+  FROM prs GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT qid, vec_id, rank, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+LSH_KNN_SQL = _make_lsh_knn_sql()
 
 
 def q_ivf_knn(sf_dir: str):
@@ -1321,11 +1409,12 @@ def oracle_sql_dict():
         "chunk_hits": CHUNK_HITS_SQL,
         "reader_etl": READER_ETL_SQL,
         "knn_cosine": KNN_COSINE_SQL,
+        "lsh_knn": LSH_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,
-        # no SQL (driver falls back to rows-only): lsh_knn, ivf_knn (seeded
-        # gaussian projections aren't SQL-expressible), media_decode,
+        # no SQL (driver falls back to rows-only): ivf_knn (8 driver-side
+        # k-means Lloyd iterations aren't practical SQL), media_decode,
         # media_features (deterministic synthetic binary payloads)
     }
 
