@@ -1231,6 +1231,9 @@ FROM r WHERE rank <= {KNN_K}
 LSH_KNN_SQL = _make_lsh_knn_sql()
 
 
+IVF_LISTS, IVF_PROBE, IVF_ITERS, IVF_CUTOFF = 12, 4, 8, 266
+
+
 def q_ivf_knn(sf_dir: str):
     from .stages.ann import ivf_knn
 
@@ -1238,7 +1241,127 @@ def q_ivf_knn(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).filter(expr=f"vec_id >= {KNN_NQ}")
-    return ivf_knn(ds, qids, qmat, k=KNN_K, n_lists=12, n_probe=4)
+    res = ivf_knn(
+        ds, qids, qmat, k=KNN_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE,
+        train_cutoff=IVF_CUTOFF, iters=IVF_ITERS,
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "sim_i6": pa.array(
+                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+def _make_ivf_knn_sql(dim: int = 64) -> str:
+    """DuckDB replays the ENTIRE IVF pipeline — spherical k-means training
+    on the deterministic sample (``{KNN_NQ} <= vec_id < {IVF_CUTOFF}``),
+    corpus list assignment, query multiprobe, exact re-rank — because
+    IVFPlan snaps every decision float to ROUND(x, 9) (half-away, matching
+    SQL ROUND). Lloyd iterations unroll into a CTE chain: a{{i}} = snapped
+    argmax assignment, m{{i}}/n{{i}} = raw member means + norms,
+    c{{i+1}} = snapped normalized update with COALESCE keeping the old
+    centroid for empty / zero-norm lists."""
+    it = []
+    for i in range(IVF_ITERS):
+        it.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, j FROM (
+    SELECT s.vec_id, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY ROUND(sum(c.w * s.embedding[c.d + 1]::DOUBLE), 9) DESC, c.j
+           ) AS rk
+    FROM s, c{i} c GROUP BY s.vec_id, c.j
+  ) WHERE rk = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT a.j, d.d, avg(s.embedding[d.d + 1]::DOUBLE) AS m
+  FROM a{i} a JOIN s ON s.vec_id = a.vec_id, dims d
+  GROUP BY a.j, d.d
+),
+n{i} AS MATERIALIZED (SELECT j, sqrt(sum(m * m)) AS nm FROM m{i} GROUP BY j),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.j, c.d, COALESCE(ROUND(m.m / nullif(n.nm, 0), 9), c.w) AS w
+  FROM c{i} c
+  LEFT JOIN m{i} m ON m.j = c.j AND m.d = c.d
+  LEFT JOIN n{i} n ON n.j = c.j
+)""")
+    iters_sql = ",".join(it)
+    return f"""
+WITH dims AS (SELECT range AS d FROM range({dim})),
+lists AS (SELECT range AS j FROM range({IVF_LISTS})),
+q AS MATERIALIZED (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {KNN_NQ}),
+c AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {KNN_NQ}),
+s AS MATERIALIZED (SELECT vec_id, embedding FROM c WHERE vec_id < {IVF_CUTOFF}),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM s),
+init_rows AS (
+  SELECT l.j, sr.vec_id
+  FROM lists l JOIN sr
+    ON sr.rn = l.j * greatest(1, (SELECT count(*) FROM s) // {IVF_LISTS})
+),
+inorm AS (
+  SELECT ir.j, sqrt(sum(power(s.embedding[d.d + 1]::DOUBLE, 2))) AS nm
+  FROM init_rows ir JOIN s ON s.vec_id = ir.vec_id, dims d GROUP BY ir.j
+),
+c0 AS MATERIALIZED (
+  SELECT ir.j, d.d, ROUND(s.embedding[d.d + 1]::DOUBLE / nullif(i.nm, 0), 9) AS w
+  FROM init_rows ir JOIN s ON s.vec_id = ir.vec_id
+  JOIN inorm i ON i.j = ir.j, dims d
+),{iters_sql},
+qd AS (
+  SELECT q.qid, f.j, ROUND(sum(f.w * q.embedding[f.d + 1]::DOUBLE), 9) AS dot
+  FROM q, c{IVF_ITERS} f GROUP BY 1, 2
+),
+qprobe AS (
+  SELECT qid, j FROM (
+    SELECT qid, j, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, j) AS rk
+    FROM qd
+  ) WHERE rk <= {IVF_PROBE}
+),
+cdot AS (
+  SELECT c.vec_id, f.j, ROUND(sum(f.w * c.embedding[f.d + 1]::DOUBLE), 9) AS dot
+  FROM c, c{IVF_ITERS} f GROUP BY 1, 2
+),
+cassign AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS rk
+    FROM cdot
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT DISTINCT p.qid, ca.vec_id
+  FROM qprobe p JOIN cassign ca ON ca.j = p.j
+),
+prs AS (
+  SELECT cd.qid, cd.vec_id,
+         unnest(q.embedding)::DOUBLE AS x, unnest(c.embedding)::DOUBLE AS y
+  FROM cand cd JOIN q ON q.qid = cd.qid JOIN c ON c.vec_id = cd.vec_id
+),
+sims AS (
+  SELECT qid, vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+  FROM prs GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT qid, vec_id, rank, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+IVF_KNN_SQL = _make_ivf_knn_sql()
 
 
 # ------------------------------------------------------------------ events --
@@ -1410,11 +1533,11 @@ def oracle_sql_dict():
         "reader_etl": READER_ETL_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "lsh_knn": LSH_KNN_SQL,
+        "ivf_knn": IVF_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,
-        # no SQL (driver falls back to rows-only): ivf_knn (8 driver-side
-        # k-means Lloyd iterations aren't practical SQL), media_decode,
+        # no SQL (driver falls back to rows-only): media_decode,
         # media_features (deterministic synthetic binary payloads)
     }
 

@@ -144,36 +144,58 @@ def brute_force_knn(
 
 
 class IVFPlan:
-    """Deterministic IVF coarse quantizer: k-means on a seeded sample
-    (driver-side Lloyd iterations — the sample is small), cosine metric.
-    The reference's trained-index analog (``DenseHNSWSQIndexer.train``,
-    ``faiss_indexers.py:201-232``) without FAISS."""
+    """Deterministic, SQL-reproducible IVF coarse quantizer (spherical
+    k-means, driver-side Lloyd iterations on a small sample). Every float
+    the clustering depends on is snapped to 9 decimals with SQL ROUND
+    (half-away) semantics so a DuckDB oracle replays the exact same
+    clustering from the same sample:
 
-    def __init__(self, sample: np.ndarray, n_lists: int = 16, iters: int = 8,
-                 seed: int = 7):
-        rng = np.random.default_rng(seed)
-        s = _normalize(np.asarray(sample, dtype=np.float64))
+    - init: sample sorted by id ascending; centroid ``j`` =
+      ``round9(normalize(sample[j * (S // n_lists)]))``
+    - assign: ``argmax_j round9(dot(x_raw, c_j))``, ties → lowest ``j``
+    - update: ``c_j = round9(normalize(mean(raw members)))``; an empty
+      list or a zero-norm mean keeps the previous centroid
+
+    The snapping absorbs summation-order noise (numpy pairwise vs SQL
+    sequential accumulation) so assignments cannot flip between the two
+    implementations. Reference analog: the trained coarse quantizer of
+    ``DenseHNSWSQIndexer.train`` (``faiss_indexers.py:201-232``)."""
+
+    def __init__(self, sample_ids, sample: np.ndarray, n_lists: int = 16,
+                 iters: int = 8):
+        order = np.argsort(np.asarray(sample_ids, dtype=np.int64), kind="stable")
+        s = np.asarray(sample, dtype=np.float64)[order]
         n_lists = min(n_lists, len(s))
-        idx = rng.choice(len(s), size=n_lists, replace=False)
-        c = s[np.sort(idx)].copy()
+        step = max(1, len(s) // n_lists)
+        idx = np.arange(n_lists) * step
+        c = round_half_away(_normalize(s[idx]), 9)
         for _ in range(iters):
-            assign = np.argmax(s @ c.T, axis=1)
+            assign = self._argmax_i9(s, c)
             for j in range(n_lists):
                 members = s[assign == j]
                 if len(members):
                     m = members.mean(axis=0)
                     norm = np.linalg.norm(m)
                     if norm > 0:
-                        c[j] = m / norm
+                        c[j] = round_half_away(m / norm, 9)
         self.centroids = c
         self.n_lists = n_lists
+        self.iters = iters
+
+    @staticmethod
+    def _i9dots(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        a = (np.asarray(m, dtype=np.float64) @ c.T) * 1e9
+        return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+    def _argmax_i9(self, m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return np.argmax(self._i9dots(m, c), axis=1)  # first max → lowest j
 
     def assign(self, m: np.ndarray) -> np.ndarray:
-        return np.argmax(_normalize(m) @ self.centroids.T, axis=1)
+        return self._argmax_i9(m, self.centroids)
 
     def probe(self, v: np.ndarray, n_probe: int) -> np.ndarray:
-        sims = self.centroids @ (v / (np.linalg.norm(v) or 1.0))
-        return np.argsort(-sims)[:n_probe]
+        d = self._i9dots(np.asarray(v, dtype=np.float64)[None, :], self.centroids)[0]
+        return np.lexsort((np.arange(len(d)), -d))[:n_probe]
 
 
 def ivf_knn(
@@ -183,22 +205,28 @@ def ivf_knn(
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
-    train_sample: int = 2048,
+    train_cutoff: int = 2048,
+    iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
     """Approximate cosine top-k via IVF: train a coarse quantizer on a
-    deterministic sample, score each query only against vectors whose
-    assigned list is among the query's ``n_probe`` closest centroids.
-    Same output schema as brute_force_knn; recall tested vs brute force."""
+    deterministic sample (all rows with ``id_col < train_cutoff`` — a
+    predicate-pushdown scan, never a sort), score each query only against
+    vectors whose assigned list is among the query's ``n_probe`` closest
+    centroids. Same output schema as brute_force_knn; recall tested vs
+    brute force and replayed exactly by a DuckDB oracle (IVF_KNN_SQL)."""
     ensure_shippable()
-    # deterministic training sample: the first train_sample rows
-    first = ds.limit(train_sample).to_arrow_refs()
     import ray as _r
 
-    tables = [_r.get(r) for r in first]
-    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables if t.num_rows])
-    plan = IVFPlan(mat, n_lists=n_lists)
+    tables = [
+        _r.get(r)
+        for r in ds.filter(expr=f"{id_col} < {train_cutoff}").to_arrow_refs()
+    ]
+    tables = [t for t in tables if t.num_rows]
+    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False) for t in tables])
+    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    plan = IVFPlan(ids, mat, n_lists=n_lists, iters=iters)
     qm = np.asarray(query_matrix, dtype=np.float64)
     probe_map: dict[int, set[int]] = {}
     for qid, v in zip(query_ids, qm):
