@@ -294,3 +294,72 @@ def test_doc_sharded_identical(setup_name, request, ray_session):
 
     a, b = run(None), run(3)
     assert a.equals(b)
+
+
+def _mk_head_entries(seed, n_docs, dfs, tie_level=None):
+    """Synthetic head-term (docids, contrib, ub) entries; optionally snap
+    contributions to a coarse grid so exact k-boundary ties occur."""
+    entries = []
+    rng = np.random.default_rng(seed)
+    dl = rng.integers(20, 2000, size=n_docs).astype(np.float64)
+    for i, df in enumerate(dfs):
+        r = np.random.default_rng(seed * 100 + i)
+        d = np.sort(r.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        c = (1.0 + 0.2 * i) / (1.0 + 0.4 * dl[d] / dl.mean())
+        if tie_level:
+            c = np.ceil(c * tie_level) / tie_level  # many exact ties
+        entries.append((d, c, float(c.max())))
+    return entries
+
+
+@pytest.mark.parametrize("tie_level", [None, 8])
+def test_impact_expand_bitwise_vs_taat(tie_level):
+    """Impact-ordered head-only expansion must equal plain dense TAAT
+    bitwise — docids AND float64 scores — including under heavy exact
+    ties at the k-boundary (the (-score, docid) total-order contract),
+    across sizes that exercise both early-stop and full-exhaustion."""
+    for seed, n_docs, dfs, k in [
+        (3, 5000, [3000, 2500, 2000], 10),
+        (4, 5000, [4999, 4998], 25),
+        (5, 300, [200, 150, 120, 100], 50),
+        (6, 64, [60, 50], 64),  # k >= union: exhaustion path
+    ]:
+        entries = _mk_head_entries(seed, n_docs, dfs, tie_level)
+        buf = np.zeros(n_docs, np.float64)
+        ids = np.arange(n_docs, dtype=np.uint64)
+        want = qe.taat_topk_dense([(e[0], e[1]) for e in entries], k, buf, ids)
+        perms = [np.lexsort((e[0], -e[1])).astype(np.int32) for e in entries]
+        got = qe._impact_expand(entries, k, buf, ids, perms)
+        assert np.array_equal(
+            np.asarray(want[0], np.uint64), np.asarray(got[0], np.uint64)
+        ), (seed, tie_level)
+        assert np.array_equal(want[1], got[1]), (seed, tie_level)  # bitwise
+        # flat contributions: must fall back, still exact
+        flat = [(e[0], np.full(len(e[0]), 0.25), 0.25) for e in entries]
+        wantf = qe.taat_topk_dense([(e[0], e[1]) for e in flat], k, buf, ids)
+        permsf = [np.lexsort((e[0], -e[1])).astype(np.int32) for e in flat]
+        gotf = qe._impact_expand(flat, k, buf, ids, permsf)
+        assert np.array_equal(
+            np.asarray(wantf[0], np.uint64), np.asarray(gotf[0], np.uint64)
+        )
+        assert np.array_equal(wantf[1], gotf[1])
+
+
+def test_executor_head_only_uses_impact_cache(setup_dense):
+    """A head-only multi-term maxscore query must populate the per-term
+    impact cache (proving the impact path ran) and emit output identical
+    to the taat executor."""
+    index_dir, _oracle = setup_dense
+    import pyarrow as pa
+
+    # head-only: the corpus generator's highest-df terms
+    q = "the of and"
+    batch = pa.table({"qid": pa.array(["h1"]), "question": pa.array([q])})
+    ex_m = qe.QueryExecutor(index_dir, k=25, method="maxscore")
+    ex_t = qe.QueryExecutor(index_dir, k=25, method="taat")
+    rm = ex_m(batch).to_pylist()
+    rt = ex_t(batch).to_pylist()
+    assert rm == rt
+    present = [t for t in ("the", "of", "and") if ex_m.store.scored(t) is not None]
+    if len(present) >= 2:  # head-only bail engaged → perms were built
+        assert len(ex_m.store._impact) >= 1
