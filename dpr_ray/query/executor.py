@@ -53,13 +53,22 @@ import ray as _ray
 def _decode_terms_task(index_dir: str, terms: list[str]) -> dict:
     """Warmup task: decode + score a chunk of terms once; the returned
     arrays live in the object store and every executor actor reads them
-    zero-copy (decode happens once per CLUSTER, not once per actor)."""
+    zero-copy (decode happens once per CLUSTER, not once per actor).
+    Head terms (df ≥ N/20) also ship their impact permutation and dense
+    position map — per-actor lexsorts of multi-million-posting lists were
+    the duplicated cold cost that capped query-side scaling."""
     store = SegmentStore(index_dir)
     out = {}
+    n = store.n_docs
     for t in terms:
         e = store.scored(t)
-        if e is not None:
-            out[t] = e
+        if e is None:
+            continue
+        perm = posmap = None
+        if store.dense_size and len(e[0]) * 20 >= n:
+            perm = store.impact(t)
+            posmap = store.posmap(t)
+        out[t] = (e, perm, posmap)
     return out
 
 
@@ -89,7 +98,7 @@ class SegmentStore:
     """
 
     def __init__(self, index_dir: str, cache_terms: int = 50_000,
-                 cache_postings: int = 20_000_000, warm_refs=None,
+                 cache_postings: int = 120_000_000, warm_refs=None,
                  docid_range: tuple[int, int] | None = None):
         self.index_dir = index_dir
         self.stats = seg.read_stats(index_dir)
@@ -107,6 +116,8 @@ class SegmentStore:
         self._scored_total = 0
         self._impact: OrderedDict[str, np.ndarray] = OrderedDict()
         self._impact_total = 0
+        self._posmap: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._posmap_total = 0
         # doc-sharded mode: this store only ever DECODES blocks intersecting
         # [lo, hi) — a hot posting list costs df/n_shards heap per actor, the
         # lever for corpora whose head terms exceed a worker's memory. df for
@@ -124,13 +135,20 @@ class SegmentStore:
         self._dense_buf: np.ndarray | None = None
         self._dense_ids: np.ndarray | None = None
         if warm_refs:
-            # shared pre-decoded postings: ray.get is zero-copy for the
-            # numpy arrays inside (they stay in plasma, read-only)
+            # shared pre-decoded postings (+ head-term impact perms and
+            # posmaps): ray.get is zero-copy for the numpy arrays inside
+            # (they stay in plasma, read-only)
             for chunk in _ray.get(list(warm_refs)):
-                for t, entry in chunk.items():
+                for t, (entry, perm, posmap) in chunk.items():
                     if t not in self._scored:
                         self._scored[t] = entry
                         self._scored_total += len(entry[0])
+                    if perm is not None and t not in self._impact:
+                        self._impact[t] = perm
+                        self._impact_total += len(perm)
+                    if posmap is not None and t not in self._posmap:
+                        self._posmap[t] = posmap
+                        self._posmap_total += len(posmap)
 
     def ensure_scored(self, terms: list[str]) -> None:
         """Decode+score any terms missing from the local cache (one batched
@@ -263,6 +281,30 @@ class SegmentStore:
         while self._impact_total > self._scored_budget and len(self._impact) > 1:
             _, old = self._impact.popitem(last=False)
             self._impact_total -= len(old)
+        return p
+
+    def posmap(self, term: str) -> np.ndarray | None:
+        """Dense docid → posting-position map for one term (int32, -1 =
+        absent; dense docid spaces only). Turns candidate membership tests
+        from binary searches over a multi-MB docid array into single
+        random loads — the per-candidate cost lever of impact-ordered
+        expansion. Cached per term per actor (dense_size × 4 bytes)."""
+        if not self.dense_size:
+            return None
+        p = self._posmap.get(term)
+        if p is not None:
+            self._posmap.move_to_end(term)
+            return p
+        e = self.scored(term)
+        if e is None:
+            return None
+        p = np.full(self.dense_size, -1, dtype=np.int32)
+        p[e[0]] = np.arange(len(e[0]), dtype=np.int32)
+        self._posmap[term] = p
+        self._posmap_total += len(p)
+        while self._posmap_total > self._scored_budget and len(self._posmap) > 1:
+            _, old = self._posmap.popitem(last=False)
+            self._posmap_total -= len(old)
         return p
 
     def fetch(self, terms: list[str]) -> dict[str, list[dict] | None]:
@@ -454,12 +496,39 @@ def taat_topk_dense(
     return out
 
 
+def _gather_exact(
+    entries: list[tuple],
+    new: np.ndarray,
+    posmaps: list[np.ndarray] | None = None,
+) -> np.ndarray:
+    """Exact scores for candidate docids ``new``: per-term contribution
+    gathers accumulated in sorted-term order (the determinism contract —
+    per-doc float64 summation order matches TAAT/oracle bitwise). Uses a
+    dense position map when available (one random load per candidate)
+    instead of binary searches over the docid arrays."""
+    ne = np.zeros(len(new), dtype=np.float64)
+    for i, e in enumerate(entries):
+        pm = posmaps[i] if posmaps is not None else None
+        if pm is not None:
+            pos = pm[new]
+            hit = pos >= 0
+            ne[hit] += e[1][pos[hit]]
+        else:
+            d = e[0]
+            pos = np.searchsorted(d, new)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == new
+            ne[hit] += e[1][pos_c[hit]]
+    return ne
+
+
 def _impact_expand(
     entries: list[tuple],
     k: int,
     buf: np.ndarray,
     ids: np.ndarray,
     perms: list[np.ndarray],
+    posmaps: list[np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k for head-only queries via impact-ordered candidate
     expansion (the threshold-algorithm shape over cached impact
@@ -487,6 +556,7 @@ def _impact_expand(
     step = max(1024, 4 * k)
     cand = np.empty(0, entries[0][0].dtype)
     exact = np.empty(0, np.float64)
+    predicted = False
     while True:
         parts = []
         for i in range(m):
@@ -502,13 +572,7 @@ def _impact_expand(
         if len(cand) + len(new) > 0.25 * total:
             return taat_topk_dense(plain, k, buf, ids)
         if len(new):
-            ne = np.zeros(len(new), dtype=np.float64)
-            for e in entries:  # sorted-term order (determinism contract)
-                d = e[0]
-                pos = np.searchsorted(d, new)
-                pos_c = np.minimum(pos, len(d) - 1)
-                hit = d[pos_c] == new
-                ne[hit] += e[1][pos_c[hit]]
+            ne = _gather_exact(entries, new, posmaps)
             cand = np.concatenate([cand, new])
             exact = np.concatenate([exact, ne])
         if len(exact) >= k:
@@ -520,6 +584,31 @@ def _impact_expand(
             )
             if ub_unseen < theta - 1e-9:
                 break
+            if not predicted:
+                # One-time stop-cost prediction from block metadata: the
+                # loop ends once Σ per-list frontiers < θ. Split θ across
+                # lists proportional to their upper bounds and count the
+                # postings living in blocks whose bound exceeds that share
+                # (block bounds are conservative, so the estimate is an
+                # overcount → biases toward TAAT, never breaks exactness).
+                # Flat symmetric head lists (TAAT's home turf) bail here
+                # after one cheap round instead of expanding 10% of the
+                # index through random gathers.
+                predicted = True
+                ub_sum = sum(e[2] for e in entries) or 1.0
+                est = 0
+                for i, e in enumerate(entries):
+                    share = theta * (e[2] / ub_sum)
+                    if len(e) > 6 and len(e[5]):
+                        sizes = e[6][1:] - e[6][:-1]
+                        est += int(sizes[e[5] >= share].sum())
+                    else:
+                        # no block metadata: sample the impact order
+                        stride = max(1, dfs[i] // 256)
+                        samp = e[1][perms[i][::stride]]
+                        est += int((samp >= share).sum()) * stride
+                if est > total // 8:
+                    return taat_topk_dense(plain, k, buf, ids)
         step *= 2
     order = np.lexsort((cand, -exact))[:k]
     return cand[order].astype(np.uint64), exact[order]
@@ -531,6 +620,7 @@ def maxscore_topk_dense(
     buf: np.ndarray,
     ids: np.ndarray,
     impact_fn=None,
+    posmap_fn=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact candidate-expansion MaxScore over pre-scored entries.
 
@@ -565,8 +655,15 @@ def maxscore_topk_dense(
         if impact_fn is not None:
             perms = [impact_fn(i) for i in range(len(entries))]
             if all(pm is not None for pm in perms):
-                return _impact_expand(entries, k, buf, ids, perms)
+                posmaps = (
+                    [posmap_fn(i) for i in range(len(entries))]
+                    if posmap_fn is not None
+                    else None
+                )
+                return _impact_expand(entries, k, buf, ids, perms, posmaps)
         return taat_topk_dense(plain, k, buf, ids)
+    posmaps = None  # selective rounds: candidate sets are small, binary
+    # search over the rare prefixes beats building dense maps
     order_df = np.argsort(dfs, kind="stable")
     ubs = np.array([e[2] for e in entries], dtype=np.float64)
     cand = np.empty(0, np.uint64)
@@ -582,13 +679,7 @@ def maxscore_topk_dense(
         if len(cand) + len(new) > 0.5 * total:
             return taat_topk_dense(plain, k, buf, ids)
         if len(new):
-            ne = np.zeros(len(new), dtype=np.float64)
-            for e in entries:  # sorted-term order (determinism contract)
-                d = e[0]
-                pos = np.searchsorted(d, new)
-                pos_c = np.minimum(pos, len(d) - 1)
-                hit = d[pos_c] == new
-                ne[hit] += e[1][pos_c[hit]]
+            ne = _gather_exact(entries, new, posmaps)
             cand = np.concatenate([cand, new])
             exact = np.concatenate([exact, ne])
         if len(exact) >= k:
@@ -823,6 +914,7 @@ class QueryExecutor:
                         docids, scores = maxscore_topk_dense(
                             entries, self.k, buf, ids_arr,
                             impact_fn=lambda i: self.store.impact(pres[i]),
+                            posmap_fn=lambda i: self.store.posmap(pres[i]),
                         )
                     else:
                         topk = {

@@ -334,6 +334,17 @@ def test_impact_expand_bitwise_vs_taat(tie_level):
             np.asarray(want[0], np.uint64), np.asarray(got[0], np.uint64)
         ), (seed, tie_level)
         assert np.array_equal(want[1], got[1]), (seed, tie_level)  # bitwise
+        # dense posmap fast path must be bitwise-identical too
+        posmaps = []
+        for e in entries:
+            pm = np.full(n_docs, -1, np.int32)
+            pm[e[0]] = np.arange(len(e[0]), dtype=np.int32)
+            posmaps.append(pm)
+        gotp = qe._impact_expand(entries, k, buf, ids, perms, posmaps)
+        assert np.array_equal(
+            np.asarray(want[0], np.uint64), np.asarray(gotp[0], np.uint64)
+        ), (seed, tie_level)
+        assert np.array_equal(want[1], gotp[1]), (seed, tie_level)
         # flat contributions: must fall back, still exact
         flat = [(e[0], np.full(len(e[0]), 0.25), 0.25) for e in entries]
         wantf = qe.taat_topk_dense([(e[0], e[1]) for e in flat], k, buf, ids)
