@@ -302,7 +302,9 @@ class SegmentStore:
         p[e[0]] = np.arange(len(e[0]), dtype=np.int32)
         self._posmap[term] = p
         self._posmap_total += len(p)
-        while self._posmap_total > self._scored_budget and len(self._posmap) > 1:
+        # int32 maps cost a quarter of a scored entry's bytes per element:
+        # 3x the entry budget is still fewer bytes than the scored cache
+        while self._posmap_total > 3 * self._scored_budget and len(self._posmap) > 1:
             _, old = self._posmap.popitem(last=False)
             self._posmap_total -= len(old)
         return p
