@@ -1441,6 +1441,66 @@ FROM s GROUP BY user_id, sid
 
 # -------------------------------------------------------------- multimodal --
 
+# The synthetic media chain is sha256-seeded precisely so DuckDB can replay
+# it: seed = sha256("{doc_id}:{text[:64]}"), payload = seed*64 (2048 B),
+# decode metadata = payload bytes 0..2, features = uint32-LE words of
+# sha256("{seed_hex}:{j}") expansions (stages/multimodal.py). The SQL below
+# reconstructs the same bytes from hex pairs of sha256(VARCHAR) output.
+
+# value of the m-th byte (0-based) of a lowercase hex string {h}
+_HEXB = ("(strpos('0123456789abcdef', substr({h}, 2*({m})+1, 1)) - 1) * 16"
+         " + strpos('0123456789abcdef', substr({h}, 2*({m})+2, 1)) - 1")
+
+MEDIA_DECODE_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64)) AS hx
+  FROM documents
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(16 + ({_HEXB.format(h='hx', m='0')}) % 64 AS INTEGER) AS width,
+       CAST(16 + ({_HEXB.format(h='hx', m='1')}) % 64 AS INTEGER) AS height,
+       CAST(1 + ({_HEXB.format(h='hx', m='2')}) % 3 AS INTEGER) AS channels,
+       CAST(2048 AS BIGINT) AS n_bytes
+FROM h
+"""
+
+# feature vector: 4 sha256 expansions of the seed hex → 128 bytes → 32
+# uint32 LE words → float32(x)/2^32 (exact: /2^32 only shifts the float32
+# exponent, so the only rounding is the uint32→float32 cast, replicated by
+# CAST(x AS FLOAT)); norm over the float64-widened elements.
+MEDIA_FEATURES_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64)) AS hx
+  FROM documents
+),
+raw AS (
+  SELECT media_id,
+         sha256(hx || ':0') || sha256(hx || ':1') ||
+         sha256(hx || ':2') || sha256(hx || ':3') AS rx
+  FROM h
+),
+v AS (
+  SELECT media_id,
+         list_transform(range(0, 32), k ->
+           CAST(CAST(
+                 ({_HEXB.format(h='rx', m='4*k')})
+               + ({_HEXB.format(h='rx', m='4*k+1')}) * 256
+               + ({_HEXB.format(h='rx', m='4*k+2')}) * 65536
+               + ({_HEXB.format(h='rx', m='4*k+3')}) * 16777216
+             AS FLOAT) AS DOUBLE) / 4294967296.0) AS vec
+  FROM raw
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(32 AS BIGINT) AS dim,
+       CAST(ROUND(sqrt(list_sum(list_transform(vec, x -> x * x))) * 1000000)
+            AS BIGINT) AS norm_i6,
+       CAST(ROUND(vec[1] * 1000000) AS BIGINT) AS v0_i6,
+       CAST(ROUND(vec[32] * 1000000) AS BIGINT) AS v31_i6
+FROM v
+"""
+
 
 def q_media_decode(sf_dir: str):
     from .stages.multimodal import media_pipeline
@@ -1458,13 +1518,23 @@ def q_media_features(sf_dir: str):
 
     def summarize(batch: pa.Table) -> pa.Table:
         feats_np = [np.asarray(v, dtype=np.float64) for v in batch["feature"].to_pylist()]
+        # sequential float64 sum-of-squares: matches DuckDB list_sum's
+        # left-to-right accumulation order bit-for-bit
+        def _norm(v: np.ndarray) -> float:
+            acc = 0.0
+            for x in v.tolist():
+                acc += x * x
+            return float(np.sqrt(acc))
+
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "dim": pa.array([len(v) for v in feats_np], pa.int64()),
                 "norm_i6": pa.array(
-                    _i6([float(np.linalg.norm(v)) for v in feats_np]), pa.int64()
+                    _i6([_norm(v) for v in feats_np]), pa.int64()
                 ),
+                "v0_i6": pa.array(_i6([float(v[0]) for v in feats_np]), pa.int64()),
+                "v31_i6": pa.array(_i6([float(v[-1]) for v in feats_np]), pa.int64()),
             }
         )
 
@@ -1537,8 +1607,8 @@ def oracle_sql_dict():
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessions": SESSIONS_SQL,
-        # no SQL (driver falls back to rows-only): media_decode,
-        # media_features (deterministic synthetic binary payloads)
+        "media_decode": MEDIA_DECODE_SQL,
+        "media_features": MEDIA_FEATURES_SQL,
     }
 
 

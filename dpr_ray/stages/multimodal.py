@@ -30,11 +30,14 @@ MEDIA_SCHEMA_FIELDS = [
 def synth_media_batch(batch: pa.Table, id_col: str = "docid",
                       text_col: str = "content") -> pa.Table:
     """Deterministic fake media payloads derived from text rows (test/bench
-    stand-in for real image bytes; byte content is blake2b-seeded)."""
+    stand-in for real image bytes). sha256-seeded — NOT blake2b — so the
+    whole synth→decode→feature chain is replayable in DuckDB SQL
+    (``sha256(VARCHAR)`` is the only digest DuckDB ships), giving the media
+    queries a full value-hash oracle instead of a rows-only check."""
     ids = batch[id_col].to_pylist()
     payloads, types, fmts = [], [], []
     for i, t in zip(ids, batch[text_col].to_pylist()):
-        seed = hashlib.blake2b(f"{i}:{t[:64]}".encode(), digest_size=32).digest()
+        seed = hashlib.sha256(f"{i}:{t[:64]}".encode()).digest()
         payloads.append(seed * 64)  # 2 KiB payload
         types.append("image" if int(i) % 2 == 0 else "audio")
         fmts.append("png" if int(i) % 2 == 0 else "wav")
@@ -86,9 +89,11 @@ class DecodeImage:
 
 class ExtractFeatures:
     """Actor-pool feature extraction: payload bytes → fixed-dim float32
-    vector. Deterministic (blake2b-expanded) stand-in for a real model
-    forward pass; the actor-pool/batch plumbing matches what a model stage
-    needs (state in __init__, batched __call__)."""
+    vector. Deterministic sha256-expanded stand-in for a real model forward
+    pass (expansion hashes the hex string of the payload's 32-byte seed, so
+    DuckDB's ``sha256(VARCHAR)`` can replay it exactly); the
+    actor-pool/batch plumbing matches what a model stage needs (state in
+    __init__, batched __call__)."""
 
     def __init__(self, dim: int = 32):
         self.dim = dim
@@ -96,11 +101,11 @@ class ExtractFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = []
         for p in batch["payload"]:
-            b = p.as_py()
+            seed_hex = p.as_py()[:32].hex()
             need = self.dim * 4
             raw = b"".join(
-                hashlib.blake2b(b + bytes([i]), digest_size=64).digest()
-                for i in range((need + 63) // 64)
+                hashlib.sha256(f"{seed_hex}:{i}".encode()).digest()
+                for i in range((need + 31) // 32)
             )[:need]
             v = np.frombuffer(raw, dtype=np.uint32).astype(np.float32)
             v = v / np.float32(2**32)
