@@ -12,9 +12,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the same bench in two fresh processes (8 vs 32 CPUs by
-default; override RAY_GRAFT_CPUS_LO/HI) and reports throughput at both plus
-scaling efficiency (T_lo/T_hi)/(hi/lo).
+--scaling: runs the same bench in fresh processes at two cpu counts (8 vs
+32 by default; override RAY_GRAFT_CPUS_LO/HI), interleaved
+$BENCH_SCALING_REPEATS times (default 3) with the min time per count taken
+(the sandbox VM's throughput swings >2x across minutes), and reports
+throughput at both plus scaling efficiency (T_lo/T_hi)/(hi/lo).
 """
 
 from __future__ import annotations
@@ -47,6 +49,12 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # bench output should be the one JSON line: drop ray.data INFO/WARNING
+    # chatter (e.g. the cosmetic empty-sort-partition schema-drift warning
+    # Ray's Sort emits for partitions with no rows — upstream of any UDF)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import ray.data
     from dpr_ray.corpus import corpus_from_documents
@@ -56,7 +64,9 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # warm the page cache so we measure compute + shuffle, not first-read I/O
-    n_base = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    from dpr_ray.util import read_parquet_clean
+
+    n_base = read_parquet_clean(f"{sf_dir}/documents.parquet").count()
     # warm the worker pool: the first parallel execution pays ~3s of python
     # worker spawn + imports at ANY cpu count — session cost, not engine cost
     ray.data.range(num_cpus * 4).map_batches(
@@ -192,6 +202,11 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     lo = int(os.environ.get("RAY_GRAFT_CPUS_LO", "8"))
     hi = int(os.environ.get("RAY_GRAFT_CPUS_HI", "32"))
+    # The sandbox VM's throughput swings >2x across minutes (hypervisor
+    # noise — measured 512 vs 1111 QPS at 32 CPUs in back-to-back runs).
+    # Interleave lo/hi repeats and take the min time per cpu count: min is
+    # the least-contended estimate of the engine's own cost.
+    reps = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -206,8 +221,12 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo = run(lo)
-    r_hi = run(hi)
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
@@ -220,6 +239,9 @@ def run_scaling() -> None:
                 f"query_qps_{lo}cpu": r_lo["query_qps"],
                 f"query_qps_{hi}cpu": r_hi["query_qps"],
                 "scaling_efficiency": round(eff, 3),
+                "repeats": reps,
+                f"all_sec_{lo}cpu": [r["value"] for r in runs_lo],
+                f"all_sec_{hi}cpu": [r["value"] for r in runs_hi],
             }
         )
     )

@@ -51,7 +51,9 @@ def corpus_from_documents(sf_dir: str) -> ray.data.Dataset:
     DuckDB oracle can address documents without replicating the engine's
     docid-assignment pass.
     """
-    ds = ray.data.read_parquet(
+    from .util import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )

@@ -49,6 +49,7 @@ HIT_KS = [1, 5, 10]
 _STOPLIST = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
 
 
+from .util import read_parquet_clean
 from .util import to_i6 as _i6  # SQL ROUND (half-away) semantics
 
 
@@ -405,7 +406,7 @@ FROM ks CROSS JOIN best GROUP BY ks.k
 
 
 def _docs_ds(sf_dir: str):
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1070,7 +1071,7 @@ def q_knn_cosine(sf_dir: str):
     from .stages.ann import brute_force_knn
 
     qids, qmat = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).filter(expr=f"vec_id >= {KNN_NQ}")
     res = brute_force_knn(ds, qids, qmat, k=KNN_K)
@@ -1112,7 +1113,7 @@ NEAR_DUP_COS = 0.3  # random 64-d vectors rarely exceed ~0.4: yields few rows
 def q_embedding_dup_pairs(sf_dir: str):
     from .stages.ann import embedding_near_dup_pairs
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_near_dup_pairs(ds, threshold=NEAR_DUP_COS)
@@ -1140,7 +1141,7 @@ def q_lsh_knn(sf_dir: str):
     from .stages.ann import lsh_knn
 
     qids, qmat = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).filter(expr=f"vec_id >= {KNN_NQ}")
     res = lsh_knn(ds, qids, qmat, k=KNN_K, n_bits=LSH_BITS, n_probe=LSH_PROBE)
@@ -1238,7 +1239,7 @@ def q_ivf_knn(sf_dir: str):
     from .stages.ann import ivf_knn
 
     qids, qmat = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).filter(expr=f"vec_id >= {KNN_NQ}")
     res = ivf_knn(
@@ -1370,7 +1371,7 @@ IVF_KNN_SQL = _make_ivf_knn_sql()
 def q_events_window(sf_dir: str):
     from .stages.windows import tumbling_window_agg
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     out = tumbling_window_agg(ev, window="hour")
@@ -1402,7 +1403,7 @@ FROM events GROUP BY 1, 2
 def q_sessions(sf_dir: str):
     from .stages.windows import session_windows
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
     out = session_windows(ev, gap_seconds=1800.0)

@@ -64,9 +64,9 @@ def _simple_cased_analyzer():
 
 @register("corpus_source", "parquet")
 def _parquet_corpus(path: str, **kw):
-    import ray.data
+    from .util import read_parquet_clean
 
-    return ray.data.read_parquet(path, **kw)
+    return read_parquet_clean(path, **kw)
 
 
 @register("corpus_source", "documents_table")

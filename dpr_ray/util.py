@@ -82,3 +82,22 @@ def to_i6(x) -> np.ndarray:
     """round(x * 1e6) as int64 with SQL ROUND (half-away) semantics."""
     a = np.asarray(x, dtype=np.float64) * 1e6
     return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
+def strip_schema_metadata(batch):
+    """Drop file-level schema metadata (e.g. the ``pandas`` blob pyarrow
+    embeds on write): a metadata-bearing ``pa.Schema`` is unhashable, so
+    Ray's per-merge ``unify_schemas`` logs a warning for every block pair.
+    Metadata-only replace — buffers are untouched (zero-copy)."""
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
+def read_parquet_clean(path, **kw):
+    """``ray.data.read_parquet`` with schema metadata stripped at the read
+    boundary (fused into the read task). Use for any externally-written
+    parquet; files this engine writes carry no metadata already."""
+    import ray.data
+
+    return ray.data.read_parquet(path, **kw).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
