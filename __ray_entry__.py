@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names; floats emitted
-    as round(x*1e6) BIGINT on both sides). Keys absent here are
-    non-SQL-expressible (LSH/hash-based or stubbed ops) → rows-only check."""
+    as round(x*1e6) BIGINT on both sides). Every queries() key has an
+    oracle — including the hash/LSH/k-means and synthetic-media ops, whose
+    seeded decision chains are replayed exactly in SQL."""
     return entrypoints.oracle_sql_dict()
