@@ -1421,6 +1421,64 @@ def q_sessions(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+HOP_WINDOW_US = 3_600_000_000
+HOP_HOP_US = 900_000_000
+
+
+def q_events_hopping(sf_dir: str):
+    from .stages.windows import hopping_window_agg
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = hopping_window_agg(
+        ev, window_us=HOP_WINDOW_US, hop_us=HOP_HOP_US, key_col="event_type"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch["window_start"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"],
+                "sum_i6": pa.array(
+                    _i6(batch["sum_value"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOPPING_SQL = f"""
+SELECT (epoch_us(ts) // {HOP_HOP_US} - r.i) * {HOP_HOP_US} AS window_us,
+       event_type, count(*) AS n_events,
+       CAST(ROUND(sum(value) * 1000000) AS BIGINT) AS sum_i6
+FROM events
+CROSS JOIN (SELECT unnest(range(0, {HOP_WINDOW_US // HOP_HOP_US})) AS i) r
+GROUP BY 1, 2
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    from .stages.sketch import heavy_hitters
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return heavy_hitters(docs, k=10, capacity=4096)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH c AS (SELECT term, count(*) AS cnt FROM ({TOK_SQL}) GROUP BY term),
+r AS (SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM c)
+SELECT term, cnt, rank FROM r WHERE rank <= 10
+"""
+
+
 SESSIONS_SQL = """
 WITH o AS (SELECT user_id, ts,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
@@ -1573,7 +1631,9 @@ def queries_dict():
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
         "events_window": q_events_window,
+        "events_hopping": q_events_hopping,
         "sessions": q_sessions,
+        "heavy_hitters": q_heavy_hitters,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
     }
@@ -1607,7 +1667,9 @@ def oracle_sql_dict():
         "ivf_knn": IVF_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
+        "events_hopping": EVENTS_HOPPING_SQL,
         "sessions": SESSIONS_SQL,
+        "heavy_hitters": HEAVY_HITTERS_SQL,
         "media_decode": MEDIA_DECODE_SQL,
         "media_features": MEDIA_FEATURES_SQL,
     }

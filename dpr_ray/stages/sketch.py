@@ -1,0 +1,172 @@
+"""Distributed heavy hitters (exact top-k frequent terms) via a
+sketch-candidates → exact-verify two-pass.
+
+The 100-TB shape: counting EVERY distinct term exactly is a full
+groupby-shuffle over the token stream (|vocab| keys, token-stream-sized
+input). Heavy hitters only needs the top-k, so pass 1 ships a bounded
+sketch per block — each batch counts its terms exactly (one vectorized
+``value_counts``), keeps its top-``capacity`` counters and records the
+largest DROPPED count as that batch's error bound (a Misra-Gries-style
+truncation: a term dropped in a batch had count ≤ that bound there).
+Summing partials gives ``true(t) - err ≤ est(t) ≤ true(t)`` with
+``err = Σ_b err_b``, so every true top-k term is provably inside
+``{t : est(t) + err ≥ k-th largest est}`` — that candidate set is
+broadcast (one ``ray.put``) and pass 2 re-counts ONLY candidates exactly.
+The shuffle moves ≤ (capacity+1) rows per block in pass 1 and |candidates|
+partial rows per block in pass 2, never the token stream.
+
+If the capacity was too small for the data (k-th estimate ≤ err, so an
+entirely-dropped term could still be top-k) the operator falls back to the
+exact full groupby and logs it — correctness is unconditional, the sketch
+is purely a traffic optimization. No silent caps: candidate count, error
+bound and any fallback are logged.
+
+Reference parity: DPR has no frequency-sketch operator; this is one of the
+engine's LLM-data-pipeline additions (same family as A4/A5 corpus counters,
+``dpr/data/biencoder_data.py`` corpus stats).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from .._shipping import ensure_shippable
+
+logger = logging.getLogger(__name__)
+
+
+def _term_counts(batch: pa.Table, text_col: str) -> tuple[pa.Array, pa.Array]:
+    """Space-split tokens of a batch → (terms, counts), one vectorized pass
+    (mirrors the oracle's ``regexp_split_to_array(text, ' ')``)."""
+    toks = pc.list_flatten(pc.split_pattern(batch[text_col], " "))
+    vc = toks.value_counts()
+    return vc.field("values"), vc.field("counts").cast(pa.int64())
+
+
+def heavy_hitters(
+    docs_ds,
+    k: int = 50,
+    capacity: int = 4096,
+    text_col: str = "text",
+) -> pa.Table:
+    """→ pyarrow.Table (term, cnt, rank): the EXACT top-k most frequent
+    space-split terms, rank 1..k by (count desc, term asc). Small result by
+    construction (k rows); the heavy work is distributed as documented in
+    the module docstring."""
+    ensure_shippable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, counts = _term_counts(batch, text_col)
+        n = len(terms)
+        err = 0
+        if n > capacity:
+            cnp = counts.to_numpy()
+            order = np.argpartition(cnp, n - capacity)
+            keep, drop = order[n - capacity:], order[: n - capacity]
+            err = int(cnp[drop].max())
+            take = pa.array(keep)
+            terms, counts = terms.take(take), counts.take(take)
+        body = pa.table(
+            {
+                "term": terms,
+                "cnt": counts,
+                "is_err": pa.array(np.zeros(len(terms), dtype=bool)),
+            }
+        )
+        err_row = pa.table(
+            {
+                "term": pa.array([""], pa.string()),
+                "cnt": pa.array([err], pa.int64()),
+                "is_err": pa.array([True]),
+            }
+        )
+        return pa.concat_tables([body.cast(err_row.schema), err_row])
+
+    # Narrow by construction: ≤ (capacity+1) rows per input block.
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    err_total = sum(
+        r["cnt"]
+        for r in partials.map_batches(
+            lambda b: b.filter(b["is_err"]), batch_format="pyarrow"
+        ).take_all()
+    )
+    est = (
+        partials.map_batches(
+            lambda b: b.filter(pc.invert(b["is_err"])), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="est"))
+    )
+    top_est = est.sort("est", descending=True).limit(k).take_all()
+    theta = top_est[-1]["est"] if len(top_est) >= k else 0
+
+    if theta <= err_total:
+        # Sketch under-provisioned for this distribution: a term dropped
+        # everywhere could still be top-k. Fall back to the exact full
+        # count — correctness over traffic.
+        logger.warning(
+            "heavy_hitters: capacity=%d too small (theta=%d <= err=%d); "
+            "falling back to exact full count",
+            capacity, theta, err_total,
+        )
+        exact = (
+            docs_ds.map_batches(
+                lambda b: pa.table(dict(zip(("term", "cnt"), _term_counts(b, text_col)))),
+                batch_format="pyarrow",
+            )
+            .groupby("term")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        cand_tbl = pa.Table.from_pylist(
+            exact.sort(["cnt", "term"], descending=[True, False]).limit(k).take_all(),
+            schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
+        )
+    else:
+        thresh = theta - err_total
+        cands = est.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["est"], thresh)),
+            batch_format="pyarrow",
+        )
+        cand_terms = pa.array(
+            [r["term"] for r in cands.select_columns(["term"]).take_all()],
+            pa.string(),
+        )
+        logger.info(
+            "heavy_hitters: %d candidates (err=%d, theta=%d)",
+            len(cand_terms), err_total, theta,
+        )
+        cand_ref = ray.put(cand_terms)
+
+        def exact_counts(batch: pa.Table) -> pa.Table:
+            cand = ray.get(cand_ref)  # plasma-cached per worker process
+            terms, counts = _term_counts(batch, text_col)
+            mask = pc.is_in(terms, value_set=cand)
+            return pa.table(
+                {"term": terms.filter(mask), "cnt": counts.filter(mask)}
+            )
+
+        verified = (
+            docs_ds.map_batches(exact_counts, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        cand_tbl = pa.Table.from_pylist(
+            verified.take_all(),
+            schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
+        )
+
+    # k rows: total order (cnt desc, term asc) — deterministic, tie-safe.
+    order = pc.sort_indices(
+        cand_tbl,
+        sort_keys=[("cnt", "descending"), ("term", "ascending")],
+    )[:k]
+    out = cand_tbl.take(order)
+    return out.append_column(
+        "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int64))
+    )

@@ -84,6 +84,80 @@ def tumbling_window_agg(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window_agg(
+    events_ds,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """→ Dataset (window_start: timestamp[us], <key_col>, n_events,
+    sum_value): HOPPING (sliding) windows of length ``window_us`` advancing
+    every ``hop_us``. ``window_us`` must be a multiple of ``hop_us``; each
+    event then belongs to exactly ``window_us // hop_us`` windows (starts
+    ``(ts // hop - i) * hop`` for ``i in 0..k-1``), so the per-batch
+    expansion factor is the fixed constant k — partials stay one row per
+    (window, key) per batch and the shuffle moves partials, not the
+    k-times-replicated events."""
+    ensure_shippable()
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        base = (ts // hop_us) * hop_us
+        # (k, n) window starts, flattened; keys/values tiled by take
+        win = (base[None, :] - np.arange(k, dtype=np.int64)[:, None] * hop_us).ravel()
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        t = pa.table(
+            {
+                "w": pa.array(win, pa.int64()),
+                "key": pc.take(batch[key_col], idx),
+                "value": pc.take(batch[value_col], idx),
+            }
+        )
+        g = t.group_by(["w", "key"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "w": g["w"],
+                "key": g["key"],
+                "sum_part": g["value_sum"],
+                "n_part": g["value_count"],
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w", "key"])
+        .aggregate(
+            Sum("sum_part", alias_name="sum_value"),
+            Sum("n_part", alias_name="n_events"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch["w"].cast(pa.timestamp("us")),
+                key_col: batch["key"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    round_half_away(
+                        batch["sum_value"].to_numpy(zero_copy_only=False)
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def session_windows(
     events_ds,
     gap_seconds: float = 1800.0,

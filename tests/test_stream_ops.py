@@ -1,0 +1,100 @@
+"""Hopping windows + heavy hitters vs in-process brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dpr_ray.stages.sketch import heavy_hitters
+from dpr_ray.stages.windows import hopping_window_agg
+
+HOP = 1_000_000  # 1 s
+WIN = 4_000_000  # 4 s → k = 4 windows per event
+
+
+def _events(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 60_000_000, n)  # 1 min span, us
+    return pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(
+                [f"t{int(x)}" for x in rng.integers(0, 3, n)]
+            ),
+            "value": pa.array(rng.normal(0, 10, n), pa.float64()),
+        }
+    )
+
+
+def test_hopping_window_vs_brute(ray_session):
+    t = _events()
+    got = (
+        hopping_window_agg(
+            ray.data.from_arrow(t).repartition(7),
+            window_us=WIN,
+            hop_us=HOP,
+        )
+        .to_pandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+
+    # brute force: every event → its 4 windows
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    rows = {}
+    for i in range(len(ts)):
+        base = (ts[i] // HOP) * HOP
+        for j in range(WIN // HOP):
+            key = (base - j * HOP, t["event_type"][i].as_py())
+            n, s = rows.get(key, (0, 0.0))
+            rows[key] = (n + 1, s + t["value"][i].as_py())
+
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        n, s = rows[(r["window_start"].value // 1000, r["event_type"])]
+        assert r["n_events"] == n
+        assert abs(r["sum_value"] - s) < 1e-5
+    # every window start is hop-aligned and covers its events
+    assert (got["window_start"].astype("int64") % HOP == 0).all()
+
+
+def test_hopping_rejects_nonmultiple(ray_session):
+    with pytest.raises(ValueError):
+        hopping_window_agg(
+            ray.data.from_arrow(_events(10)), window_us=3, hop_us=2
+        )
+
+
+def _docs(n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    # zipf-ish skew so there ARE heavy hitters
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40), p=p))
+        for _ in range(n)
+    ]
+    return pa.table({"text": pa.array(texts)})
+
+
+def _brute_topk(t, k):
+    from collections import Counter
+
+    c = Counter()
+    for s in t["text"].to_pylist():
+        c.update(s.split(" "))
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("capacity", [4096, 48, 4])
+def test_heavy_hitters_exact(ray_session, capacity):
+    """capacity=4096: no truncation; 48: sketch path with real drops;
+    4: under-provisioned → exact-fallback path. All must be exact."""
+    t = _docs()
+    got = heavy_hitters(
+        ray.data.from_arrow(t).repartition(9), k=20, capacity=capacity
+    )
+    want = _brute_topk(t, 20)
+    assert got.column_names == ["term", "cnt", "rank"]
+    assert list(got["rank"].to_pylist()) == list(range(1, len(want) + 1))
+    assert list(zip(got["term"].to_pylist(), got["cnt"].to_pylist())) == want
