@@ -12,6 +12,7 @@ from ._shipping import ensure_shippable
 from .config import DEFAULT_TOP_K
 from .eval import qa
 from .query.executor import search_pipeline
+from .util import auto_pool
 
 
 def retrieve_and_evaluate(
@@ -46,7 +47,7 @@ def retrieve_and_evaluate(
         qa.AttachHasAnswer,
         fn_constructor_kwargs={"answers_ref": answers_ref, "match": match},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=auto_pool(0.5),
     )
     # result set is query-scale (n_queries × k rows): pin it so metrics and
     # the results sink don't recompute the whole retrieval

@@ -42,6 +42,7 @@ import pyarrow.dataset as pads
 
 from .. import analyzer, codec
 from ..config import BM25Params, DEFAULT_TOP_K
+from ..util import auto_pool
 from ..index import segments as seg
 from . import scorer
 
@@ -134,6 +135,8 @@ class SegmentStore:
             self.dense_size = max_docid + 1 if max_docid < (1 << 23) else 0
         self._dense_buf: np.ndarray | None = None
         self._dense_ids: np.ndarray | None = None
+        self._multi_buf: np.ndarray | None = None
+        self._scratch: tuple | None = None
         if warm_refs:
             # shared pre-decoded postings (+ head-term impact perms and
             # posmaps): ray.get is zero-copy for the numpy arrays inside
@@ -164,6 +167,41 @@ class SegmentStore:
             self._dense_buf = np.zeros(self.dense_size, dtype=np.float64)
             self._dense_ids = np.arange(self.dense_size, dtype=np.uint64)
         return self._dense_buf, self._dense_ids
+
+    def dense_scratch(self):
+        """Persistent extraction scratch (partition copy + two masks):
+        np.partition/mask allocations are dense_size-sized; fresh mmaps
+        every query fault in new pages, and this class of VM serializes
+        fault handling (~40-90 MB/s measured) — reuse makes extraction
+        allocation-free."""
+        if self._scratch is None:
+            n = self.dense_size
+            self._scratch = (
+                np.empty(n, np.float64),
+                np.empty(n, bool),
+                np.empty(n, bool),
+            )
+        return self._scratch
+
+    def multi_group_size(self) -> int:
+        """How many dense accumulators fit the batch-TAAT scratch budget
+        (term-major accumulation amortizes each term's contribution stream
+        across the queries of a group — the single biggest DRAM-bandwidth
+        lever for head-heavy query batches). ≥2 required to pay."""
+        if not self.dense_size:
+            return 1
+        budget = int(os.environ.get("DPR_BATCH_ACCUM_MB", "128")) << 20
+        return max(1, min(16, budget // (self.dense_size * 8)))
+
+    def dense_buffers_multi(self, g: int):
+        """(g, dense_size) float64 zeroed scratch (persistent per actor —
+        first-touch page faults are paid once) + the shared id map."""
+        if self._multi_buf is None or self._multi_buf.shape[0] < g:
+            self._multi_buf = np.zeros(
+                (g, self.dense_size), dtype=np.float64
+            )
+        self.dense_buffers()  # ensure ids exist
+        return self._multi_buf, self._dense_ids
 
     def scored(self, term: str):
         """Scored postings entry for one term, or None:
@@ -466,6 +504,7 @@ def taat_topk_dense(
     k: int,
     buf: np.ndarray,
     ids: np.ndarray,
+    scratch: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact TAAT via a reusable dense accumulator indexed by docid. Each
     term's docids are unique, so ``buf[docids] += contrib`` is a plain
@@ -479,10 +518,36 @@ def taat_topk_dense(
         return docids[order], contrib[order]
     for e in entries:
         buf[e[0]] += e[1]
+    return _dense_topk_extract(buf, ids, k, entries, scratch)
+
+
+def _dense_topk_extract(
+    buf: np.ndarray,
+    ids: np.ndarray,
+    k: int,
+    entries: list[tuple],
+    scratch: tuple | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k + reset over an accumulated dense buffer — the single source
+    of truth for both the per-query and the batched term-major TAAT paths
+    (shared code = shared bitwise behavior). ``scratch`` (partition copy +
+    two bool masks, persistent per actor) makes the dense-size-sized
+    temporaries allocation-free — identical values, no per-query mmap
+    page-fault cycle."""
     # top-k over the full dense array; zero (untouched) scores filtered out
     if len(buf) > k:
-        kth = np.partition(buf, len(buf) - k)[len(buf) - k]
-        mask = (buf > 0.0) & (buf >= kth)
+        if scratch is not None:
+            part, m1, m2 = scratch
+            np.copyto(part, buf)
+            part.partition(len(buf) - k)
+            kth = part[len(buf) - k]
+            np.greater(buf, 0.0, out=m1)
+            np.greater_equal(buf, kth, out=m2)
+            np.logical_and(m1, m2, out=m1)
+            mask = m1
+        else:
+            kth = np.partition(buf, len(buf) - k)[len(buf) - k]
+            mask = (buf > 0.0) & (buf >= kth)
     else:
         mask = buf > 0.0
     cand = np.flatnonzero(mask)
@@ -496,6 +561,40 @@ def taat_topk_dense(
         for e in entries:
             buf[e[0]] = 0.0
     return out
+
+
+def taat_topk_dense_multi(
+    qentries: list[list[tuple[str, tuple]]],
+    k: int,
+    bufs: np.ndarray,
+    ids: np.ndarray,
+    scratch: tuple | None = None,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batched TERM-MAJOR dense TAAT: one group of queries accumulates
+    together, streaming each shared term's (docids, contrib) arrays from
+    DRAM once per GROUP instead of once per query (they stay cache-hot
+    across the group's scatter-adds). Head-heavy query batches share most
+    terms, so this divides posting-stream bandwidth — the single-node
+    memory-bus wall — by up to the group size.
+
+    ``qentries[j]`` is query j's [(term, scored-entry)] with terms sorted
+    ascending. Terms are visited in globally sorted order, so each query's
+    accumulation order is exactly its own sorted-term order — bitwise
+    identical to the per-query ``taat_topk_dense`` path (test-gated).
+    ``bufs`` is a (g≥len(qentries), dense_size) zeroed scratch."""
+    union: dict[str, tuple[tuple, list[int]]] = {}
+    for j, qe in enumerate(qentries):
+        for t, e in qe:
+            union.setdefault(t, (e, []))[1].append(j)
+    for t in sorted(union):
+        e, js = union[t]
+        d, c = e[0], e[1]
+        for j in js:
+            bufs[j][d] += c
+    return [
+        _dense_topk_extract(bufs[j], ids, k, [e for _, e in qe], scratch)
+        for j, qe in enumerate(qentries)
+    ]
 
 
 def _gather_exact(
@@ -531,7 +630,9 @@ def _impact_expand(
     ids: np.ndarray,
     perms: list[np.ndarray],
     posmaps: list[np.ndarray] | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+    defer_taat: bool = False,
+    scratch: tuple | None = None,
+):
     """Exact top-k for head-only queries via impact-ordered candidate
     expansion (the threshold-algorithm shape over cached impact
     permutations).
@@ -572,7 +673,8 @@ def _impact_expand(
         if len(cand):
             new = new[~np.isin(new, cand, assume_unique=True)]
         if len(cand) + len(new) > 0.25 * total:
-            return taat_topk_dense(plain, k, buf, ids)
+            return (None if defer_taat
+                    else taat_topk_dense(plain, k, buf, ids, scratch))
         if len(new):
             ne = _gather_exact(entries, new, posmaps)
             cand = np.concatenate([cand, new])
@@ -610,7 +712,8 @@ def _impact_expand(
                         samp = e[1][perms[i][::stride]]
                         est += int((samp >= share).sum()) * stride
                 if est > total // 8:
-                    return taat_topk_dense(plain, k, buf, ids)
+                    return (None if defer_taat
+                            else taat_topk_dense(plain, k, buf, ids, scratch))
         step *= 2
     order = np.lexsort((cand, -exact))[:k]
     return cand[order].astype(np.uint64), exact[order]
@@ -623,8 +726,15 @@ def maxscore_topk_dense(
     ids: np.ndarray,
     impact_fn=None,
     posmap_fn=None,
-) -> tuple[np.ndarray, np.ndarray]:
+    defer_taat: bool = False,
+    scratch: tuple | None = None,
+):
     """Exact candidate-expansion MaxScore over pre-scored entries.
+
+    With ``defer_taat=True``, every would-be plain-dense-TAAT fallback
+    returns ``None`` instead so the caller can batch those queries through
+    the term-major ``taat_topk_dense_multi`` (bandwidth amortization);
+    the pruned paths are unaffected.
 
     Terms are processed in ASCENDING df order. Each round adds the next
     term's postings to the candidate set and computes those documents'
@@ -662,8 +772,12 @@ def maxscore_topk_dense(
                     if posmap_fn is not None
                     else None
                 )
-                return _impact_expand(entries, k, buf, ids, perms, posmaps)
-        return taat_topk_dense(plain, k, buf, ids)
+                return _impact_expand(
+                    entries, k, buf, ids, perms, posmaps,
+                    defer_taat=defer_taat, scratch=scratch,
+                )
+        return (None if defer_taat
+                else taat_topk_dense(plain, k, buf, ids, scratch))
     posmaps = None  # selective rounds: candidate sets are small, binary
     # search over the rare prefixes beats building dense maps
     order_df = np.argsort(dfs, kind="stable")
@@ -679,7 +793,8 @@ def maxscore_topk_dense(
         else:
             new = entries[ti][0]
         if len(cand) + len(new) > 0.5 * total:
-            return taat_topk_dense(plain, k, buf, ids)
+            return (None if defer_taat
+                    else taat_topk_dense(plain, k, buf, ids, scratch))
         if len(new):
             ne = _gather_exact(entries, new, posmaps)
             cand = np.concatenate([cand, new])
@@ -705,6 +820,7 @@ def pruned_topk_dense(
     k: int,
     buf: np.ndarray,
     ids: np.ndarray,
+    scratch: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact block-max pruned TAAT over the dense accumulator — the
     vectorized BMW replacement (numpy over block metadata, no per-posting
@@ -736,7 +852,7 @@ def pruned_topk_dense(
     rare = min(range(len(entries)), key=lambda i: dfs[i])
     c = entries[rare][1]
     if len(c) < k:
-        return taat_topk_dense(plain, k, buf, ids)
+        return taat_topk_dense(plain, k, buf, ids, scratch)
     theta0 = float(np.partition(c, len(c) - k)[len(c) - k]) - 1e-9
     firsts = np.concatenate([e[3] for e in entries]).astype(np.int64)
     lasts = np.concatenate([e[4] for e in entries]).astype(np.int64)
@@ -756,7 +872,7 @@ def pruned_topk_dense(
         keeps.append(keep)
         total_sel += int((e[6][1:][keep] - e[6][:-1][keep]).sum())
     if total_sel > 0.6 * sum(dfs):
-        return taat_topk_dense(plain, k, buf, ids)
+        return taat_topk_dense(plain, k, buf, ids, scratch)
     touched = []
     for e, keep in zip(entries, keeps):
         if not keep.any():
@@ -766,7 +882,7 @@ def pruned_topk_dense(
         buf[d] += e[1][idx]
         touched.append(d)
     if not touched:
-        return taat_topk_dense(plain, k, buf, ids)
+        return taat_topk_dense(plain, k, buf, ids, scratch)
     cand = np.unique(np.concatenate(touched))
     vals = buf[cand]
     nz = vals > 0.0
@@ -895,14 +1011,30 @@ class QueryExecutor:
             self.store.ensure_scored(all_terms)
         else:
             self.store.fetch(all_terms)  # one batched parquet scan
-        o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
-        for qid, question, terms in zip(qids, questions, q_terms):
+        nq = len(qids)
+        results: list = [None] * nq
+        # Plain-dense-TAAT queries are DEFERRED and evaluated together by
+        # taat_topk_dense_multi (term-major: shared head-term streams are
+        # read from DRAM once per group, not once per query). Dedup by the
+        # query's distinct-term tuple so in-batch repeats compute once.
+        g = self.store.multi_group_size() if self.store.dense_size else 1
+        can_defer = (
+            g >= 2
+            and self.method in ("taat", "maxscore")
+            and bool(self.store.dense_size)
+        )
+        deferred: dict[tuple, list[int]] = {}
+        deferred_pairs: dict[tuple, list] = {}
+        for i, (qid, question, terms) in enumerate(
+            zip(qids, questions, q_terms)
+        ):
             ckey = (tuple(terms), self.k) if self._rcache_max else None
             cached = self._rcache.get(ckey) if ckey else None
             if cached is not None:
                 self._rcache.move_to_end(ckey)
-                docids, scores = cached
-            elif self.method in ("taat", "maxscore") or dense_bmw:
+                results[i] = cached
+                continue
+            if self.method in ("taat", "maxscore") or dense_bmw:
                 pairs = [
                     (t, e)
                     for t, e in ((t, self.store.scored(t)) for t in terms)
@@ -912,18 +1044,37 @@ class QueryExecutor:
                 pres = [t for t, _ in pairs]
                 if self.store.dense_size:
                     buf, ids_arr = self.store.dense_buffers()
+                    scratch = self.store.dense_scratch()
                     if self.method == "maxscore":
-                        docids, scores = maxscore_topk_dense(
+                        r = maxscore_topk_dense(
                             entries, self.k, buf, ids_arr,
                             impact_fn=lambda i: self.store.impact(pres[i]),
                             posmap_fn=lambda i: self.store.posmap(pres[i]),
+                            defer_taat=can_defer, scratch=scratch,
                         )
+                        if r is None:
+                            key = tuple(terms)
+                            deferred.setdefault(key, []).append(i)
+                            deferred_pairs[key] = pairs
+                            continue
+                        docids, scores = r
+                    elif (
+                        self.method == "taat"
+                        and can_defer
+                        and len(entries) >= 2
+                    ):
+                        key = tuple(terms)
+                        deferred.setdefault(key, []).append(i)
+                        deferred_pairs[key] = pairs
+                        continue
                     else:
                         topk = {
                             "taat": taat_topk_dense,
                             "bmw": pruned_topk_dense,
                         }[self.method]
-                        docids, scores = topk(entries, self.k, buf, ids_arr)
+                        docids, scores = topk(
+                            entries, self.k, buf, ids_arr, scratch
+                        )
                 else:
                     # sparse ids: maxscore falls back to plain TAAT
                     docids, scores = taat_topk_entries(entries, self.k)
@@ -935,10 +1086,30 @@ class QueryExecutor:
                 docids, scores = bmw_topk(
                     rows, self.n_docs, self.avgdl, self.store.params, self.k
                 )
-            if ckey is not None and cached is None:
+            results[i] = (docids, scores)
+            if ckey is not None:
                 self._rcache[ckey] = (docids, scores)
                 while len(self._rcache) > self._rcache_max:
                     self._rcache.popitem(last=False)
+        if deferred:
+            keys = list(deferred)
+            bufs, ids_arr = self.store.dense_buffers_multi(min(g, len(keys)))
+            for start in range(0, len(keys), g):
+                grp = keys[start : start + g]
+                outs = taat_topk_dense_multi(
+                    [deferred_pairs[kk] for kk in grp], self.k, bufs, ids_arr,
+                    self.store.dense_scratch(),
+                )
+                for kk, out in zip(grp, outs):
+                    for slot in deferred[kk]:
+                        results[slot] = out
+                    if self._rcache_max:
+                        self._rcache[(kk, self.k)] = out
+                        while len(self._rcache) > self._rcache_max:
+                            self._rcache.popitem(last=False)
+        o_qid, o_q, o_rank, o_doc, o_score = [], [], [], [], []
+        for i, (qid, question) in enumerate(zip(qids, questions)):
+            docids, scores = results[i]
             if (
                 self.store.docid_range is not None
                 and self.store.dense_size
@@ -1215,6 +1386,6 @@ def search_pipeline(
             DocJoin,
             fn_constructor_kwargs={"index_dir": index_dir, "columns": doc_columns},
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=auto_pool(0.5),
         )
     return res

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .._shipping import ensure_shippable
+from ..util import auto_pool
 
 MEDIA_SCHEMA_FIELDS = [
     ("media_id", pa.int64()),
@@ -128,12 +129,12 @@ def media_pipeline(corpus_ds, fake_decode: bool = True):
         fn_constructor_kwargs={"fake": fake_decode},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 2),
+        concurrency=auto_pool(0.5),
     )
     feats = media.map_batches(
         ExtractFeatures,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 2),
+        concurrency=auto_pool(0.5),
     )
     return decoded, feats

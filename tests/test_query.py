@@ -374,3 +374,62 @@ def test_executor_head_only_uses_impact_cache(setup_dense):
     present = [t for t in ("the", "of", "and") if ex_m.store.scored(t) is not None]
     if len(present) >= 2:  # head-only bail engaged → perms were built
         assert len(ex_m.store._impact) >= 1
+
+
+def test_batched_taat_bitwise_vs_unbatched(setup_dense, monkeypatch):
+    """The term-major batched TAAT (taat_topk_dense_multi via the deferred
+    pool) must be bitwise-identical to the per-query dense path
+    (DPR_BATCH_ACCUM_MB=0 disables batching), for both taat and maxscore,
+    on a batch with heavy term sharing and duplicate term-sets."""
+    index_dir, _oracle = setup_dense
+    import pyarrow as pa
+
+    qs = QUERIES + QUERIES[:3] + ["def return class", "def return class"]
+    batch = pa.table(
+        {
+            "qid": pa.array([f"b{i}" for i in range(len(qs))]),
+            "question": pa.array(qs),
+        }
+    )
+    for method in ("taat", "maxscore"):
+        monkeypatch.setenv("DPR_BATCH_ACCUM_MB", "0")
+        plain = qe.QueryExecutor(
+            index_dir, k=25, method=method, result_cache=0
+        )(batch).to_pylist()
+        monkeypatch.delenv("DPR_BATCH_ACCUM_MB")
+        ex = qe.QueryExecutor(index_dir, k=25, method=method, result_cache=0)
+        assert ex.store.multi_group_size() >= 2
+        batched = ex(batch).to_pylist()
+        assert batched == plain, method
+        if method == "taat":
+            # the deferred pool must actually have been exercised
+            assert ex.store._multi_buf is not None
+
+
+def test_taat_topk_dense_multi_unit(ray_session):
+    """Direct unit check: grouped accumulation == per-query accumulation
+    on synthetic entries with shared terms."""
+    rng = np.random.default_rng(11)
+    n = 500
+    buf = np.zeros(n, np.float64)
+    ids = np.arange(n, dtype=np.uint64)
+    terms = {}
+    for name in "abcdef":
+        d = np.sort(
+            rng.choice(n, size=int(rng.integers(20, 300)), replace=False)
+        ).astype(np.int64)
+        c = rng.random(len(d)) * 3
+        terms[name] = (d, c)
+    queries = [["a", "b", "c"], ["b", "d"], ["a", "c", "e", "f"], ["d", "f"]]
+    want = [
+        qe.taat_topk_dense([terms[t] for t in q], 10, buf, ids)
+        for q in queries
+    ]
+    bufs = np.zeros((len(queries), n), np.float64)
+    got = qe.taat_topk_dense_multi(
+        [[(t, terms[t]) for t in q] for q in queries], 10, bufs, ids
+    )
+    for w, g in zip(want, got):
+        assert np.array_equal(w[0], g[0])
+        assert np.array_equal(w[1], g[1])  # bitwise
+    assert not bufs.any()  # reset after extraction
