@@ -172,7 +172,8 @@ def run_bench() -> dict:
         from dpr_ray import entrypoints as ep
 
         for name in ["dedup_exact", "ngram_jaccard", "text_quality",
-                     "knn_cosine", "events_window"]:
+                     "knn_cosine", "events_window", "events_hopping",
+                     "heavy_hitters"]:
             fn = ep.queries_dict()[name]
             t0 = time.time()
             out = fn(sf_dir)

@@ -391,6 +391,7 @@ def test_batched_taat_bitwise_vs_unbatched(setup_dense, monkeypatch):
             "question": pa.array(qs),
         }
     )
+    monkeypatch.setenv("DPR_BATCH_MIN_ACCUM_MB", "0")  # tiny test corpus
     for method in ("taat", "maxscore"):
         monkeypatch.setenv("DPR_BATCH_ACCUM_MB", "0")
         plain = qe.QueryExecutor(
