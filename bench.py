@@ -171,9 +171,9 @@ def run_bench() -> dict:
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         from dpr_ray import entrypoints as ep
 
-        for name in ["dedup_exact", "ngram_jaccard", "text_quality",
-                     "knn_cosine", "events_window", "events_hopping",
-                     "heavy_hitters"]:
+        for name in ["dedup_exact", "ngram_jaccard", "dedup_clusters",
+                     "text_quality", "knn_cosine", "events_window",
+                     "events_hopping", "heavy_hitters"]:
             fn = ep.queries_dict()[name]
             t0 = time.time()
             out = fn(sf_dir)

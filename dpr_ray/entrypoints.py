@@ -473,6 +473,64 @@ WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup canonicalization: ngram-Jaccard pair graph → distributed
+    connected components (min-label propagation, stages/components.py) →
+    (docid, cluster_id, is_canonical) for EVERY doc (singletons included)."""
+    from .stages.components import dedup_clusters
+    from .stages.dedup import ngram_jaccard_pairs
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    pairs = ngram_jaccard_pairs(
+        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
+        k=3, threshold=NGRAM_THRESHOLD,
+    )
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+# Transitive closure of the (undirected) qualifying-pair graph: each node
+# starts labeled with itself; labels flow one hop per recursion step; the
+# UNION dedup terminates the fixpoint. min(label) per node = the smallest
+# reachable docid — exactly the engine's min-label-propagation invariant.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(a) - 1, 1)),
+           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+  FROM t WHERE len(a) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(a, ' ') AS shingle FROM t WHERE len(a) < 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY da, db
+),
+pairs AS (
+  SELECT da, db
+  FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
+  WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
+        >= {int(NGRAM_THRESHOLD * 1e6)}
+),
+e AS (SELECT da AS u, db AS v FROM pairs
+      UNION ALL SELECT db, da FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.label FROM e JOIN reach r ON e.u = r.node
+)
+SELECT node AS docid, min(label) AS cluster_id,
+       CASE WHEN min(label) = node THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 # SQL-expressible rolling hashes (dpr_ray.util.token_hash31 / poly_mod31):
 # token/shingle hash = Horner base-131 over code points mod 2^31-1, written
 # in DuckDB as list_reduce(list_prepend(0, codepoints), ...). Every hash in
@@ -1616,6 +1674,7 @@ def queries_dict():
         "hits_at_k": q_hits_at_k,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -1652,6 +1711,7 @@ def oracle_sql_dict():
         "hits_at_k": HITS_AT_K_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "minhash_lsh": MINHASH_LSH_SQL,
         "simhash": SIMHASH_SQL,
         "langid": LANGID_SQL,
