@@ -751,6 +751,30 @@ TOKEN_COUNT_SQL = (
 )
 
 
+def q_quantiles(sf_dir: str):
+    """Exact token-count quantiles via the distributed value-histogram
+    (stages/sketch.py:exact_quantiles) — no sort, no per-row shuffle."""
+    from .stages.sketch import exact_quantiles
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = analyzer.doc_lengths(batch["text"].to_pylist())
+        return pa.table({"n_tokens": pa.array(n, pa.int64())})
+
+    counts = _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
+    return exact_quantiles(counts, "n_tokens")
+
+
+# rank r(p) = ((n-1) * p_i6) // 1e6 — integer arithmetic on both sides
+QUANTILES_SQL = """
+WITH c AS (SELECT len(regexp_split_to_array(text, ' ')) AS v FROM documents),
+o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM c),
+n AS (SELECT count(*) AS cnt FROM c),
+ks(p_i6) AS (VALUES (250000), (500000), (750000), (900000), (990000))
+SELECT ks.p_i6, o.v AS value
+FROM ks CROSS JOIN n JOIN o ON o.r = (n.cnt - 1) * ks.p_i6 // 1000000
+"""
+
+
 def q_langid(sf_dir: str):
     from .stages.text_stats import LangId
 
@@ -1556,6 +1580,48 @@ FROM s GROUP BY user_id, sid
 """
 
 
+ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE = "purchase", "click"
+
+
+def q_asof_join(sf_dir: str):
+    """Attribution as-of join: each purchase matched to the user's most
+    recent preceding click (stages/joins.py:asof_join — one shuffle, one
+    lexsort + exclusive cummax per key group)."""
+    from .stages.joins import asof_join
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    left = ev.filter(expr=f"event_type == '{ASOF_LEFT_TYPE}'")
+    right = ev.filter(expr=f"event_type == '{ASOF_RIGHT_TYPE}'")
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     id_col="event_id")
+
+
+# "most recent preceding" in strict (ts, event_id) lexicographic order —
+# ties total and deterministic on both sides
+ASOF_JOIN_SQL = f"""
+WITH x AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{ASOF_LEFT_TYPE}'),
+y AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{ASOF_RIGHT_TYPE}'),
+m AS (
+  SELECT x.event_id AS left_id, y.event_id AS y_id,
+         epoch_us(y.ts) AS y_ts_us,
+         row_number() OVER (PARTITION BY x.event_id
+                            ORDER BY y.ts DESC, y.event_id DESC) AS rn
+  FROM x JOIN y ON x.user_id = y.user_id
+    AND (y.ts < x.ts OR (y.ts = x.ts AND y.event_id < x.event_id))
+)
+SELECT x.user_id AS key, x.event_id AS left_id, epoch_us(x.ts) AS left_ts_us,
+       COALESCE(m.y_id, -1) AS right_id,
+       COALESCE(m.y_ts_us, -1) AS right_ts_us,
+       COALESCE(epoch_us(x.ts) - m.y_ts_us, -1) AS lag_us
+FROM x LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON x.event_id = m.left_id
+"""
+
+
 # -------------------------------------------------------------- multimodal --
 
 # The synthetic media chain is sha256-seeded precisely so DuckDB can replay
@@ -1679,6 +1745,7 @@ def queries_dict():
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
+        "quantiles": q_quantiles,
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
@@ -1692,6 +1759,7 @@ def queries_dict():
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "sessions": q_sessions,
+        "asof_join": q_asof_join,
         "heavy_hitters": q_heavy_hitters,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
@@ -1718,6 +1786,7 @@ def oracle_sql_dict():
         "fingerprint": FINGERPRINT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "token_count": TOKEN_COUNT_SQL,
+        "quantiles": QUANTILES_SQL,
         "chunk_corpus": CHUNK_CORPUS_SQL,
         "chunked_bm25": CHUNKED_BM25_SQL,
         "chunk_hits": CHUNK_HITS_SQL,
@@ -1729,6 +1798,7 @@ def oracle_sql_dict():
         "events_window": EVENTS_WINDOW_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,
         "sessions": SESSIONS_SQL,
+        "asof_join": ASOF_JOIN_SQL,
         "heavy_hitters": HEAVY_HITTERS_SQL,
         "media_decode": MEDIA_DECODE_SQL,
         "media_features": MEDIA_FEATURES_SQL,

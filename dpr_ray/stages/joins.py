@@ -1,0 +1,108 @@
+"""Ordered joins Ray Data lacks natively. First entry: the as-of join
+(each left event matched to the most recent preceding right event with the
+same key) — the canonical sessionization/attribution primitive.
+
+Scale shape: lift both sides to one tagged narrow table
+``(key, ts_us, eid, side)`` and ``groupby(key)`` ONCE; inside a group one
+lexsort + one exclusive cummax does every match vectorized (no per-row
+scan, no nested binary searches). The shuffle moves each event exactly
+once; the driver sees nothing.
+
+Partitioning assumption (same as session windows): a key's full history
+fits one group. For keys whose stream exceeds a worker, pre-split by
+coarse time range with a one-range boundary overlap on the right side —
+the operator's semantics only need the latest preceding right event, so
+replicating the previous range's right rows preserves exactness.
+
+Determinism: matches are defined in strict ``(ts, eid)`` lexicographic
+order — a right row at the identical timestamp matches only if its id is
+smaller, so ties are total and reproducible (the ``(-score, docid)``
+discipline applied to time).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._shipping import ensure_shippable
+
+
+def _lift(ds, key_col, ts_col, id_col, side: int):
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch[key_col].cast(pa.int64()),
+                "ts_us": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+                if pa.types.is_timestamp(batch[ts_col].type)
+                else batch[ts_col].cast(pa.int64()),
+                "eid": batch[id_col].cast(pa.int64()),
+                "side": pa.array(np.full(n, side, np.int32), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_OUT_SCHEMA = {
+    "key": pa.int64(),
+    "left_id": pa.int64(),
+    "left_ts_us": pa.int64(),
+    "right_id": pa.int64(),
+    "right_ts_us": pa.int64(),
+    "lag_us": pa.int64(),
+}
+
+
+def asof_join(
+    left,
+    right,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """→ Dataset ``(key, left_id, left_ts_us, right_id, right_ts_us,
+    lag_us)``: one row per LEFT event; ``right_*``/``lag_us`` are ``-1``
+    when no right event precedes it (left outer as-of)."""
+    ensure_shippable()
+
+    tagged = _lift(left, key_col, ts_col, id_col, 0).union(
+        _lift(right, key_col, ts_col, id_col, 1)
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["eid"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        # left(0) before right(1) at identical (ts, eid): a right row that
+        # IS the left row (self-join uses) must not match itself
+        order = np.lexsort((side, eid, ts))
+        ts, eid, side = ts[order], eid[order], side[order]
+        n = len(ts)
+        ypos = np.where(side == 1, np.arange(n), -1)
+        last_excl = np.concatenate(([-1], np.maximum.accumulate(ypos)[:-1]))
+        li = np.nonzero(side == 0)[0]
+        if len(li) == 0:
+            return pa.table(
+                {c: pa.array([], t) for c, t in _OUT_SCHEMA.items()}
+            )
+        m = last_excl[li]
+        hit = m >= 0
+        ms = np.where(hit, m, 0)
+        r_id = np.where(hit, eid[ms], -1)
+        r_ts = np.where(hit, ts[ms], -1)
+        lag = np.where(hit, ts[li] - ts[ms], -1)
+        key = group["key"][0].as_py()
+        return pa.table(
+            {
+                "key": pa.array(np.full(len(li), key, np.int64), pa.int64()),
+                "left_id": pa.array(eid[li], pa.int64()),
+                "left_ts_us": pa.array(ts[li], pa.int64()),
+                "right_id": pa.array(r_id, pa.int64()),
+                "right_ts_us": pa.array(r_ts, pa.int64()),
+                "lag_us": pa.array(lag, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("key").map_groups(match, batch_format="pyarrow")

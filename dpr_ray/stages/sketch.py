@@ -170,3 +170,59 @@ def heavy_hitters(
     return out.append_column(
         "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int64))
     )
+
+
+def exact_quantiles(
+    ds,
+    value_col: str,
+    ps_i6: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> pa.Table:
+    """→ pyarrow.Table ``(p_i6, value)``: EXACT discrete quantiles of an
+    integer column. Quantile definition (integer arithmetic only, so the
+    SQL oracle reproduces it bit-for-bit): the value at 0-indexed rank
+    ``r(p) = ((n - 1) * p_i6) // 1_000_000`` of the sorted column.
+
+    Scale shape: per-batch ``value_counts`` partials → ``groupby(value)``
+    sum → a histogram whose row count is the number of DISTINCT values
+    (bounded by the value domain — e.g. document lengths — not by row
+    count); only that small histogram reaches the driver for the cumsum
+    rank pick. No sort of the data, no per-row shuffle rows: one compact
+    (value, cnt) row per distinct value per block."""
+    ensure_shippable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[value_col])
+        return pa.table(
+            {
+                "value": vc.field("values").cast(pa.int64()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    tbl = pa.Table.from_pylist(
+        hist.take_all(),
+        schema=pa.schema([("value", pa.int64()), ("cnt", pa.int64())]),
+    )
+    order = pc.sort_indices(tbl, sort_keys=[("value", "ascending")])
+    tbl = tbl.take(order)
+    vals = tbl["value"].to_numpy()
+    cum = np.cumsum(tbl["cnt"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in ps_i6:
+        if n == 0:
+            continue
+        r = ((n - 1) * int(p)) // 1_000_000
+        out_p.append(int(p))
+        out_v.append(int(vals[np.searchsorted(cum, r + 1)]))
+    return pa.table(
+        {
+            "p_i6": pa.array(out_p, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
