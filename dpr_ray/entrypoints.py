@@ -1724,6 +1724,51 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- curation -------
+
+CURATION_MIN_QUALITY_I6 = 250_000
+CURATION_MIN_TOKENS = 20
+CURATION_MAX_TOKENS = 1_000_000
+
+
+def q_curation(sf_dir: str):
+    """Composed training-data curation (stages/curation.py): fused
+    quality+langid single pass, near-dup cluster canonicalization, one
+    cogroup merge applying every keep-rule — per-doc audit verdicts."""
+    from .stages.curation import curate_corpus
+    from .stages.dedup import ngram_jaccard_pairs
+
+    docs = _docs_ds(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, threshold=NGRAM_THRESHOLD
+    )
+    return curate_corpus(
+        docs,
+        pairs,
+        id_col="doc_id",
+        text_col="text",
+        min_quality_i6=CURATION_MIN_QUALITY_I6,
+        min_tokens=CURATION_MIN_TOKENS,
+        max_tokens=CURATION_MAX_TOKENS,
+    )
+
+
+# The composite oracle is literally the composition of the three already-
+# green per-stage oracles (quality, langid, clusters) joined on docid.
+CURATION_SQL = f"""
+WITH q AS (SELECT * FROM ({TEXT_QUALITY_SQL})),
+l AS (SELECT * FROM ({LANGID_SQL})),
+c AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL}))
+SELECT q.docid, q.n_tokens, l.lang_pred, q.quality_i6, c.is_canonical,
+       CASE WHEN q.quality_i6 >= {CURATION_MIN_QUALITY_I6}
+             AND q.n_tokens BETWEEN {CURATION_MIN_TOKENS}
+                               AND {CURATION_MAX_TOKENS}
+             AND l.lang_pred <> 'und'
+             AND c.is_canonical = 1 THEN 1 ELSE 0 END AS keep
+FROM q JOIN l ON q.docid = l.docid JOIN c ON q.docid = c.docid
+"""
+
+
 # ----------------------------------------------------------------- exports --
 
 
@@ -1741,6 +1786,7 @@ def queries_dict():
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "curation": q_curation,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -1780,6 +1826,7 @@ def oracle_sql_dict():
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "curation": CURATION_SQL,
         "minhash_lsh": MINHASH_LSH_SQL,
         "simhash": SIMHASH_SQL,
         "langid": LANGID_SQL,

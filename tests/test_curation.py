@@ -1,0 +1,58 @@
+"""curate_corpus: every keep-rule exercised on a hand-built corpus."""
+
+import pyarrow as pa
+import ray
+
+from dpr_ray.stages.curation import curate_corpus
+from dpr_ray.stages.dedup import ngram_jaccard_pairs
+
+GOOD = "the quick brown fox jumps over the lazy dog near the quiet river " * 2
+DUP = GOOD + "extra tail words here"
+SHORT = "tiny doc"
+JUNK = "a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a"
+
+
+def _corpus():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([1, 2, 3, 4], pa.int64()),
+                "content": pa.array([GOOD, DUP, SHORT, JUNK], pa.string()),
+            }
+        )
+    )
+
+
+def test_curation_rules(ray_session):
+    docs = _corpus()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    out = (
+        curate_corpus(docs, pairs, min_quality_i6=100_000, min_tokens=10)
+        .to_pandas()
+        .set_index("docid")
+    )
+    assert len(out) == 4
+    # doc 1: good text, canonical of the {1,2} near-dup cluster → kept
+    assert out.loc[1, "keep"] == 1 and out.loc[1, "is_canonical"] == 1
+    # doc 2: near-dup of 1 (Jaccard > 0.5) → not canonical, dropped
+    assert out.loc[2, "is_canonical"] == 0 and out.loc[2, "keep"] == 0
+    # doc 3: too short
+    assert out.loc[3, "n_tokens"] < 10 and out.loc[3, "keep"] == 0
+    # doc 4: one repeated token → distinct ratio floor, quality below min
+    assert out.loc[4, "quality_i6"] < 100_000 and out.loc[4, "keep"] == 0
+    # audit columns always populated
+    assert (out["lang_pred"] != "").all()
+
+
+def test_curation_no_pairs(ray_session):
+    docs = _corpus()
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid_a": pa.array([], pa.int64()),
+                "docid_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = curate_corpus(docs, empty).to_pandas()
+    assert (out["is_canonical"] == 1).all()
