@@ -1131,6 +1131,162 @@ WHERE EXISTS (SELECT 1 FROM sp WHERE sp.qid = d.qid)
 READER_ETL_SQL = _make_reader_etl_sql()
 
 
+READER_EM_KS = [1, 2, 5, 10]
+
+
+def q_reader_em(sf_dir: str):
+    """The full reader prediction surface under the hash gate: K4
+    relevance-ranked visit order → S12 per-threshold span predictions →
+    A3 EM@k aggregate. Reader logits are deterministic 31-bit rolling
+    hashes of the passage tokens (the SQL-replayable synthetic-model
+    pattern the media queries use); ``max_answer_length=1`` keeps
+    ``select_best_spans``'s (score desc, position) order in exact
+    lockstep with the oracle's single-token span ranking."""
+    from .eval.reader_predict import reader_em_at_k, reader_predictions
+    from .query.executor import DocJoin
+    from .util import token_hash31
+
+    res = _bm25_results(sf_dir).copy()
+    res["question"] = res["qid"].map({qid: q for qid, q, _a in BM25_QUERIES})
+    joined = ray.data.from_pandas(
+        res[["qid", "question", "rank", "docid"]]
+    ).map_batches(
+        DocJoin,
+        fn_constructor_kwargs={
+            "index_dir": ensure_index(sf_dir),
+            "columns": ["content"],
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+
+    # an exact-answer token gets a +10 start-logit bonus so the synthetic
+    # reader is RIGHT where the passage contains the answer — EM@k then
+    # varies with the threshold instead of being identically zero
+    ans_sets = {qid: set(a) for qid, _q, a in BM25_QUERIES}
+
+    def add_logits(batch: pa.Table) -> pa.Table:
+        toks_all, sl_all, el_all, rel = [], [], [], []
+        for qid, docid, text in zip(
+            batch["qid"].to_pylist(),
+            batch["docid"].to_pylist(),
+            batch["content"].to_pylist(),
+        ):
+            aset = ans_sets.get(qid, set())
+            toks = text.split(" ")
+            toks_all.append(toks)
+            sl_all.append(
+                [
+                    (token_hash31(t, 131) % 1000) / 1000.0
+                    + (1.1 if t in aset else 0.0)
+                    for t in toks
+                ]
+            )
+            el_all.append(
+                [(token_hash31(t, 137) % 1000) / 1000.0 for t in toks]
+            )
+            rel.append((token_hash31("r" + str(docid), 131) % 1000) / 1000.0)
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "question": batch["question"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "relevance_logit": pa.array(rel, pa.float64()),
+                "tokens": pa.array(toks_all, pa.list_(pa.string())),
+                "start_logits": pa.array(sl_all, pa.list_(pa.float64())),
+                "end_logits": pa.array(el_all, pa.list_(pa.float64())),
+            }
+        )
+
+    samples = joined.map_batches(add_logits, batch_format="pyarrow")
+    pred = reader_predictions(
+        samples,
+        passage_thresholds=READER_EM_KS,
+        max_answer_length=1,
+        top_spans=1,
+    )
+    ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
+    em = reader_em_at_k(pred, ans_ref)
+    return pa.table(
+        {
+            "top_k": pa.array(sorted(em), pa.int64()),
+            "em_i6": pa.array(_i6([em[n] for n in sorted(em)]), pa.int64()),
+        }
+    )
+
+
+def _norm_sql(expr: str) -> str:
+    """normalize_answer (eval/qa.py:43) in DuckDB: lower → strip ASCII
+    punctuation → articles → squeeze whitespace."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower("
+        + expr
+        + r"), '[!-/:-@\[-`{-~]', '', 'g'), '\b(a|an|the)\b', ' ', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+
+
+def _make_reader_em_sql() -> str:
+    h131 = _ROLL131.format(s="tok")
+    h137 = _ROLL137.format(s="tok")
+    relh = _ROLL131.format(s="'r' || CAST(docid AS VARCHAR)")
+    ks = ", ".join(f"({n})" for n in READER_EM_KS)
+    return (
+        "WITH " + _BM25_CORE_SQL.format(qvalues=_query_values_sql())
+        + f""",
+ans(qid, answer) AS (VALUES {_answer_values_sql()}),
+rdoc AS (
+  SELECT r.qid, r.rank, r.docid, regexp_split_to_array(d.text, ' ') AS toks
+  FROM ranked r JOIN documents d ON r.docid = d.doc_id
+  WHERE r.rank <= {TOP_K}
+),
+rtok AS (
+  SELECT qid, rank, docid, u.p AS p, toks[u.p] AS tok
+  FROM rdoc, LATERAL unnest(range(1, len(toks) + 1)) AS u(p)
+),
+rsc AS (
+  -- engine addition order: (start_hash + bonus) + end_hash
+  SELECT rtok.qid, rank, docid, p, tok,
+         (CAST({h131} % 1000 AS DOUBLE) / 1000.0
+          + CASE WHEN b.answer IS NOT NULL THEN 1.1 ELSE 0.0 END)
+           + CAST({h137} % 1000 AS DOUBLE) / 1000.0 AS score
+  FROM rtok LEFT JOIN (SELECT DISTINCT qid, answer FROM ans) b
+    ON b.qid = rtok.qid AND b.answer = rtok.tok
+),
+rvis AS (
+  SELECT qid, rank, pred,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY CAST({relh} % 1000 AS DOUBLE) / 1000.0 DESC, rank) AS vo
+  FROM (
+    SELECT qid, rank, docid, tok AS pred,
+           row_number() OVER (PARTITION BY qid, rank
+                              ORDER BY score DESC, p) AS rn
+    FROM rsc
+  ) WHERE rn = 1
+),
+ks(n) AS (VALUES {ks}),
+p1 AS (
+  SELECT qid, n, pred FROM (
+    SELECT rvis.qid, ks.n, pred,
+           row_number() OVER (PARTITION BY rvis.qid, ks.n ORDER BY vo) AS rn2
+    FROM rvis CROSS JOIN ks WHERE rvis.rank <= ks.n
+  ) WHERE rn2 = 1
+),
+emq AS (
+  SELECT p1.qid, p1.n,
+         max(CASE WHEN {_norm_sql('p1.pred')} = {_norm_sql('ans.answer')}
+                  THEN 1 ELSE 0 END) AS em
+  FROM p1 JOIN ans ON ans.qid = p1.qid GROUP BY 1, 2
+)
+SELECT n AS top_k, CAST(ROUND(avg(em) * 1000000) AS BIGINT) AS em_i6
+FROM emq GROUP BY n
+"""
+    )
+
+
+READER_EM_SQL = _make_reader_em_sql()
+
+
 # --------------------------------------------------------------------- ANN --
 
 KNN_K = 5
@@ -1796,6 +1952,7 @@ def queries_dict():
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
         "reader_etl": q_reader_etl,
+        "reader_em": q_reader_em,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
@@ -1838,6 +1995,7 @@ def oracle_sql_dict():
         "chunked_bm25": CHUNKED_BM25_SQL,
         "chunk_hits": CHUNK_HITS_SQL,
         "reader_etl": READER_ETL_SQL,
+        "reader_em": READER_EM_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "lsh_knn": LSH_KNN_SQL,
         "ivf_knn": IVF_KNN_SQL,
