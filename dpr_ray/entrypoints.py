@@ -764,6 +764,50 @@ def q_quantiles(sf_dir: str):
     return exact_quantiles(counts, "n_tokens")
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_bins(sf_dir: str):
+    """Token-budget packing via the distributed two-pass prefix sum
+    (stages/scan.py): global doc offsets in doc_id order, cut into
+    fixed-budget context windows."""
+    from .stages.scan import pack_bins
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = analyzer.doc_lengths(batch["text"].to_pylist())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    counts = _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
+    out = pack_bins(counts, "doc_id", "n_tokens", budget=PACK_BUDGET)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid": batch["key"],
+                "n_tokens": batch["value"],
+                "tok_offset": batch["offset"],
+                "bin_id": batch["bin_id"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+PACK_BINS_SQL = f"""
+WITH c AS (SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS v
+           FROM documents),
+o AS (SELECT doc_id, v,
+             COALESCE(sum(v) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toff
+      FROM c)
+SELECT doc_id AS docid, v AS n_tokens, toff AS tok_offset,
+       toff // {PACK_BUDGET} AS bin_id
+FROM o
+"""
+
+
 # rank r(p) = ((n-1) * p_i6) // 1e6 — integer arithmetic on both sides
 QUANTILES_SQL = """
 WITH c AS (SELECT len(regexp_split_to_array(text, ' ')) AS v FROM documents),
@@ -1948,6 +1992,7 @@ def queries_dict():
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "quantiles": q_quantiles,
+        "pack_bins": q_pack_bins,
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
@@ -1991,6 +2036,7 @@ def oracle_sql_dict():
         "text_quality": TEXT_QUALITY_SQL,
         "token_count": TOKEN_COUNT_SQL,
         "quantiles": QUANTILES_SQL,
+        "pack_bins": PACK_BINS_SQL,
         "chunk_corpus": CHUNK_CORPUS_SQL,
         "chunked_bm25": CHUNKED_BM25_SQL,
         "chunk_hits": CHUNK_HITS_SQL,
