@@ -49,8 +49,16 @@ HIT_KS = [1, 5, 10]
 _STOPLIST = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
 
 
+from ._shipping import ensure_shippable
 from .util import read_parquet_clean
 from .util import to_i6 as _i6  # SQL ROUND (half-away) semantics
+
+# Register every dpr_ray module for by-value pickling as soon as the driver
+# contract is imported: queries like q_postings ship closures BEFORE any
+# pipeline entry point runs (the driver may call them first), and an
+# unregistered closure pickles its dpr_ray references by name — which
+# off-path workers cannot import.
+ensure_shippable()
 
 
 # ------------------------------------------------------------ index cache --
@@ -59,6 +67,7 @@ from .util import to_i6 as _i6  # SQL ROUND (half-away) semantics
 def ensure_index(sf_dir: str) -> str:
     """Build (once) the BM25 index for a testdata sf dir; reuse across
     queries via the manifest's completeness flag (the resume path)."""
+    ensure_shippable()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     index_dir = f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_{key}"
     if man.is_complete(index_dir):
@@ -153,6 +162,10 @@ FROM ({TF_SQL}) GROUP BY term
 def q_postings(sf_dir: str):
     index_dir = ensure_index(sf_dir)
     ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+    # capture the FUNCTIONS, not the `seg` module: a module object in a
+    # closure pickles as import-by-name, which off-path workers can't do
+    concat_delta_decode = seg.concat_delta_decode
+    concat_varint_decode = seg.concat_varint_decode
 
     def decode(batch: pa.Table) -> pa.Table:
         """Vectorized postings dump: ONE concatenated varint decode per
@@ -175,8 +188,8 @@ def q_postings(sf_dir: str):
         d_blobs = bd.flatten().to_pylist()
         if not d_blobs:
             return empty
-        docids, vpb = seg.concat_delta_decode(d_blobs)
-        tfs, _ = seg.concat_varint_decode(bt.flatten().to_pylist())
+        docids, vpb = concat_delta_decode(d_blobs)
+        tfs, _ = concat_varint_decode(bt.flatten().to_pylist())
         row_per_blob = np.repeat(np.arange(batch.num_rows), n_blocks)
         row_per_val = np.repeat(row_per_blob, vpb)
         terms = batch["term"].take(pa.array(row_per_val, pa.int64()))
@@ -764,6 +777,83 @@ def q_quantiles(sf_dir: str):
     return exact_quantiles(counts, "n_tokens")
 
 
+SAMPLE_RATES_I6 = {"en": 500_000}
+SAMPLE_DEFAULT_I6 = 200_000
+
+
+def q_sample_corpus(sf_dir: str):
+    """Deterministic stratified downsample by language (hash-gated
+    Bernoulli, stages/sampling.py) — map-only, resume-stable."""
+    from .stages.sampling import stratified_sample
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        rates_i6=SAMPLE_RATES_I6, default_rate_i6=SAMPLE_DEFAULT_I6,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"docid": batch["doc_id"], "lang": batch["lang"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SAMPLE_CORPUS_SQL = f"""
+SELECT doc_id AS docid, lang
+FROM documents
+WHERE ({_ROLL131.format(s="'s:' || CAST(doc_id AS VARCHAR)")}
+       * 2654435761) % 2147483647 % 1000000 <
+      CASE lang WHEN 'en' THEN {SAMPLE_RATES_I6["en"]}
+                ELSE {SAMPLE_DEFAULT_I6} END
+"""
+
+GROUPED_TOPK_K = 3
+
+
+def q_grouped_topk(sf_dir: str):
+    """Best-K docs per language by quality score — per-block partial top-k
+    then one groupby finisher (stages/sampling.py:grouped_topk)."""
+    from .stages.sampling import grouped_topk
+    from .stages.text_stats import TextQuality
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    tq = TextQuality(id_col="doc_id", text_col="text")
+
+    def features(batch: pa.Table) -> pa.Table:
+        q = tq(batch)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "docid": q["docid"],
+                "quality_i6": pa.array(
+                    _i6(q["quality_score"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    feats = docs.map_batches(features, batch_format="pyarrow")
+    return grouped_topk(
+        feats, group_col="lang", value_col="quality_i6", id_col="docid",
+        k=GROUPED_TOPK_K,
+    )
+
+
+GROUPED_TOPK_SQL = f"""
+WITH q AS (SELECT * FROM ({TEXT_QUALITY_SQL})),
+d AS (SELECT doc_id, lang FROM documents),
+r AS (SELECT d.lang, q.docid, q.quality_i6,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY q.quality_i6 DESC, q.docid) AS rank
+      FROM q JOIN d ON q.docid = d.doc_id)
+SELECT lang, docid, quality_i6, rank FROM r WHERE rank <= {GROUPED_TOPK_K}
+"""
+
+
 PACK_BUDGET = 512
 
 
@@ -1188,7 +1278,7 @@ def q_reader_em(sf_dir: str):
     lockstep with the oracle's single-token span ranking."""
     from .eval.reader_predict import reader_em_at_k, reader_predictions
     from .query.executor import DocJoin
-    from .util import token_hash31
+    from .util import token_hash31_impl as token_hash31  # shippable (plain)
 
     res = _bm25_results(sf_dir).copy()
     res["question"] = res["qid"].map({qid: q for qid, q, _a in BM25_QUERIES})
@@ -1993,6 +2083,8 @@ def queries_dict():
         "token_count": q_token_count,
         "quantiles": q_quantiles,
         "pack_bins": q_pack_bins,
+        "sample_corpus": q_sample_corpus,
+        "grouped_topk": q_grouped_topk,
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
@@ -2037,6 +2129,8 @@ def oracle_sql_dict():
         "token_count": TOKEN_COUNT_SQL,
         "quantiles": QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,
+        "sample_corpus": SAMPLE_CORPUS_SQL,
+        "grouped_topk": GROUPED_TOPK_SQL,
         "chunk_corpus": CHUNK_CORPUS_SQL,
         "chunked_bm25": CHUNKED_BM25_SQL,
         "chunk_hits": CHUNK_HITS_SQL,

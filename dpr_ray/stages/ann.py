@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 
 from .._shipping import ensure_shippable
-from ..util import round_half_away
+from ..util import round_half_away, to_i6
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -276,9 +276,9 @@ def ivf_knn(
 
 def _pair_table(ids_a, ids_b, sims, threshold, same: bool) -> pa.Table:
     """Vectorized (lo < hi, cos ≥ threshold) pair extraction from a sim
-    matrix; ``same=True`` keeps only the upper triangle."""
-    from ..util import to_i6
-
+    matrix; ``same=True`` keeps only the upper triangle (module-level
+    ``to_i6`` import — this runs on workers, where a function-scope
+    relative import would need ``import dpr_ray`` to succeed)."""
     ia, ib = np.nonzero(sims >= threshold)
     da, db = ids_a[ia], ids_b[ib]
     keep = (da < db) if same else (da != db)

@@ -53,16 +53,56 @@ def _rename_min(batch: pa.Table) -> pa.Table:
     return pa.table({"node": batch["node"], "label": batch["min(label)"]})
 
 
+def _driver_union_find(adj) -> "ray.data.Dataset":
+    """Small-graph path: one pull of the (node, req) pairs, path-halving
+    union-find, labels back as a Dataset."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for batch in adj.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(
+            batch["node"].to_numpy(zero_copy_only=False),
+            batch["req"].to_numpy(zero_copy_only=False),
+        ):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([find(n) for n in nodes], pa.int64()),
+            }
+        )
+    )
+
+
 def connected_components(
     edges,
     a_col: str = "docid_a",
     b_col: str = "docid_b",
     max_rounds: int = 64,
+    driver_edge_limit: int = 2_000_000,
 ):
     """→ materialized Dataset ``(node, label)``: one row per distinct edge
     endpoint, ``label`` = the smallest node id reachable from it (the
     component's canonical id). Nodes with no edges do not appear — see
-    :func:`assign_clusters` for full-corpus assignment."""
+    :func:`assign_clusters` for full-corpus assignment.
+
+    Size-gated hybrid (the embedding-near-dup dual-path pattern): a
+    near-dup pair graph is tiny relative to its corpus, and each
+    distributed propagation round costs two shuffles of fixed dispatch
+    latency — so up to ``driver_edge_limit`` edges (≤ 32 MB of int64
+    pairs) the edge list is pulled once and union-find runs on the
+    driver in linear time. Above the limit the iterative min-label
+    propagation below takes over; the choice is logged."""
     ensure_shippable()
 
     def explode_adj(batch: pa.Table) -> pa.Table:
@@ -79,8 +119,18 @@ def connected_components(
         )
 
     adj = edges.map_batches(explode_adj, batch_format="pyarrow").materialize()
-    if adj.count() == 0:
+    n_adj = adj.count()
+    if n_adj == 0:
         return ray.data.from_arrow(_EMPTY_LABELS)
+    if n_adj <= 2 * driver_edge_limit:
+        logger.info(
+            "connected_components: %d edges ≤ limit — driver union-find",
+            n_adj // 2,
+        )
+        return _driver_union_find(adj)
+    logger.info(
+        "connected_components: %d edges — distributed propagation", n_adj // 2
+    )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         # (endpoint, min(a,b)) for both endpoints; groupby.min finishes it

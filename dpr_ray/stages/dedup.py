@@ -36,7 +36,7 @@ import ray
 
 from .. import analyzer
 from .._shipping import ensure_shippable
-from ..util import auto_pool, poly_mod31, round_half_away
+from ..util import auto_pool, poly_mod31, round_half_away, token_hash62_impl
 
 logger = logging.getLogger("dpr_ray.dedup")
 
@@ -361,10 +361,10 @@ def simhash64(tokens: list[str]) -> int:
         return 0
     from collections import Counter
 
-    from ..util import token_hash62
-
     c = Counter(tokens)
-    hs = np.fromiter((token_hash62(t) for t in c), dtype=np.uint64, count=len(c))
+    hs = np.fromiter(
+        (token_hash62_impl(t) for t in c), dtype=np.uint64, count=len(c)
+    )
     tfs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
     shifts = np.arange(64, dtype=np.uint64)
     bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)

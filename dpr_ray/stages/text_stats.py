@@ -10,7 +10,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import analyzer
-from ..util import round_half_away
+from ..util import poly_mod31, round_half_away, token_hash31_impl
 
 STOPWORDS = frozenset(
     ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
@@ -101,10 +101,10 @@ def token_fingerprint(tokens: list[str]) -> int:
     (document fingerprint): Horner base-137 over per-token 31-bit rolling
     hashes, mod 2^31-1. Deterministic across processes AND reproducible by
     the DuckDB oracle via nested list_reduce (see FINGERPRINT_SQL)."""
-    from ..util import poly_mod31, token_hash31
-
     ths = np.fromiter(
-        (token_hash31(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+        (token_hash31_impl(t) for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
     )
     return int(poly_mod31(ths, np.array([0, len(ths)]), _FP_BASE)[0])
 
@@ -119,13 +119,20 @@ class Fingerprint:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..util import poly_mod31, token_hash31
+        # per-task dict memo (an lru_cache wrapper would not ship by value)
+        memo: dict[str, int] = {}
+
+        def h31(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = memo[t] = token_hash31_impl(t)
+            return v
 
         token_lists = analyzer.tokenize_batch(batch[self.text_col].to_pylist())
         offs = np.zeros(len(token_lists) + 1, dtype=np.int64)
         np.cumsum([len(t) for t in token_lists], out=offs[1:])
         ths = np.fromiter(
-            (token_hash31(t) for toks in token_lists for t in toks),
+            (h31(t) for toks in token_lists for t in toks),
             dtype=np.uint64,
             count=int(offs[-1]),
         )

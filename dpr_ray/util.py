@@ -42,20 +42,30 @@ def poly_mod31(values, offsets, base: int) -> np.ndarray:
     return out
 
 
-@functools.lru_cache(maxsize=1_000_000)
-def token_hash31(t: str, base: int = 131) -> int:
+def token_hash31_impl(t: str, base: int = 131) -> int:
     """31-bit rolling hash of a token's code points (SQL-expressible,
-    deterministic — never python hash()). Cached per worker: vocabularies
-    repeat heavily across batches."""
+    deterministic — never python hash()). PLAIN function: code shipped to
+    workers must reference THIS, not the lru-cached wrapper below — an
+    ``lru_cache`` wrapper pickles by module reference (its ``__reduce__``
+    ignores ``register_pickle_by_value``), which breaks workers that can't
+    ``import dpr_ray``. Cache per actor with a local dict instead."""
     h = 0
     for c in t:
         h = (h * base + ord(c)) % P31
     return h
 
 
-def token_hash62(t: str) -> int:
+token_hash31 = functools.lru_cache(maxsize=1_000_000)(token_hash31_impl)
+
+
+def token_hash62_impl(t: str) -> int:
     """62-bit token hash from two independent 31-bit rolling hashes
-    (bases 131/137) — bit-addressable for SimHash, SQL-expressible."""
+    (bases 131/137) — bit-addressable for SimHash, SQL-expressible.
+    Plain (shippable) like :func:`token_hash31_impl`."""
+    return token_hash31_impl(t, 131) | (token_hash31_impl(t, 137) << 31)
+
+
+def token_hash62(t: str) -> int:
     return token_hash31(t, 131) | (token_hash31(t, 137) << 31)
 
 

@@ -43,11 +43,12 @@ def _edges_ds(edges):
     )
 
 
-def _cc_dict(edges):
-    out = connected_components(_edges_ds(edges)).to_pandas()
+def _cc_dict(edges, **kw):
+    out = connected_components(_edges_ds(edges), **kw).to_pandas()
     return dict(zip(out["node"], out["label"]))
 
 
+@pytest.mark.parametrize("limit", [2_000_000, 0])  # driver UF / distributed
 @pytest.mark.parametrize(
     "edges",
     [
@@ -58,8 +59,8 @@ def _cc_dict(edges):
         [(3, 1), (1, 3), (2, 9)],  # duplicates / reversed
     ],
 )
-def test_cc_matches_union_find(ray_session, edges):
-    assert _cc_dict(edges) == _uf_labels(edges)
+def test_cc_matches_union_find(ray_session, edges, limit):
+    assert _cc_dict(edges, driver_edge_limit=limit) == _uf_labels(edges)
 
 
 def test_cc_empty(ray_session):
@@ -69,13 +70,14 @@ def test_cc_empty(ray_session):
     assert out.schema().names == ["node", "label"]
 
 
-def test_cc_random_graph(ray_session):
+@pytest.mark.parametrize("limit", [2_000_000, 0])
+def test_cc_random_graph(ray_session, limit):
     rng = np.random.default_rng(7)
     edges = [
         (int(a), int(b))
         for a, b in rng.integers(0, 60, size=(120, 2))
     ]
-    assert _cc_dict(edges) == _uf_labels(edges)
+    assert _cc_dict(edges, driver_edge_limit=limit) == _uf_labels(edges)
 
 
 def test_assign_clusters_covers_singletons(ray_session):
@@ -103,7 +105,9 @@ def test_max_rounds_cap_warns(ray_session, caplog):
     # a 12-chain needs ~11 rounds; cap at 2 → warning, labels an upper bound
     edges = [(i, i + 1) for i in range(1, 12)]
     with caplog.at_level("WARNING", logger="dpr_ray.components"):
-        out = connected_components(_edges_ds(edges), max_rounds=2).to_pandas()
+        out = connected_components(
+            _edges_ds(edges), max_rounds=2, driver_edge_limit=0
+        ).to_pandas()
     assert any("max_rounds" in r.message for r in caplog.records)
     full = _uf_labels(edges)
     got = dict(zip(out["node"], out["label"]))
