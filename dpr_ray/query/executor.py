@@ -176,11 +176,7 @@ class SegmentStore:
         allocation-free."""
         if self._scratch is None:
             n = self.dense_size
-            self._scratch = (
-                np.empty(n, np.float64),
-                np.empty(n, bool),
-                np.empty(n, bool),
-            )
+            self._scratch = (np.empty(n, np.float64), np.empty(n, bool))
         return self._scratch
 
     def multi_group_size(self) -> int:
@@ -545,16 +541,23 @@ def _dense_topk_extract(
     two bool masks, persistent per actor) makes the dense-size-sized
     temporaries allocation-free — identical values, no per-query mmap
     page-fault cycle."""
-    # top-k over the full dense array; zero (untouched) scores filtered out
+    # top-k over the touched (positive) entries only: compress the
+    # positives into the persistent scratch (np.compress writes into a
+    # preallocated buffer — no dense-sized fresh pages on this
+    # fault-throttled VM) and partition just those. kth over positives ==
+    # kth over the whole buffer whenever ≥k entries are positive, and the
+    # p<k case reduces to "all positives" — bitwise-identical selection
+    # with one full copy and one mask pass less per query.
     if len(buf) > k:
         if scratch is not None:
-            part, m1, m2 = scratch
-            np.copyto(part, buf)
-            part.partition(len(buf) - k)
-            kth = part[len(buf) - k]
+            part, m1 = scratch
             np.greater(buf, 0.0, out=m1)
-            np.greater_equal(buf, kth, out=m2)
-            np.logical_and(m1, m2, out=m1)
+            p = int(np.count_nonzero(m1))
+            if p > k:
+                vals = np.compress(m1, buf, out=part[:p])
+                vals.partition(p - k)
+                kth = vals[p - k]
+                np.greater_equal(buf, kth, out=m1)  # kth > 0 ⇒ ⊆ positives
             mask = m1
         else:
             kth = np.partition(buf, len(buf) - k)[len(buf) - k]
