@@ -1482,6 +1482,36 @@ def q_knn_cosine(sf_dir: str):
     return res.map_batches(to_i6, batch_format="pyarrow")
 
 
+def q_embedding_cov(sf_dir: str):
+    """Distributed covariance of the embedding table (stages/linalg.py):
+    per-block Gram partials, exact driver combine — d²+d floats per block
+    move, never the vectors."""
+    from .stages.linalg import covariance
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return covariance(ds, vec_col="embedding")
+
+
+EMBEDDING_COV_SQL = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i),
+pr AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+  FROM u a JOIN u b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+)
+SELECT pr.i, pr.j,
+       CAST(ROUND((pr.exy - ma.mu * mb.mu) * 10000) AS BIGINT) AS cov_i4
+FROM pr JOIN m ma ON pr.i = ma.i JOIN m mb ON pr.j = mb.i
+"""
+
+
 KNN_COSINE_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {KNN_NQ}),
 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {KNN_NQ}),
@@ -2108,6 +2138,7 @@ def queries_dict():
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "embedding_cov": q_embedding_cov,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
@@ -2152,6 +2183,7 @@ def oracle_sql_dict():
         "reader_etl": READER_ETL_SQL,
         "reader_em": READER_EM_SQL,
         "knn_cosine": KNN_COSINE_SQL,
+        "embedding_cov": EMBEDDING_COV_SQL,
         "lsh_knn": LSH_KNN_SQL,
         "ivf_knn": IVF_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
