@@ -415,6 +415,23 @@ FROM ks CROSS JOIN best GROUP BY ks.k
 )
 
 
+# SQL-expressible rolling hashes (dpr_ray.util.token_hash31 / poly_mod31):
+# token/shingle hash = Horner base-131 over code points mod 2^31-1, written
+# in DuckDB as list_reduce(list_prepend(0, codepoints), ...). Every hash in
+# the minhash/simhash/fingerprint pipelines reduces to this, so those
+# queries get FULL value oracles (not rows-only checks).
+_ROLL131 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> unicode(c))), "
+    "(a,c) -> (a*131+c) % 2147483647)"
+)
+_ROLL137 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> unicode(c))), "
+    "(a,c) -> (a*137+c) % 2147483647)"
+)
+
+
 # ------------------------------------------------------------ dedup family --
 
 
@@ -510,6 +527,43 @@ WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
 """
 
 
+DUP_SPAN_WINDOW = 8
+
+
+def q_dup_spans(sf_dir: str):
+    """Window-level duplication (substring contamination check): rolling
+    8-token span fingerprints appearing in ≥2 distinct docs
+    (stages/dedup.py:duplicate_spans)."""
+    from .stages.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
+        window=DUP_SPAN_WINDOW,
+    )
+
+
+def _make_dup_spans_sql() -> str:
+    tok_hash = _ROLL131.format(s="tok")
+    w = DUP_SPAN_WINDOW
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+w AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(a[u.p : u.p + {w - 1}], tok -> {tok_hash})),
+           (h, v) -> (h * 137 + v) % 2147483647) AS whash
+  FROM t, LATERAL unnest(range(1, len(a) - {w} + 2)) AS u(p)
+  WHERE len(a) >= {w}
+)
+SELECT whash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+DUP_SPANS_SQL = _make_dup_spans_sql()
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup canonicalization: ngram-Jaccard pair graph → distributed
     connected components (min-label propagation, stages/components.py) →
@@ -563,21 +617,6 @@ FROM reach GROUP BY node
 """
 
 
-# SQL-expressible rolling hashes (dpr_ray.util.token_hash31 / poly_mod31):
-# token/shingle hash = Horner base-131 over code points mod 2^31-1, written
-# in DuckDB as list_reduce(list_prepend(0, codepoints), ...). Every hash in
-# the minhash/simhash/fingerprint pipelines reduces to this, so those
-# queries get FULL value oracles (not rows-only checks).
-_ROLL131 = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({s}, ''), c -> unicode(c))), "
-    "(a,c) -> (a*131+c) % 2147483647)"
-)
-_ROLL137 = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({s}, ''), c -> unicode(c))), "
-    "(a,c) -> (a*137+c) % 2147483647)"
-)
 
 # distinct k=3 shingles per doc over space-split text (mirrors ngram SQL)
 _SHINGLE_SQL = """
@@ -2121,6 +2160,7 @@ def queries_dict():
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dup_spans": q_dup_spans,
         "curation": q_curation,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -2166,6 +2206,7 @@ def oracle_sql_dict():
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "dup_spans": DUP_SPANS_SQL,
         "curation": CURATION_SQL,
         "minhash_lsh": MINHASH_LSH_SQL,
         "simhash": SIMHASH_SQL,

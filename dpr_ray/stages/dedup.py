@@ -400,3 +400,95 @@ def simhash_fingerprints(ds, id_col: str = "docid", text_col: str = "content"):
     return ds.map_batches(
         SimHash(id_col=id_col, text_col=text_col), batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------------- duplicate spans -----
+
+
+def duplicate_spans(
+    ds,
+    id_col: str = "docid",
+    text_col: str = "content",
+    window: int = 8,
+):
+    """Window-level (substring) duplication detection — the contamination
+    check a pretraining corpus runs below document granularity: → Dataset
+    ``(whash, n_docs, n_occ)`` for every ``window``-token rolling span
+    appearing in ≥2 DISTINCT documents.
+
+    whash = Horner base-137 fold over the span's per-token 31-bit rolling
+    hashes (the ``token_fingerprint`` family — SQL-expressible, so the
+    oracle replays it exactly). Vectorized: the fold is ``window`` shifted
+    multiply-adds over the doc's token-hash array, no per-window loop.
+
+    Scale shape: per-batch combine to distinct ``(whash, docid, occ)``
+    rows before the ``groupby(whash)`` finisher — the shuffle carries one
+    row per distinct (span, doc), which is the irreducible volume of an
+    exact substring-dedup (suffix-array pipelines move the same). For
+    100-TB corpora, gate with a per-batch Bloom/sketch prefilter; exact
+    output here."""
+    ensure_shippable()
+    from collections import Counter
+
+    from ..util import P31, token_hash31_impl
+
+    B = np.uint64(137)
+    P = np.uint64(P31)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        pairs: Counter = Counter()
+        ids = batch[id_col].to_pylist()
+        memo: dict[str, int] = {}
+        for i, toks in enumerate(
+            analyzer.tokenize_batch(batch[text_col].to_pylist())
+        ):
+            n = len(toks)
+            if n < window:
+                continue
+            th = np.empty(n, np.uint64)
+            for k, t in enumerate(toks):
+                v = memo.get(t)
+                if v is None:
+                    v = memo[t] = token_hash31_impl(t)
+                th[k] = v
+            m = n - window + 1
+            h = np.zeros(m, np.uint64)
+            for k in range(window):  # Horner fold, vectorized over spans
+                h = (h * B + th[k : k + m]) % P
+            uniq, cnt = np.unique(h, return_counts=True)
+            for wh, c in zip(uniq.tolist(), cnt.tolist()):
+                pairs[(int(wh), int(ids[i]))] += int(c)
+        ks = list(pairs.keys())
+        return pa.table(
+            {
+                "whash": pa.array([k[0] for k in ks], pa.int64()),
+                "docid": pa.array([k[1] for k in ks], pa.int64()),
+                "occ": pa.array([pairs[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        docs = group["docid"].to_numpy(zero_copy_only=False)
+        n_docs = len(np.unique(docs))
+        if n_docs < 2:
+            return pa.table(
+                {
+                    "whash": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_occ": pa.array([], pa.int64()),
+                }
+            )
+        occ = int(group["occ"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "whash": group["whash"][:1],
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_occ": pa.array([occ], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("whash")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -56,3 +56,33 @@ def test_curation_no_pairs(ray_session):
     )
     out = curate_corpus(docs, empty).to_pandas()
     assert (out["is_canonical"] == 1).all()
+
+
+def test_duplicate_spans(ray_session):
+    from dpr_ray.stages.dedup import duplicate_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([1, 2, 3, 4], pa.int64()),
+                "content": pa.array(
+                    [
+                        f"start {span} end",
+                        f"other prefix {span}",
+                        "completely different words here nothing repeated at all",
+                        f"{span} {span}",  # twice in one doc
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = duplicate_spans(docs, window=8).to_pandas()
+    # windows inside the shared span region occur across docs 1, 2, 4; the
+    # EXACT 8-token span itself appears in all three (4 occurrences: doc 4
+    # has it twice)
+    assert len(out) > 0
+    assert (out["n_docs"] >= 2).all()
+    top = out.sort_values(["n_docs", "n_occ"], ascending=False).iloc[0]
+    assert top["n_docs"] == 3 and top["n_occ"] >= 4
