@@ -172,8 +172,10 @@ def run_bench() -> dict:
         from dpr_ray import entrypoints as ep
 
         for name in ["dedup_exact", "ngram_jaccard", "dedup_clusters",
-                     "text_quality", "knn_cosine", "events_window",
-                     "events_hopping", "heavy_hitters"]:
+                     "curation", "dup_spans", "text_quality", "knn_cosine",
+                     "embedding_cov", "events_window", "events_hopping",
+                     "asof_join", "quantiles", "pack_bins",
+                     "heavy_hitters"]:
             fn = ep.queries_dict()[name]
             t0 = time.time()
             out = fn(sf_dir)
