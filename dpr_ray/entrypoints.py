@@ -50,7 +50,7 @@ _STOPLIST = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
 
 
 from ._shipping import ensure_shippable
-from .util import read_parquet_clean
+from .util import auto_pool, read_parquet_clean
 from .util import to_i6 as _i6  # SQL ROUND (half-away) semantics
 
 # Register every dpr_ray module for by-value pickling as soon as the driver
@@ -2102,6 +2102,90 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+MEDIA_RESIZE_W, MEDIA_RESIZE_H = 32, 32
+FRAME_EVERY = 4
+
+
+def q_media_resize(sf_dir: str):
+    """Geometry of an aspect-preserving resize-to-fit over the synthetic
+    media (stages/multimodal.py:Resize; pixel resampling stubbed)."""
+    from .stages.multimodal import Resize, synth_media_batch
+
+    media = corpus_from_documents(sf_dir).map_batches(
+        synth_media_batch, batch_format="pyarrow"
+    )
+    return media.map_batches(
+        Resize,
+        fn_constructor_kwargs={
+            "target_w": MEDIA_RESIZE_W, "target_h": MEDIA_RESIZE_H,
+            "fake": True,
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=auto_pool(0.5),
+    )
+
+
+def q_media_frames(sf_dir: str):
+    """Every-4th-frame sampling over the synthetic video chain
+    (stages/multimodal.py:FrameSample; demux stubbed)."""
+    from .stages.multimodal import FrameSample, synth_media_batch
+
+    media = corpus_from_documents(sf_dir).map_batches(
+        synth_media_batch, batch_format="pyarrow"
+    )
+    return media.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every": FRAME_EVERY, "fake": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=auto_pool(0.5),
+    )
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64)) AS hx
+  FROM documents
+),
+g AS (
+  SELECT media_id,
+         16 + ({_HEXB.format(h='hx', m='0')}) % 64 AS w,
+         16 + ({_HEXB.format(h='hx', m='1')}) % 64 AS h
+  FROM h
+),
+s AS (
+  SELECT media_id, w, h,
+         least({MEDIA_RESIZE_W}.0 / w, {MEDIA_RESIZE_H}.0 / h, 1.0) AS scale
+  FROM g
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(trunc(w * scale) AS INTEGER) AS out_w,
+       CAST(trunc(h * scale) AS INTEGER) AS out_h,
+       CAST(ROUND(scale * 1000000) AS BIGINT) AS scale_i6
+FROM s
+"""
+
+MEDIA_FRAMES_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64)) AS hx
+  FROM documents
+),
+g AS (
+  SELECT media_id, hx,
+         8 + ({_HEXB.format(h='hx', m='3')}) % 32 AS n_frames
+  FROM h
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(u.f AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       substr(sha256(hx || ':f' || CAST(u.f AS VARCHAR)), 1, 8) AS frame_sig
+FROM g, LATERAL unnest(range(0, n_frames, {FRAME_EVERY})) AS u(f)
+"""
+
+
 # ----------------------------------------------------------- curation -------
 
 CURATION_MIN_QUALITY_I6 = 250_000
@@ -2189,6 +2273,8 @@ def queries_dict():
         "heavy_hitters": q_heavy_hitters,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -2235,6 +2321,8 @@ def oracle_sql_dict():
         "heavy_hitters": HEAVY_HITTERS_SQL,
         "media_decode": MEDIA_DECODE_SQL,
         "media_features": MEDIA_FEATURES_SQL,
+        "media_resize": MEDIA_RESIZE_SQL,
+        "media_frames": MEDIA_FRAMES_SQL,
     }
 
 

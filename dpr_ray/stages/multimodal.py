@@ -138,3 +138,83 @@ def media_pipeline(corpus_ds, fake_decode: bool = True):
         concurrency=auto_pool(0.5),
     )
     return decoded, feats
+
+
+class Resize:
+    """Actor-pool resize stage: aspect-preserving downscale to fit a
+    (target_w, target_h) box, never upscaling. REAL PIXEL RESAMPLING IS
+    STUBBED (``fake=False`` raises — no PIL/cv2 here); ``fake=True``
+    computes the real geometry (scale factor + output dims) from the
+    deterministic decode metadata, so the plumbing, schema and the SQL
+    oracle exercise the full stage."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32,
+                 fake: bool = False):
+        self.tw, self.th, self.fake = target_w, target_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "pixel resampling requires PIL/cv2, not available here; "
+                "run with fake=True for the geometry-only stub"
+            )
+        out_w, out_h, scales = [], [], []
+        for p in batch["payload"]:
+            b = p.as_py()
+            w = 16 + b[0] % 64
+            h = 16 + b[1] % 64
+            scale = min(self.tw / w, self.th / h, 1.0)
+            out_w.append(int(w * scale))
+            out_h.append(int(h * scale))
+            scales.append(scale)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "out_w": pa.array(out_w, pa.int32()),
+                "out_h": pa.array(out_h, pa.int32()),
+                "scale_i6": pa.array(
+                    [int(np.sign(s * 1e6) * np.floor(abs(s * 1e6) + 0.5))
+                     for s in scales],
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool video frame sampler: every ``every``-th frame of the
+    payload's frame sequence. The fake chain derives n_frames from the
+    seed and a per-frame signature by hashing ``seed_hex:f{idx}`` —
+    sha256 again, so DuckDB replays the exact sampled (idx, signature)
+    rows. A real implementation would demux/seek per keyframe here."""
+
+    def __init__(self, every: int = 4, fake: bool = False):
+        self.every, self.fake = every, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video demux requires an av library, not available here; "
+                "run with fake=True for the deterministic stub"
+            )
+        mids, idxs, nfs, sigs = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"]):
+            b = p.as_py()
+            seed_hex = b[:32].hex()
+            n_frames = 8 + b[3] % 32
+            for idx in range(0, n_frames, self.every):
+                mids.append(int(mid))
+                idxs.append(idx)
+                nfs.append(n_frames)
+                sigs.append(
+                    hashlib.sha256(f"{seed_hex}:f{idx}".encode())
+                    .hexdigest()[:8]
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "n_frames": pa.array(nfs, pa.int32()),
+                "frame_sig": pa.array(sigs, pa.string()),
+            }
+        )
