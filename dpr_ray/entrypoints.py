@@ -867,6 +867,36 @@ WHERE ({_ROLL131.format(s="'s:' || CAST(doc_id AS VARCHAR)")}
                 ELSE {SAMPLE_DEFAULT_I6} END
 """
 
+SAMPLE_FIXED_N = 100
+
+
+def q_sample_fixed(sf_dir: str):
+    """Exactly-N deterministic uniform sample (hash-priority global top-N,
+    stages/sampling.py:fixed_size_sample) — partition/order/rerun-stable."""
+    from .stages.sampling import fixed_size_sample
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    out = fixed_size_sample(docs, key_col="doc_id", n=SAMPLE_FIXED_N)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"docid": batch["key"], "rank": batch["rank"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SAMPLE_FIXED_SQL = f"""
+SELECT docid, rank FROM (
+  SELECT doc_id AS docid,
+         row_number() OVER (
+           ORDER BY ({_ROLL131.format(s="'s:' || CAST(doc_id AS VARCHAR)")}
+                     * 2654435761) % 2147483647 ASC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= {SAMPLE_FIXED_N}
+"""
+
+
 GROUPED_TOPK_K = 3
 
 
@@ -2253,6 +2283,7 @@ def queries_dict():
         "quantiles": q_quantiles,
         "pack_bins": q_pack_bins,
         "sample_corpus": q_sample_corpus,
+        "sample_fixed": q_sample_fixed,
         "grouped_topk": q_grouped_topk,
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
@@ -2303,6 +2334,7 @@ def oracle_sql_dict():
         "quantiles": QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,
         "sample_corpus": SAMPLE_CORPUS_SQL,
+        "sample_fixed": SAMPLE_FIXED_SQL,
         "grouped_topk": GROUPED_TOPK_SQL,
         "chunk_corpus": CHUNK_CORPUS_SQL,
         "chunked_bm25": CHUNKED_BM25_SQL,

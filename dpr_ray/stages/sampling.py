@@ -107,3 +107,54 @@ def grouped_topk(
         .groupby(group_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def fixed_size_sample(
+    ds,
+    key_col: str,
+    n: int,
+    seed: str = "s",
+):
+    """Exactly-``n`` uniform sample, deterministic in the keys: every row
+    gets a scrambled-hash priority and the global ``n`` smallest win
+    (ties → smaller key). Distributed as per-block partial top-n →
+    single-group finisher — the shuffle carries ≤ n rows per block, and
+    the result is independent of partitioning, ordering, or reruns
+    (reservoir sampling without the order-dependence)."""
+    ensure_shippable()
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        pri = np.fromiter(
+            (
+                (token_hash31_impl(f"{seed}:{k}", 131) * 2654435761)
+                % 2147483647
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return pa.table(
+            {
+                "key": batch[key_col].cast(pa.int64()),
+                # grouped_topk keeps the LARGEST values: negate so the
+                # smallest priorities win
+                "neg_priority": pa.array(-pri, pa.int64()),
+                "grp": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            }
+        )
+
+    out = grouped_topk(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        group_col="grp",
+        value_col="neg_priority",
+        id_col="key",
+        k=n,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": batch["key"], "rank": batch["rank"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

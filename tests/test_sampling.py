@@ -80,3 +80,28 @@ def test_grouped_topk_small_groups(ray_session):
     )
     # ties broken by id ascending
     assert list(out["i"]) == [1, 2, 3]
+
+
+def test_fixed_size_sample(ray_session):
+    from dpr_ray.stages.sampling import fixed_size_sample
+    from dpr_ray.util import token_hash31_impl
+
+    t = pa.table({"docid": pa.array(np.arange(500), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = fixed_size_sample(ds, "docid", n=50).to_pandas()
+    assert len(out) == 50 and sorted(out["rank"]) == list(range(1, 51))
+    # matches the driver-side priority order exactly
+    pri = {
+        k: (token_hash31_impl(f"s:{k}", 131) * 2654435761) % 2147483647
+        for k in range(500)
+    }
+    want = sorted(range(500), key=lambda k: (pri[k], k))[:50]
+    got = out.sort_values("rank")["key"].tolist()
+    assert got == want
+    # rerun-identical regardless of partitioning
+    out2 = (
+        fixed_size_sample(ray.data.from_arrow(t).repartition(11), "docid", n=50)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out2.iloc[:, 0].tolist() == want
