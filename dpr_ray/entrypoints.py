@@ -527,6 +527,66 @@ WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
 """
 
 
+def q_ngram_jaccard_hashed(sf_dir: str):
+    """String-free (62-bit hashed-shingle) Jaccard pairs — the 100-TB
+    shuffle variant (stages/dedup.py:ngram_jaccard_pairs_hashed): same
+    pair set as ngram_jaccard absent a 62-bit collision (P ≈ S²/2^63),
+    but the exchange carries int64 keys instead of shingle strings."""
+    from .stages.dedup import ngram_jaccard_pairs_hashed
+
+    pairs = ngram_jaccard_pairs_hashed(
+        _docs_ds(sf_dir), id_col="doc_id", text_col="text",
+        k=3, threshold=NGRAM_THRESHOLD,
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid_a": batch["docid_a"],
+                "docid_b": batch["docid_b"],
+                "jac_i6": pa.array(
+                    _i6(batch["jaccard"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(to_i6, batch_format="pyarrow")
+
+
+def _make_ngram_hashed_sql() -> str:
+    h131 = _ROLL131.format(s="shingle")
+    h137 = _ROLL137.format(s="shingle")
+    thr = int(NGRAM_THRESHOLD * 1e6)
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(a) - 1, 1)),
+           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+  FROM t WHERE len(a) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(a, ' ') AS shingle FROM t WHERE len(a) < 3
+),
+x AS (
+  SELECT DISTINCT doc_id, ({h131}) | (({h137}) << 31) AS shash FROM s
+),
+sz AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM x a JOIN x b ON a.shash = b.shash AND a.doc_id < b.doc_id
+  GROUP BY da, db
+)
+SELECT da AS docid_a, db AS docid_b,
+       CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jac_i6
+FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
+WHERE CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT) >= {thr}
+"""
+
+
+NGRAM_HASHED_SQL = _make_ngram_hashed_sql()
+
+
 DUP_SPAN_WINDOW = 8
 
 
@@ -2273,6 +2333,7 @@ def queries_dict():
         "hits_at_k": q_hits_at_k,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
         "dedup_clusters": q_dedup_clusters,
         "dup_spans": q_dup_spans,
         "curation": q_curation,
@@ -2322,6 +2383,7 @@ def oracle_sql_dict():
         "hits_at_k": HITS_AT_K_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "ngram_jaccard_hashed": NGRAM_HASHED_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dup_spans": DUP_SPANS_SQL,
         "curation": CURATION_SQL,

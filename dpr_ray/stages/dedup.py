@@ -60,6 +60,23 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     return poly_mod31(cps, offs, 131)
 
 
+def shingle_hashes62(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Distinct 62-bit shingle hashes: h131 | (h137 << 31) over each
+    shingle's code points (two SQL-expressible rolling hashes, the
+    ``token_hash62`` construction lifted to shingles). Deduplicated with
+    np.unique — the hashed-variant Jaccard is DEFINED over distinct hash
+    values, so the engine and the DuckDB oracle (which replays the same
+    chains) agree bitwise even if a collision ever occurs."""
+    ss = sorted(shingles(tokens, k))
+    if not ss:
+        return np.empty(0, np.uint64)
+    offs = np.zeros(len(ss) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in ss], out=offs[1:])
+    cps = np.frombuffer("".join(ss).encode("utf-32-le"), dtype=np.uint32)
+    h = poly_mod31(cps, offs, 131) | (poly_mod31(cps, offs, 137) << np.uint64(31))
+    return np.unique(h)
+
+
 # ---------------------------------------------------------------- exact ----
 
 
@@ -137,6 +154,17 @@ def ngram_jaccard_pairs(
         )
 
     sh = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = sh.groupby("shingle").map_groups(
+        _pairs_of_factory("shingle", shingle_df_cap), batch_format="pyarrow"
+    )
+    return pairs.groupby(["docid_a", "docid_b"]).map_groups(
+        _finish_pair_factory(threshold), batch_format="pyarrow"
+    )
+
+
+def _pairs_of_factory(key_col: str, df_cap: int | None):
+    """Per-key group → co-occurrence pair rows carrying both docs' set
+    sizes (so the finisher needs no broadcast sizes table)."""
 
     def pairs_of(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -147,14 +175,14 @@ def ngram_jaccard_pairs(
                 "nb": pa.array([], pa.int64()),
             }
         )
-        m = group.num_rows  # one row per doc (shingles() is a set)
+        m = group.num_rows  # one row per doc (per-doc sets are distinct)
         if m < 2:
             return empty
-        if shingle_df_cap and m > shingle_df_cap:
+        if df_cap and m > df_cap:
             logger.warning(
-                "ngram_jaccard: dropping shingle %r (df=%d > cap=%d); pairs "
-                "sharing only this shingle are not compared",
-                group["shingle"][0].as_py(), m, shingle_df_cap,
+                "ngram_jaccard: dropping %s %r (df=%d > cap=%d); pairs "
+                "sharing only this key are not compared",
+                key_col, group[key_col][0].as_py(), m, df_cap,
             )
             return empty
         d = group["docid"].to_numpy(zero_copy_only=False)
@@ -171,12 +199,16 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = sh.groupby("shingle").map_groups(pairs_of, batch_format="pyarrow")
+    return pairs_of
+
+
+def _finish_pair_factory(threshold: float):
+    """(docid_a, docid_b) group → exact Jaccard row if ≥ threshold."""
 
     def finish_pair(group: pa.Table) -> pa.Table:
         da = int(group["docid_a"][0].as_py())
         db = int(group["docid_b"][0].as_py())
-        inter = group.num_rows  # one row per shared shingle
+        inter = group.num_rows  # one row per shared key
         union = int(group["na"][0].as_py()) + int(group["nb"][0].as_py()) - inter
         j = float(round_half_away(inter / union)) if union else 0.0
         if j < threshold:
@@ -195,8 +227,67 @@ def ngram_jaccard_pairs(
             }
         )
 
+    return finish_pair
+
+
+def ngram_jaccard_pairs_hashed(
+    ds,
+    id_col: str = "docid",
+    text_col: str = "content",
+    k: int = 3,
+    threshold: float = 0.2,
+    shingle_df_cap: int | None = 4096,
+):
+    """String-free variant of :func:`ngram_jaccard_pairs` for corpus scale:
+    the shuffle key is a 62-bit shingle hash (int64) instead of the shingle
+    STRING, so the explode→groupby exchange carries fixed 24 B rows rather
+    than k-token strings — at 100 TB that is the difference between
+    shuffling roughly the tokenized corpus ×k and shuffling 3 int64
+    columns (~5-10× less volume for k=3 prose, and no string allocation
+    on either side of the exchange).
+
+    Trades the strict-exactness claim for a documented collision bound:
+    two distinct shingles collide with P ≈ S²/2^63 for S distinct shingles
+    corpus-wide (S = 10^12 → expected ~10^5 colliding shingle pairs, each
+    inflating ONE document pair's intersection count by ≤ 1 — negligible
+    against any dedup threshold). Jaccard is DEFINED over distinct hash
+    values (np.unique per doc), so the DuckDB oracle — which replays the
+    same base-131/137 rolling hashes — matches bitwise even when a
+    collision occurs. Same df-cap semantics as the string variant."""
+    ensure_shippable()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h, out_d, out_n = [], [], []
+        ids = batch[id_col].to_pylist()
+        for i, toks in enumerate(
+            analyzer.tokenize_batch(batch[text_col].to_pylist())
+        ):
+            hs = shingle_hashes62(toks, k)
+            out_h.append(hs.astype(np.int64))
+            out_d.append(np.full(len(hs), ids[i], np.int64))
+            out_n.append(np.full(len(hs), len(hs), np.int64))
+        if not out_h:
+            return pa.table(
+                {
+                    "shash": pa.array([], pa.int64()),
+                    "docid": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "shash": pa.array(np.concatenate(out_h), pa.int64()),
+                "docid": pa.array(np.concatenate(out_d), pa.int64()),
+                "n_shingles": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    sh = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = sh.groupby("shash").map_groups(
+        _pairs_of_factory("shash", shingle_df_cap), batch_format="pyarrow"
+    )
     return pairs.groupby(["docid_a", "docid_b"]).map_groups(
-        finish_pair, batch_format="pyarrow"
+        _finish_pair_factory(threshold), batch_format="pyarrow"
     )
 
 

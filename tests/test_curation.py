@@ -86,3 +86,25 @@ def test_duplicate_spans(ray_session):
     assert (out["n_docs"] >= 2).all()
     top = out.sort_values(["n_docs", "n_occ"], ascending=False).iloc[0]
     assert top["n_docs"] == 3 and top["n_occ"] >= 4
+
+def test_ngram_hashed_matches_string_variant(ray_session):
+    """The 62-bit hashed-shingle variant must produce the identical pair
+    set and jaccard values as the exact string variant (collisions are
+    ~2^-62 per shingle pair; impossible on a 4-doc corpus)."""
+    from dpr_ray.stages.dedup import ngram_jaccard_pairs_hashed
+
+    docs = _corpus()
+    want = (
+        ngram_jaccard_pairs(docs, threshold=0.2)
+        .to_pandas()
+        .sort_values(["docid_a", "docid_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ngram_jaccard_pairs_hashed(docs, threshold=0.2)
+        .to_pandas()
+        .sort_values(["docid_a", "docid_b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert want.equals(got)
