@@ -624,6 +624,64 @@ FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
 DUP_SPANS_SQL = _make_dup_spans_sql()
 
 
+def q_decontam(sf_dir: str):
+    """Cross-set decontamination (benchmark-leakage check): docs with
+    doc_id % 20 == 0 play the EVAL set; every other doc is scanned for
+    8-token spans whose fingerprint appears anywhere in the eval set —
+    broadcast hash set + map-only corpus pass
+    (stages/dedup.py:decontaminate)."""
+    from .stages.dedup import decontaminate
+
+    def _part(test: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 20 == 0) if test else (ids % 20 != 0)
+            return batch.filter(pa.array(mask))
+
+        return split
+
+    docs = _docs_ds(sf_dir)
+    test = docs.map_batches(_part(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_part(False), batch_format="pyarrow")
+    return decontaminate(
+        corpus, test, id_col="doc_id", text_col="text",
+        window=DUP_SPAN_WINDOW,
+    )
+
+
+def _make_decontam_sql() -> str:
+    tok_hash = _ROLL131.format(s="tok")
+    w = DUP_SPAN_WINDOW
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+w AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(a[u.p : u.p + {w - 1}], tok -> {tok_hash})),
+           (h, v) -> (h * 137 + v) % 2147483647) AS whash
+  FROM t, LATERAL unnest(range(1, len(a) - {w} + 2)) AS u(p)
+  WHERE len(a) >= {w}
+),
+test AS (SELECT DISTINCT whash FROM w WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT w.doc_id, count(*) AS n_hits
+  FROM w JOIN test USING (whash)
+  WHERE w.doc_id % 20 <> 0
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id AS docid,
+       greatest(len(a) - {w - 1}, 0) AS n_spans,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.doc_id % 20 <> 0
+"""
+
+
+DECONTAM_SQL = _make_decontam_sql()
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup canonicalization: ngram-Jaccard pair graph → distributed
     connected components (min-label propagation, stages/components.py) →
@@ -2336,6 +2394,7 @@ def queries_dict():
         "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
         "dedup_clusters": q_dedup_clusters,
         "dup_spans": q_dup_spans,
+        "decontam": q_decontam,
         "curation": q_curation,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -2386,6 +2445,7 @@ def oracle_sql_dict():
         "ngram_jaccard_hashed": NGRAM_HASHED_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dup_spans": DUP_SPANS_SQL,
+        "decontam": DECONTAM_SQL,
         "curation": CURATION_SQL,
         "minhash_lsh": MINHASH_LSH_SQL,
         "simhash": SIMHASH_SQL,

@@ -36,7 +36,14 @@ import ray
 
 from .. import analyzer
 from .._shipping import ensure_shippable
-from ..util import auto_pool, poly_mod31, round_half_away, token_hash62_impl
+from ..util import (
+    P31,
+    auto_pool,
+    poly_mod31,
+    round_half_away,
+    token_hash31_impl,
+    token_hash62_impl,
+)
 
 logger = logging.getLogger("dpr_ray.dedup")
 
@@ -496,6 +503,31 @@ def simhash_fingerprints(ds, id_col: str = "docid", text_col: str = "content"):
 # ----------------------------------------------------- duplicate spans -----
 
 
+def _span_hashes(
+    toks: list[str], window: int, memo: dict[str, int]
+) -> np.ndarray:
+    """Rolling ``window``-token span fingerprints: Horner base-137 fold
+    over per-token 31-bit rolling hashes (SQL-expressible). One hash per
+    span position; empty array if the doc is shorter than the window.
+    Vectorized: ``window`` shifted multiply-adds, no per-window loop.
+    ``memo`` caches token hashes across calls within one batch/actor."""
+    n = len(toks)
+    if n < window:
+        return np.empty(0, np.uint64)
+    th = np.empty(n, np.uint64)
+    for k, t in enumerate(toks):
+        v = memo.get(t)
+        if v is None:
+            v = memo[t] = token_hash31_impl(t)
+        th[k] = v
+    m = n - window + 1
+    B, P = np.uint64(137), np.uint64(P31)
+    h = np.zeros(m, np.uint64)
+    for k in range(window):  # Horner fold, vectorized over spans
+        h = (h * B + th[k : k + m]) % P
+    return h
+
+
 def duplicate_spans(
     ds,
     id_col: str = "docid",
@@ -521,11 +553,6 @@ def duplicate_spans(
     ensure_shippable()
     from collections import Counter
 
-    from ..util import P31, token_hash31_impl
-
-    B = np.uint64(137)
-    P = np.uint64(P31)
-
     def emit(batch: pa.Table) -> pa.Table:
         pairs: Counter = Counter()
         ids = batch[id_col].to_pylist()
@@ -533,19 +560,9 @@ def duplicate_spans(
         for i, toks in enumerate(
             analyzer.tokenize_batch(batch[text_col].to_pylist())
         ):
-            n = len(toks)
-            if n < window:
+            h = _span_hashes(toks, window, memo)
+            if len(h) == 0:
                 continue
-            th = np.empty(n, np.uint64)
-            for k, t in enumerate(toks):
-                v = memo.get(t)
-                if v is None:
-                    v = memo[t] = token_hash31_impl(t)
-                th[k] = v
-            m = n - window + 1
-            h = np.zeros(m, np.uint64)
-            for k in range(window):  # Horner fold, vectorized over spans
-                h = (h * B + th[k : k + m]) % P
             uniq, cnt = np.unique(h, return_counts=True)
             for wh, c in zip(uniq.tolist(), cnt.tolist()):
                 pairs[(int(wh), int(ids[i]))] += int(c)
@@ -582,4 +599,90 @@ def duplicate_spans(
         ds.map_batches(emit, batch_format="pyarrow")
         .groupby("whash")
         .map_groups(finish, batch_format="pyarrow")
+    )
+
+# ------------------------------------------------- decontamination ---------
+
+
+def decontaminate(
+    corpus_ds,
+    test_ds,
+    id_col: str = "docid",
+    text_col: str = "content",
+    window: int = 8,
+):
+    """Cross-set (train-vs-eval) decontamination — the benchmark-leakage
+    check every pretraining corpus runs before training: → Dataset
+    ``(docid, n_spans, n_hits, contaminated)``, one row per CORPUS doc,
+    where ``n_hits`` counts the doc's ``window``-token span occurrences
+    whose fingerprint appears anywhere in the TEST set.
+
+    Scale shape: the test side is the small side by definition (an eval
+    benchmark, not a corpus), so its distinct span-hash set is collected
+    once and broadcast via ``ray.put`` (sorted int64 array, zero-copy from
+    plasma) — the corpus pass is then MAP-ONLY (no shuffle at all):
+    per-doc rolling fingerprints (the same Horner fold as
+    :func:`duplicate_spans`) membership-tested with one ``searchsorted``
+    per doc. A 100-TB corpus streams through at read bandwidth; a 1M-span
+    test set costs 8 MB per node.
+
+    Docs shorter than the window get ``n_spans = n_hits = 0`` (nothing to
+    leak). Span semantics are occurrence-level: a test span appearing 3
+    times in a corpus doc counts 3 hits."""
+    ensure_shippable()
+
+    def emit_test_hashes(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+        hs = [
+            _span_hashes(toks, window, memo)
+            for toks in analyzer.tokenize_batch(batch[text_col].to_pylist())
+        ]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs
+            else np.empty(0, np.uint64)
+        )
+        return pa.table({"whash": pa.array(u.astype(np.int64), pa.int64())})
+
+    # small side: distinct test-set span hashes → one sorted broadcast array
+    test_hashes = np.sort(
+        np.asarray(
+            test_ds.map_batches(emit_test_hashes, batch_format="pyarrow")
+            .unique("whash"),
+            dtype=np.int64,
+        )
+    )
+    ref = ray.put(test_hashes)
+
+    class Scan:
+        def __init__(self):
+            self.th = ray.get(ref)  # zero-copy plasma read, once per actor
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            n_spans, n_hits = [], []
+            for toks in analyzer.tokenize_batch(batch[text_col].to_pylist()):
+                h = _span_hashes(toks, window, self.memo).astype(np.int64)
+                n_spans.append(len(h))
+                if len(h) == 0 or len(self.th) == 0:
+                    n_hits.append(0)
+                    continue
+                pos = np.searchsorted(self.th, h)
+                pos[pos == len(self.th)] = 0
+                n_hits.append(int((self.th[pos] == h).sum()))
+            hits = np.asarray(n_hits, np.int64)
+            return pa.table(
+                {
+                    "docid": pa.array(ids, pa.int64()),
+                    "n_spans": pa.array(n_spans, pa.int64()),
+                    "n_hits": pa.array(hits, pa.int64()),
+                    "contaminated": pa.array(
+                        (hits > 0).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    return corpus_ds.map_batches(
+        Scan, batch_format="pyarrow", concurrency=auto_pool()
     )

@@ -108,3 +108,42 @@ def test_ngram_hashed_matches_string_variant(ray_session):
     )
     assert len(want) > 0
     assert want.equals(got)
+
+def test_decontaminate(ray_session):
+    """Corpus doc 1 contains the eval span twice (2 hits), doc 2 is clean,
+    doc 3 is shorter than the window (0 spans, 0 hits)."""
+    from dpr_ray.stages.dedup import decontaminate
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    test = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([100], pa.int64()),
+                "content": pa.array([f"question about {span} indeed"], pa.string()),
+            }
+        )
+    )
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([1, 2, 3], pa.int64()),
+                "content": pa.array(
+                    [
+                        f"{span} filler words {span}",
+                        "completely different words here nothing repeated at all today",
+                        "tiny doc",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        decontaminate(corpus, test, window=8)
+        .to_pandas()
+        .set_index("docid")
+        .sort_index()
+    )
+    assert out.loc[1, "n_hits"] >= 2 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_spans"] == 0 and out.loc[3, "contaminated"] == 0
