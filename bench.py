@@ -172,7 +172,8 @@ def run_bench() -> dict:
         from dpr_ray import entrypoints as ep
 
         for name in ["dedup_exact", "ngram_jaccard", "dedup_clusters",
-                     "curation", "dup_spans", "text_quality", "knn_cosine",
+                     "curation", "ngram_jaccard_hashed", "dup_spans",
+                     "decontam", "text_quality", "repetition", "knn_cosine",
                      "embedding_cov", "events_window", "events_hopping",
                      "asof_join", "quantiles", "pack_bins",
                      "heavy_hitters"]:

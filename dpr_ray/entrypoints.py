@@ -682,6 +682,69 @@ WHERE t.doc_id % 20 <> 0
 DECONTAM_SQL = _make_decontam_sql()
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals (top-2gram coverage,
+    duplicate-3gram fraction) — stages/text_stats.py:RepetitionStats."""
+    from .stages.text_stats import RepetitionStats
+
+    out = _docs_ds(sf_dir).map_batches(
+        RepetitionStats(id_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid": batch["docid"],
+                "top2_i6": pa.array(
+                    _i6(batch["top2_frac"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+                "dup3_i6": pa.array(
+                    _i6(batch["dup3_frac"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(to_i6, batch_format="pyarrow")
+
+
+def _make_repetition_sql() -> str:
+    tok_hash = _ROLL131.format(s="tok")
+
+    def win(w: int) -> str:
+        return f"""
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(a[u.p : u.p + {w - 1}], tok -> {tok_hash})),
+           (h, v) -> (h * 137 + v) % 2147483647) AS whash
+  FROM t, LATERAL unnest(range(1, len(a) - {w} + 2)) AS u(p)
+  WHERE len(a) >= {w}"""
+
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+w2 AS ({win(2)}),
+w3 AS ({win(3)}),
+c2 AS (SELECT doc_id, whash, count(*) AS c FROM w2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY doc_id),
+c3 AS (SELECT doc_id, whash, count(*) AS c FROM w3 GROUP BY 1, 2),
+a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+              sum(c) AS tot
+       FROM c3 GROUP BY doc_id)
+SELECT t.doc_id AS docid,
+       CAST(coalesce(ROUND(a2.mx * 1000000.0 / a2.tot), 0) AS BIGINT) AS top2_i6,
+       CAST(coalesce(ROUND(a3.dup * 1000000.0 / a3.tot), 0) AS BIGINT) AS dup3_i6
+FROM t
+LEFT JOIN a2 ON t.doc_id = a2.doc_id
+LEFT JOIN a3 ON t.doc_id = a3.doc_id
+"""
+
+
+REPETITION_SQL = _make_repetition_sql()
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup canonicalization: ngram-Jaccard pair graph → distributed
     connected components (min-label propagation, stages/components.py) →
@@ -2399,6 +2462,7 @@ def queries_dict():
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
+        "repetition": q_repetition,
         "token_count": q_token_count,
         "quantiles": q_quantiles,
         "pack_bins": q_pack_bins,
@@ -2452,6 +2516,7 @@ def oracle_sql_dict():
         "langid": LANGID_SQL,
         "fingerprint": FINGERPRINT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
+        "repetition": REPETITION_SQL,
         "token_count": TOKEN_COUNT_SQL,
         "quantiles": QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,

@@ -11,6 +11,7 @@ import pyarrow as pa
 
 from .. import analyzer
 from ..util import poly_mod31, round_half_away, token_hash31_impl
+from .dedup import _span_hashes
 
 STOPWORDS = frozenset(
     ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
@@ -141,5 +142,51 @@ class Fingerprint:
             {
                 "docid": batch[self.id_col],
                 "fingerprint": pa.array(fps, pa.int64()),
+            }
+        )
+
+
+class RepetitionStats:
+    """Gopher-style within-document repetition signals (the quality rules
+    that catch machine-generated / boilerplate text): per doc,
+
+    - ``top2_frac`` — fraction of 2-gram positions covered by the single
+      most frequent 2-gram (Rae et al. 2021 §A1.1 "fraction in most
+      common n-gram"),
+    - ``dup3_frac`` — fraction of 3-gram positions whose 3-gram occurs
+      more than once in the doc ("fraction in duplicate n-grams").
+
+    Both are DEFINED over the same 31-bit rolling span hashes the
+    dup_spans family uses (``dedup._span_hashes``), so the DuckDB oracle
+    replays them exactly — an intra-doc hash collision, if one ever
+    occurred, would affect both sides identically. Map-only, stateless."""
+
+    def __init__(self, id_col: str = "docid", text_col: str = "content"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+        top2, dup3 = [], []
+        for toks in analyzer.tokenize_batch(batch[self.text_col].to_pylist()):
+            h2 = _span_hashes(toks, 2, memo)
+            if len(h2):
+                _, c2 = np.unique(h2, return_counts=True)
+                top2.append(float(round_half_away(c2.max() / len(h2))))
+            else:
+                top2.append(0.0)
+            h3 = _span_hashes(toks, 3, memo)
+            if len(h3):
+                _, c3 = np.unique(h3, return_counts=True)
+                dup3.append(
+                    float(round_half_away(c3[c3 > 1].sum() / len(h3)))
+                )
+            else:
+                dup3.append(0.0)
+        return pa.table(
+            {
+                "docid": batch[self.id_col],
+                "top2_frac": pa.array(top2, pa.float64()),
+                "dup3_frac": pa.array(dup3, pa.float64()),
             }
         )

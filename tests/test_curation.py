@@ -147,3 +147,37 @@ def test_decontaminate(ray_session):
     assert out.loc[1, "n_hits"] >= 2 and out.loc[1, "contaminated"] == 1
     assert out.loc[2, "n_hits"] == 0 and out.loc[2, "contaminated"] == 0
     assert out.loc[3, "n_spans"] == 0 and out.loc[3, "contaminated"] == 0
+
+def test_repetition_stats(ray_session):
+    from dpr_ray.stages.text_stats import RepetitionStats
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([1, 2, 3], pa.int64()),
+                "content": pa.array(
+                    [
+                        "spam ham " * 10,          # one 2-gram dominates
+                        "all these tokens appear only once here",
+                        "x",                        # shorter than any window
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        docs.map_batches(RepetitionStats(), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("docid")
+        .sort_index()
+    )
+    # doc 1: 20 tokens, 19 2-gram positions; "spam ham" occurs 10x
+    assert abs(out.loc[1, "top2_frac"] - round(10 / 19, 6)) < 1e-9
+    # every 3-gram position in doc 1 repeats (all spans are one of 2 kinds)
+    assert out.loc[1, "dup3_frac"] == 1.0
+    # doc 2: no repeated 2/3-grams -> top2 covers 1 position, dup3 = 0
+    assert abs(out.loc[2, "top2_frac"] - round(1 / 6, 6)) < 1e-9
+    assert out.loc[2, "dup3_frac"] == 0.0
+    # doc 3: no windows at all
+    assert out.loc[3, "top2_frac"] == 0.0 and out.loc[3, "dup3_frac"] == 0.0
