@@ -1778,6 +1778,65 @@ FROM r WHERE rank <= {KNN_K}
 """
 
 
+def q_sq8_knn(sf_dir: str):
+    """SQ8 scalar-quantized kNN (FAISS ScalarQuantizer analog): per-dim
+    min/max trained over the full table, uint8 codes, dequantized-float64
+    cosine top-k — the whole chain replayed in the oracle
+    (stages/ann.py:sq8_knn)."""
+    from .stages.ann import sq8_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    full = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    corpus = full.filter(expr=f"vec_id >= {KNN_NQ}")
+    res = sq8_knn(corpus, qids, qmat, k=KNN_K, minmax_ds=full)
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "sim_i6": pa.array(
+                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+SQ8_KNN_SQL = f"""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+qz AS (
+  SELECT vec_id, u.i,
+         CASE WHEN mx > mn
+              THEN mn + least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5),
+                                       0), 255) * (mx - mn) / 255.0
+              ELSE mn END AS xq
+  FROM u JOIN mm ON u.i = mm.i
+),
+q AS (SELECT vec_id AS qid, i, xq FROM qz WHERE vec_id < {KNN_NQ}),
+c AS (SELECT vec_id, i, xq FROM qz WHERE vec_id >= {KNN_NQ}),
+sims AS (
+  SELECT qid, c.vec_id,
+         sum(q.xq * c.xq) / (sqrt(sum(q.xq * q.xq)) * sqrt(sum(c.xq * c.xq))) AS sim
+  FROM q JOIN c ON q.i = c.i GROUP BY qid, c.vec_id
+),
+r AS (SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT qid, vec_id, rank, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
 NEAR_DUP_COS = 0.3  # random 64-d vectors rarely exceed ~0.4: yields few rows
 
 
@@ -2477,6 +2536,7 @@ def queries_dict():
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "sq8_knn": q_sq8_knn,
         "embedding_cov": q_embedding_cov,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lsh_knn": q_lsh_knn,
@@ -2529,6 +2589,7 @@ def oracle_sql_dict():
         "reader_etl": READER_ETL_SQL,
         "reader_em": READER_EM_SQL,
         "knn_cosine": KNN_COSINE_SQL,
+        "sq8_knn": SQ8_KNN_SQL,
         "embedding_cov": EMBEDDING_COV_SQL,
         "lsh_knn": LSH_KNN_SQL,
         "ivf_knn": IVF_KNN_SQL,

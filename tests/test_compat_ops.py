@@ -328,3 +328,50 @@ def test_multi_set_batches(ray_session):
     half = list(compat.multi_set_batches([a, b], batch_size=2,
                                          sampling_rates=[0.5, 1.0]))
     assert sum(1 for _t, s in half if s == 0) == 2
+
+
+def test_sq8_knn_recall_and_codes(ray_session):
+    import ray.data
+
+    from dpr_ray.stages.ann import (
+        brute_force_knn,
+        sq8_encode,
+        sq8_knn,
+        sq8_minmax,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    mn, mx = sq8_minmax(ds)
+    assert np.allclose(mn, mat.astype(np.float64).min(axis=0))
+    assert np.allclose(mx, mat.astype(np.float64).max(axis=0))
+
+    enc = sq8_encode(ds, mn, mx).to_pandas().set_index("vec_id").sort_index()
+    codes = np.array(enc["codes"].tolist(), dtype=np.int64)
+    assert codes.shape == (n, d)
+    assert codes.min() >= 0 and codes.max() <= 255
+    # dequantization error bounded by half a quantization step per dim
+    deq = mn + codes.astype(np.float64) * (mx - mn) / 255.0
+    step = (mx - mn) / 255.0
+    assert (np.abs(deq - mat.astype(np.float64)) <= step / 2 + 1e-12).all()
+
+    # 8-bit quantization of smooth random data barely moves cosine top-k
+    qids = list(range(5))
+    qm = mat[:5].astype(np.float64)
+    bf = brute_force_knn(ds, qids, qm, k=10).to_pandas()
+    sq = sq8_knn(ds, qids, qm, k=10).to_pandas()
+    recall = 0.0
+    for q in qids:
+        truth = set(bf[bf["qid"] == q]["vec_id"])
+        recall += len(truth & set(sq[sq["qid"] == q]["vec_id"])) / len(truth)
+    recall /= len(qids)
+    assert recall >= 0.9
