@@ -106,7 +106,13 @@ def run_bench() -> dict:
     index_dir = f"/tmp/dpr_ray_bench/idx_{num_cpus}"
     import shutil
 
-    shutil.rmtree(index_dir, ignore_errors=True)
+    # min-of-N headline legs (default 2): host noise swings >2x across
+    # minutes (BASELINE.md repeat tables); min is the least-contended
+    # estimate of the engine's own cost. Scaling mode keeps repeats=1 per
+    # child (it already interleaves whole-process repeats).
+    h_reps = int(os.environ.get("BENCH_HEADLINE_REPEATS",
+                                "1" if os.environ.get("BENCH_HEADLINE_ONLY")
+                                else "2"))
     # documents.parquet is a single row-group → ONE block; repartition the
     # small base table first or replicate+featurize run serially. num_cpus
     # blocks, not cpus*4: per-task dispatch (~30ms) × blocks × stages
@@ -117,15 +123,20 @@ def run_bench() -> dict:
         .repartition(num_cpus)
         .map_batches(replicate, batch_format="pyarrow")
     )
-    t0 = time.time()
-    stats = build_index(
-        corpus, index_dir, docid_strategy="provided",
-        group_budget=200_000, sample_mod=16,
-        # term buckets must scale with vocabulary (merge-group parallelism
-        # and size); identifier-heavy corpora carry ~1 rare term per doc
-        num_tbuckets=int(os.environ.get("BENCH_TBUCKETS", "64")),
-    )
-    timings["index_build"] = time.time() - t0
+    build_runs = []
+    for _ in range(h_reps):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        stats = build_index(
+            corpus, index_dir, docid_strategy="provided",
+            group_budget=200_000, sample_mod=16,
+            # term buckets must scale with vocabulary (merge-group
+            # parallelism and size); identifier-heavy corpora carry ~1
+            # rare term per doc
+            num_tbuckets=int(os.environ.get("BENCH_TBUCKETS", "64")),
+        )
+        build_runs.append(time.time() - t0)
+    timings["index_build"] = min(build_runs)
     n_docs = stats["N"]
 
     # ---- headline 2: query throughput -------------------------------------
@@ -145,12 +156,17 @@ def run_bench() -> dict:
         if i % 10 < 3:
             q = f"sym{int(rng.integers(0, 9973))} {q}"
         questions.append(q)
-    qds = ray.data.from_items(
-        [{"qid": f"q{i}", "question": q} for i, q in enumerate(questions)]
-    ).repartition(max(16, num_cpus * 4))
-    t0 = time.time()
-    n_results = search_pipeline(qds, index_dir, k=10, method="maxscore").count()
-    timings["query_batch"] = time.time() - t0
+    query_runs = []
+    for _ in range(h_reps):
+        qds = ray.data.from_items(
+            [{"qid": f"q{i}", "question": q} for i, q in enumerate(questions)]
+        ).repartition(max(16, num_cpus * 4))
+        t0 = time.time()
+        n_results = search_pipeline(
+            qds, index_dir, k=10, method="maxscore"
+        ).count()
+        query_runs.append(time.time() - t0)
+    timings["query_batch"] = min(query_runs)
 
     # ---- query latency percentiles (single warm executor, serial) ---------
     from dpr_ray.query.executor import QueryExecutor
@@ -198,6 +214,8 @@ def run_bench() -> dict:
         "query_p50_ms": round(p50 * 1000, 2),
         "query_p95_ms": round(p95 * 1000, 2),
         "n_query_results": n_results,
+        "index_build_runs": [round(v, 3) for v in build_runs],
+        "query_batch_runs": [round(v, 3) for v in query_runs],
     }
     ray.shutdown()
     return result

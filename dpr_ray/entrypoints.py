@@ -745,6 +745,45 @@ LEFT JOIN a3 ON t.doc_id = a3.doc_id
 REPETITION_SQL = _make_repetition_sql()
 
 
+def q_unigram_nll(sf_dir: str):
+    """Self-corpus unigram-LM perplexity proxy: per-doc mean negative log
+    likelihood under the corpus' own Laplace-smoothed unigram
+    distribution (stages/text_stats.py:unigram_logprob)."""
+    from .stages.text_stats import unigram_logprob
+
+    out = unigram_logprob(_docs_ds(sf_dir), id_col="doc_id", text_col="text")
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid": batch["docid"],
+                "n_tokens": batch["n_tokens"],
+                "nll_i6": pa.array(
+                    _i6(batch["nll"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(to_i6, batch_format="pyarrow")
+
+
+UNIGRAM_NLL_SQL = f"""
+WITH tok AS ({TOK_SQL}),
+cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS total, count(*) AS v FROM cf),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         -avg(ln((cf.c + 1.0) / (tot.total + tot.v))) AS nll
+  FROM tok JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS docid,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       CAST(coalesce(ROUND(per.nll * 1000000), 0) AS BIGINT) AS nll_i6
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup canonicalization: ngram-Jaccard pair graph → distributed
     connected components (min-label propagation, stages/components.py) →
@@ -2522,6 +2561,7 @@ def queries_dict():
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
+        "unigram_nll": q_unigram_nll,
         "token_count": q_token_count,
         "quantiles": q_quantiles,
         "pack_bins": q_pack_bins,
@@ -2577,6 +2617,7 @@ def oracle_sql_dict():
         "fingerprint": FINGERPRINT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "repetition": REPETITION_SQL,
+        "unigram_nll": UNIGRAM_NLL_SQL,
         "token_count": TOKEN_COUNT_SQL,
         "quantiles": QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,

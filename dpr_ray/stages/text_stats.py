@@ -6,12 +6,18 @@ compiled once per worker at module import.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+import ray
 
 from .. import analyzer
-from ..util import poly_mod31, round_half_away, token_hash31_impl
+from .._shipping import ensure_shippable
+from ..util import auto_pool, poly_mod31, round_half_away, token_hash31_impl
 from .dedup import _span_hashes
+
+logger = logging.getLogger("dpr_ray.text_stats")
 
 STOPWORDS = frozenset(
     ("the", "a", "an", "of", "to", "in", "and", "is", "it", "on", "for")
@@ -190,3 +196,103 @@ class RepetitionStats:
                 "dup3_frac": pa.array(dup3, pa.float64()),
             }
         )
+
+
+def unigram_logprob(
+    ds,
+    id_col: str = "docid",
+    text_col: str = "content",
+    vocab_cap: int | None = None,
+):
+    """Self-corpus unigram-LM negative log-likelihood per doc — the
+    perplexity-proxy quality signal corpus pipelines run next to the
+    heuristic rules (a doc whose tokens are improbable under the corpus'
+    own unigram distribution is boilerplate, code soup, or another
+    language): → Dataset ``(docid, n_tokens, nll)`` with
+    ``nll = -mean ln p(t)``, Laplace-smoothed
+    ``p(t) = (cf_t + 1) / (total + V)``.
+
+    Two passes. Pass 1 builds the LM: per-batch partial term counts
+    (map-side combine — the shuffle moves one row per distinct term per
+    batch, not per token) → groupby(term) sum → driver collect +
+    broadcast via ``ray.put``. Pass 2 is MAP-ONLY scoring against the
+    broadcast table. At 100-TB scale the vocabulary is the knob:
+    ``vocab_cap`` keeps the top-V terms by (cf desc, term) — the
+    heavy-hitters set — and scores tail terms with the unseen-term
+    probability ``1 / (total + V)``; V always counts the FULL vocabulary
+    so capped and uncapped models agree on the kept terms."""
+    ensure_shippable()
+    from collections import Counter
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for toks in analyzer.tokenize_batch(batch[text_col].to_pylist()):
+            c.update(toks)
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def sum_group(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": group["term"][:1],
+                "cnt": pa.array(
+                    [int(group["cnt"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cf_rows = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(sum_group, batch_format="pyarrow")
+        .take_all()
+    )
+    total = sum(r["cnt"] for r in cf_rows)
+    vocab = len(cf_rows)
+    if vocab_cap is not None and len(cf_rows) > vocab_cap:
+        cf_rows = sorted(cf_rows, key=lambda r: (-r["cnt"], r["term"]))
+        dropped = len(cf_rows) - vocab_cap
+        cf_rows = cf_rows[:vocab_cap]
+        logger.info(
+            "unigram_logprob: vocab_cap=%d dropped %d tail terms "
+            "(scored as unseen)", vocab_cap, dropped,
+        )
+    ref = ray.put({r["term"]: r["cnt"] for r in cf_rows})
+
+    class Score:
+        def __init__(self):
+            self.cf = ray.get(ref)
+            self.denom = float(total + vocab)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nll, ntok = [], []
+            for toks in analyzer.tokenize_batch(batch[text_col].to_pylist()):
+                ntok.append(len(toks))
+                if not toks:
+                    nll.append(0.0)
+                    continue
+                cf = self.cf
+                ps = np.fromiter(
+                    ((cf.get(t, 0) + 1.0) for t in toks),
+                    dtype=np.float64,
+                    count=len(toks),
+                )
+                nll.append(
+                    float(round_half_away(-np.log(ps / self.denom).mean()))
+                )
+            return pa.table(
+                {
+                    "docid": batch[id_col],
+                    "n_tokens": pa.array(ntok, pa.int64()),
+                    "nll": pa.array(nll, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=auto_pool()
+    )

@@ -181,3 +181,42 @@ def test_repetition_stats(ray_session):
     assert out.loc[2, "dup3_frac"] == 0.0
     # doc 3: no windows at all
     assert out.loc[3, "top2_frac"] == 0.0 and out.loc[3, "dup3_frac"] == 0.0
+
+def test_unigram_logprob(ray_session):
+    import math
+
+    from dpr_ray.stages.text_stats import unigram_logprob
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([1, 2, 3], pa.int64()),
+                "content": pa.array(
+                    ["the cat sat", "the the the", ""], pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        unigram_logprob(docs).to_pandas().set_index("docid").sort_index()
+    )
+    # corpus: the=4, cat=1, sat=1; total=6, V=3; p(t) = (cf+1)/9
+    p = {"the": 5 / 9, "cat": 2 / 9, "sat": 2 / 9}
+    exp1 = -(math.log(p["the"]) + math.log(p["cat"]) + math.log(p["sat"])) / 3
+    exp2 = -math.log(p["the"])
+    assert abs(out.loc[1, "nll"] - round(exp1, 6)) < 1e-9
+    assert abs(out.loc[2, "nll"] - round(exp2, 6)) < 1e-9
+    assert out.loc[3, "nll"] == 0.0 and out.loc[3, "n_tokens"] == 0
+    # rare-token doc scores higher nll than the repetitive head-token doc
+    assert out.loc[1, "nll"] > out.loc[2, "nll"]
+
+    # vocab_cap: tail terms scored as unseen (cf=0), V unchanged
+    capped = (
+        unigram_logprob(docs, vocab_cap=1)
+        .to_pandas()
+        .set_index("docid")
+        .sort_index()
+    )
+    exp1c = -(math.log(5 / 9) + 2 * math.log(1 / 9)) / 3
+    assert abs(capped.loc[1, "nll"] - round(exp1c, 6)) < 1e-9
+    assert capped.loc[2, "nll"] == out.loc[2, "nll"]
