@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -1026,18 +1027,37 @@ FROM per
 """
 
 
+# BPE-ish pre-tokenizer pieces (letter runs / digit runs / punct runs —
+# the GPT-2 pre-split shape without its lookahead, so the SAME pattern is
+# valid in both python re and DuckDB's RE2; branches are disjoint char
+# classes, so leftmost-first vs leftmost-longest cannot diverge)
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
 def q_token_count(sf_dir: str):
+    """Whitespace/analyzer token count + BPE-ish piece count per doc (the
+    two budgets a training pipeline tracks: words for quality rules,
+    tokenizer pieces for context-window packing)."""
+
     def count_tokens(batch: pa.Table) -> pa.Table:
-        n = analyzer.doc_lengths(batch["text"].to_pylist())
+        texts = batch["text"].to_pylist()
+        n = analyzer.doc_lengths(texts)
+        n_bpe = [len(_BPE_RE.findall(t)) for t in texts]
         return pa.table(
-            {"docid": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+            {
+                "docid": batch["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_bpe": pa.array(n_bpe, pa.int64()),
+            }
         )
 
     return _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
 
 
 TOKEN_COUNT_SQL = (
-    "SELECT doc_id AS docid, len(regexp_split_to_array(text, ' ')) AS n_tokens "
+    "SELECT doc_id AS docid, len(regexp_split_to_array(text, ' ')) AS n_tokens, "
+    f"len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe "
     "FROM documents"
 )
 

@@ -220,3 +220,26 @@ def test_unigram_logprob(ray_session):
     exp1c = -(math.log(5 / 9) + 2 * math.log(1 / 9)) / 3
     assert abs(capped.loc[1, "nll"] - round(exp1c, 6)) < 1e-9
     assert capped.loc[2, "nll"] == out.loc[2, "nll"]
+
+def test_bpe_pattern_re2_parity():
+    """BPE_PATTERN must mean the same thing to python re (engine) and
+    DuckDB's RE2 (oracle) — disjoint char-class branches guarantee it;
+    this guards the pattern against edits that break the property."""
+    import re
+
+    import duckdb
+
+    from dpr_ray.entrypoints import BPE_PATTERN
+
+    cases = [
+        "", " ", "a b", "don't stop-me now!!", "é ü ñ 漢字", "x1y2z3",
+        "...---...", "tab\tnewline\nmix  spaces", "a" * 100 + "!" + "9" * 50,
+    ]
+    con = duckdb.connect()
+    pat = re.compile(BPE_PATTERN)
+    for t in cases:
+        py = len(pat.findall(t))
+        sql = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_PATTERN]
+        ).fetchone()[0]
+        assert py == sql, (t, py, sql)
