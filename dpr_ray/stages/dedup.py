@@ -644,14 +644,16 @@ def decontaminate(
         )
         return pa.table({"whash": pa.array(u.astype(np.int64), pa.int64())})
 
-    # small side: distinct test-set span hashes → one sorted broadcast array
-    test_hashes = np.sort(
-        np.asarray(
-            test_ds.map_batches(emit_test_hashes, batch_format="pyarrow")
-            .unique("whash"),
-            dtype=np.int64,
-        )
+    # small side: distinct test-set span hashes → one sorted broadcast
+    # array (unique() on an all-empty dataset yields None / [None] —
+    # normalize to an empty hash set)
+    raw = (
+        test_ds.map_batches(emit_test_hashes, batch_format="pyarrow")
+        .unique("whash")
+        or []
     )
+    uniq = [v for v in raw if v is not None]
+    test_hashes = np.sort(np.asarray(uniq, dtype=np.int64))
     ref = ray.put(test_hashes)
 
     class Scan:

@@ -94,3 +94,96 @@ def test_quantiles_property(ray_session, vals):
     got = dict(zip(out["p_i6"].to_pylist(), out["value"].to_pylist()))
     for p in ps:
         assert got[p] == s[((len(s) - 1) * p) // 1_000_000]
+
+
+doc_texts = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "ee"]), max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+_few = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs_of(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array(range(len(texts)), pa.int64()),
+                "content": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+@_few
+@given(texts=doc_texts)
+def test_ngram_hashed_equals_string_property(ray_session, texts):
+    from dpr_ray.stages.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_hashed
+
+    docs = _docs_of(texts)
+    want = ngram_jaccard_pairs(docs, threshold=0.1).to_pandas()
+    got = ngram_jaccard_pairs_hashed(docs, threshold=0.1).to_pandas()
+    if want.empty or got.empty:
+        assert want.empty and got.empty
+        return
+    want = want.sort_values(["docid_a", "docid_b"]).reset_index(drop=True)
+    got = got.sort_values(["docid_a", "docid_b"]).reset_index(drop=True)
+    assert want.equals(got)
+
+
+@_few
+@given(corpus=doc_texts, test=doc_texts)
+def test_decontam_property(ray_session, corpus, test):
+    from dpr_ray.stages.dedup import decontaminate
+
+    W = 3
+    out = (
+        decontaminate(_docs_of(corpus), _docs_of(test), window=W)
+        .to_pandas()
+        .set_index("docid")
+    )
+    test_windows = set()
+    for t in test:
+        toks = t.split() if t else []
+        for i in range(len(toks) - W + 1):
+            test_windows.add(tuple(toks[i : i + W]))
+    assert len(out) == len(corpus)
+    for did, t in enumerate(corpus):
+        toks = t.split() if t else []
+        spans = [tuple(toks[i : i + W]) for i in range(len(toks) - W + 1)]
+        assert out.loc[did, "n_spans"] == len(spans)
+        assert out.loc[did, "n_hits"] == sum(s in test_windows for s in spans)
+
+
+@_few
+@given(texts=doc_texts)
+def test_repetition_property(ray_session, texts):
+    from collections import Counter
+
+    from dpr_ray.stages.text_stats import RepetitionStats
+
+    out = (
+        _docs_of(texts)
+        .map_batches(RepetitionStats(), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("docid")
+    )
+    for did, t in enumerate(texts):
+        toks = t.split() if t else []
+        c2 = Counter(tuple(toks[i : i + 2]) for i in range(len(toks) - 1))
+        c3 = Counter(tuple(toks[i : i + 3]) for i in range(len(toks) - 2))
+        exp2 = round(max(c2.values()) / sum(c2.values()), 6) if c2 else 0.0
+        exp3 = (
+            round(sum(v for v in c3.values() if v > 1) / sum(c3.values()), 6)
+            if c3
+            else 0.0
+        )
+        assert abs(out.loc[did, "top2_frac"] - exp2) < 1e-9
+        assert abs(out.loc[did, "dup3_frac"] - exp3) < 1e-9
