@@ -2154,6 +2154,147 @@ FROM r WHERE rank <= {KNN_K}
 IVF_KNN_SQL = _make_ivf_knn_sql()
 
 
+PQ_M, PQ_KSUB, PQ_ITERS, PQ_CUTOFF = 4, 8, 3, 266
+
+
+def q_pq_knn(sf_dir: str):
+    """Product-quantized kNN (FAISS IndexPQ analog, asymmetric scoring):
+    per-subspace L2 k-means trained on the deterministic sample, m-code
+    encoding, reconstruction, cosine top-k (stages/ann.py:pq_knn)."""
+    from .stages.ann import pq_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    res = pq_knn(
+        ds, qids, qmat, k=KNN_K, m=PQ_M, ksub=PQ_KSUB,
+        train_cutoff=PQ_CUTOFF, iters=PQ_ITERS,
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "sim_i6": pa.array(
+                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+def _make_pq_knn_sql(dim: int = 64) -> str:
+    """DuckDB replays the ENTIRE PQ pipeline — per-subspace L2 k-means on
+    the deterministic sample, corpus code assignment, reconstruction,
+    asymmetric cosine top-k — because PQPlan snaps every decision float
+    to ROUND(x, 9) half-away. The subspace index rides along as a key
+    column, so ONE unrolled Lloyd chain trains all m codebooks at once."""
+    sub_d = dim // PQ_M
+    dist = (
+        "ROUND(sum(power(s.embedding[c.sb * {sd} + c.dl + 1]::DOUBLE - c.w, 2)), 9)"
+    ).format(sd=sub_d)
+    it = []
+    for i in range(PQ_ITERS):
+        it.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, sb, j FROM (
+    SELECT s.vec_id, c.sb, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, c.sb
+             ORDER BY {dist.replace('c{i}', 'c')}, c.j
+           ) AS rk
+    FROM s, c{i} c GROUP BY s.vec_id, c.sb, c.j
+  ) WHERE rk = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT a.sb, a.j, d.dl,
+         avg(s.embedding[a.sb * {sub_d} + d.dl + 1]::DOUBLE) AS mu
+  FROM a{i} a JOIN s ON s.vec_id = a.vec_id, ld d
+  GROUP BY a.sb, a.j, d.dl
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.sb, c.j, c.dl, COALESCE(ROUND(m.mu, 9), c.w) AS w
+  FROM c{i} c
+  LEFT JOIN m{i} m ON m.sb = c.sb AND m.j = c.j AND m.dl = c.dl
+)""")
+    iters_sql = ",".join(it)
+    fin = f"c{PQ_ITERS}"
+    return f"""
+WITH subs AS (SELECT range AS sb FROM range({PQ_M})),
+ld AS (SELECT range AS dl FROM range({sub_d})),
+ks AS (SELECT range AS j FROM range({PQ_KSUB})),
+q AS MATERIALIZED (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {KNN_NQ}),
+c AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {KNN_NQ}),
+s AS MATERIALIZED (SELECT vec_id, embedding FROM c WHERE vec_id < {PQ_CUTOFF}),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM s),
+init_rows AS (
+  SELECT k.j, sr.vec_id
+  FROM ks k JOIN sr
+    ON sr.rn = k.j * greatest(1, (SELECT count(*) FROM s) // {PQ_KSUB})
+),
+c0 AS MATERIALIZED (
+  SELECT ir.j, sub.sb, d.dl,
+         ROUND(s.embedding[sub.sb * {sub_d} + d.dl + 1]::DOUBLE, 9) AS w
+  FROM init_rows ir JOIN s ON s.vec_id = ir.vec_id, subs sub, ld d
+),{iters_sql},
+cassign AS (
+  SELECT vec_id, sb, j FROM (
+    SELECT s.vec_id, c.sb, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, c.sb
+             ORDER BY {dist}, c.j
+           ) AS rk
+    FROM c s, {fin} c GROUP BY s.vec_id, c.sb, c.j
+  ) WHERE rk = 1
+),
+rec AS (
+  SELECT ca.vec_id, f.sb * {sub_d} + f.dl AS d, f.w
+  FROM cassign ca JOIN {fin} f ON f.sb = ca.sb AND f.j = ca.j
+),
+qv AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) - 1 AS d,
+              unnest(embedding)::DOUBLE AS x
+       FROM embeddings WHERE vec_id < {KNN_NQ}),
+-- PQ maps many corpus vectors to the SAME reconstruction; their sims must
+-- come out bitwise-identical so the (sim DESC, vec_id) tie-break fires.
+-- A plain sum() accumulates in hash-arrival order (nondeterministic per
+-- group) — use ordered-list sequential reduction for dot and both norms.
+qn AS (
+  SELECT qid,
+         list_reduce(list_prepend(0.0, list(x * x ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM qv GROUP BY qid
+),
+rn AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list(w * w ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM rec GROUP BY vec_id
+),
+dots AS (
+  SELECT qv.qid, rec.vec_id,
+         list_reduce(list_prepend(0.0, list(qv.x * rec.w ORDER BY qv.d)),
+                     (a, v) -> a + v) AS dp
+  FROM qv JOIN rec ON qv.d = rec.d GROUP BY 1, 2
+),
+sims AS (
+  SELECT dots.qid, dots.vec_id, dots.dp / (sqrt(qn.s2) * sqrt(rn.s2)) AS sim
+  FROM dots JOIN qn ON qn.qid = dots.qid JOIN rn ON rn.vec_id = dots.vec_id
+),
+r AS (SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT qid, vec_id, rank, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+PQ_KNN_SQL = _make_pq_knn_sql()
+
+
 # ------------------------------------------------------------------ events --
 
 
@@ -2601,6 +2742,7 @@ def queries_dict():
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "sessions": q_sessions,
@@ -2654,6 +2796,7 @@ def oracle_sql_dict():
         "embedding_cov": EMBEDDING_COV_SQL,
         "lsh_knn": LSH_KNN_SQL,
         "ivf_knn": IVF_KNN_SQL,
+        "pq_knn": PQ_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,

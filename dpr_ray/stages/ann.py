@@ -574,10 +574,12 @@ def _sq8_dequant_mat(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarra
     return mn + codes * (mx - mn) / 255.0
 
 
-def _list_col(m: np.ndarray) -> pa.ListArray:
+def _list_col(m: np.ndarray):
     n, d = m.shape if m.ndim == 2 else (0, 0)
+    if n == 0 or d == 0:
+        return pa.array([[]] * n, pa.list_(pa.float64()))
     return pa.ListArray.from_arrays(
-        pa.array(np.arange(0, (n + 1) * d, max(d, 1), dtype=np.int32)[: n + 1]),
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
         pa.array(m.ravel(), pa.float64()),
     )
 
@@ -653,3 +655,125 @@ def sq8_knn(
 
     dq = ds.map_batches(Dequant, batch_format="pyarrow", concurrency=_auto_pool())
     return brute_force_knn(dq, query_ids, qd, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# -------------------------------------------------------------- PQ ---------
+
+
+class PQPlan:
+    """Deterministic, SQL-reproducible product quantizer: ``m`` subspaces
+    of ``d/m`` dims, each with its own ``ksub``-centroid L2 k-means
+    trained driver-side on a small deterministic sample. Every decision
+    float is snapped to ROUND(x, 9) half-away (the IVFPlan discipline) so
+    a DuckDB oracle replays training, code assignment and reconstruction
+    exactly:
+
+    - init: sample sorted by id; centroid ``(sub, j)`` = round9 of the
+      raw subvector of ``sample[j * (S // ksub)]``
+    - assign: ``argmin_j round9(||x_sub - c_j||²)``, ties → lowest ``j``
+    - update: ``c_j = round9(mean(raw members))``; empty cluster keeps
+      the previous centroid
+
+    Reference analog: FAISS ``IndexPQ`` / the ProductQuantizer inside
+    ``DenseHNSWFlatIndexer``'s HNSW-PQ variants (``faiss_indexers.py``) —
+    codes are m bytes/vector (d·4 → m bytes: 64× here)."""
+
+    def __init__(self, sample_ids, sample: np.ndarray, m: int = 4,
+                 ksub: int = 8, iters: int = 3):
+        order = np.argsort(np.asarray(sample_ids, dtype=np.int64), kind="stable")
+        s = np.asarray(sample, dtype=np.float64)[order]
+        d = s.shape[1]
+        assert d % m == 0, "dim must divide into m subspaces"
+        self.m, self.sub_d, self.ksub = m, d // m, min(ksub, len(s))
+        step = max(1, len(s) // self.ksub)
+        idx = np.arange(self.ksub) * step
+        cent = np.empty((m, self.ksub, self.sub_d), np.float64)
+        for sub in range(m):
+            lo = sub * self.sub_d
+            ssub = s[:, lo : lo + self.sub_d]
+            c = round_half_away(ssub[idx], 9).copy()
+            for _ in range(iters):
+                assign = self._argmin_i9(ssub, c)
+                for j in range(self.ksub):
+                    members = ssub[assign == j]
+                    if len(members):
+                        c[j] = round_half_away(members.mean(axis=0), 9)
+            cent[sub] = c
+        self.centroids = cent
+        self.iters = iters
+
+    @staticmethod
+    def _argmin_i9(msub: np.ndarray, c: np.ndarray) -> np.ndarray:
+        """Per-row argmin of round9-snapped squared L2 distance (int64
+        compare — identical ordering and ties to SQL ROUND(dist, 9))."""
+        d2 = ((msub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2) * 1e9
+        i9 = (np.sign(d2) * np.floor(np.abs(d2) + 0.5)).astype(np.int64)
+        return np.argmin(i9, axis=1)  # first min → lowest j
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        mat = np.asarray(mat, dtype=np.float64)
+        codes = np.empty((len(mat), self.m), np.int64)
+        for sub in range(self.m):
+            lo = sub * self.sub_d
+            codes[:, sub] = self._argmin_i9(
+                mat[:, lo : lo + self.sub_d], self.centroids[sub]
+            )
+        return codes
+
+    def reconstruct(self, codes: np.ndarray) -> np.ndarray:
+        parts = [self.centroids[sub][codes[:, sub]] for sub in range(self.m)]
+        return np.concatenate(parts, axis=1)
+
+
+def pq_knn(
+    ds,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    train_cutoff: int = 266,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate cosine top-k via product quantization with asymmetric
+    scoring (raw query vs reconstructed corpus — FAISS ADC): train PQPlan
+    on the deterministic sample (``id_col < train_cutoff``, a pushdown
+    scan), encode each corpus block to m int codes, reconstruct, and
+    reuse brute_force_knn's broadcast + local-top-k merge over the
+    reconstructed stream. At scale the stored representation is the
+    (vec_id, m-byte codes) table — d·4 → m bytes per vector; scoring
+    dequantizes per batch from the broadcast codebook (m·ksub·sub_d
+    floats, a few KB)."""
+    ensure_shippable()
+    import ray as _r
+
+    tables = [
+        _r.get(r)
+        for r in ds.filter(expr=f"{id_col} < {train_cutoff}").to_arrow_refs()
+    ]
+    tables = [t for t in tables if t.num_rows]
+    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False) for t in tables])
+    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    plan = PQPlan(ids, mat, m=m, ksub=ksub, iters=iters)
+    plan_ref = ray.put(plan)
+
+    class Reconstruct:
+        def __init__(self):
+            self.plan = ray.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mb = _to_matrix(batch[vec_col])
+            rec = (
+                self.plan.reconstruct(self.plan.assign(mb))
+                if len(mb)
+                else mb
+            )
+            return pa.table({id_col: batch[id_col], vec_col: _list_col(rec)})
+
+    rec = ds.map_batches(Reconstruct, batch_format="pyarrow", concurrency=_auto_pool())
+    return brute_force_knn(
+        rec, query_ids, np.asarray(query_matrix, np.float64), k=k,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -375,3 +375,47 @@ def test_sq8_knn_recall_and_codes(ray_session):
         recall += len(truth & set(sq[sq["qid"] == q]["vec_id"])) / len(truth)
     recall /= len(qids)
     assert recall >= 0.9
+
+
+def test_pq_knn_codes_and_recall(ray_session):
+    import ray.data
+
+    from dpr_ray.stages.ann import PQPlan, brute_force_knn, pq_knn
+
+    rng = np.random.default_rng(23)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    plan = PQPlan(list(range(256)), mat[:256].astype(np.float64), m=4, ksub=8)
+    codes = plan.assign(mat.astype(np.float64))
+    assert codes.shape == (n, 4)
+    assert codes.min() >= 0 and codes.max() < 8
+    # reconstruction = concatenated centroids of the assigned codes
+    rec = plan.reconstruct(codes)
+    assert rec.shape == (n, d)
+    for sub in range(4):
+        lo = sub * 8
+        assert np.array_equal(
+            rec[:, lo : lo + 8], plan.centroids[sub][codes[:, sub]]
+        )
+    # identical inputs get identical codes (determinism across calls)
+    assert np.array_equal(codes, plan.assign(mat.astype(np.float64)))
+
+    qids = list(range(5))
+    qm = mat[:5].astype(np.float64)
+    bf = brute_force_knn(ds, qids, qm, k=10).to_pandas()
+    pq_res = pq_knn(ds, qids, qm, k=10, m=4, ksub=8, train_cutoff=256).to_pandas()
+    recall = 0.0
+    for q in qids:
+        truth = set(bf[bf["qid"] == q]["vec_id"])
+        recall += len(truth & set(pq_res[pq_res["qid"] == q]["vec_id"])) / len(truth)
+    recall /= len(qids)
+    # 4x8 codebooks on random 32-d data: coarse but must beat chance by far
+    assert recall >= 0.2, recall
