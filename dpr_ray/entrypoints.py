@@ -2284,15 +2284,151 @@ sims AS (
   SELECT dots.qid, dots.vec_id, dots.dp / (sqrt(qn.s2) * sqrt(rn.s2)) AS sim
   FROM dots JOIN qn ON qn.qid = dots.qid JOIN rn ON rn.vec_id = dots.vec_id
 ),
-r AS (SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+r AS (SELECT qid, vec_id, ROUND(sim, 9) AS sim9,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY ROUND(sim, 9) DESC, vec_id) AS rank
       FROM sims)
-SELECT qid, vec_id, rank, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i6
+SELECT qid, vec_id, rank, CAST(ROUND(sim9 * 1000000) AS BIGINT) AS sim_i6
 FROM r WHERE rank <= {KNN_K}
 """
 
 
 PQ_KNN_SQL = _make_pq_knn_sql()
+
+
+def q_ivfpq_knn(sf_dir: str):
+    """IVF coarse filter + PQ asymmetric scoring (FAISS IndexIVFPQ
+    analog, by_residual=False): both quantizers trained on the same
+    deterministic sample; candidates from probed lists scored against PQ
+    reconstructions (stages/ann.py:ivfpq_knn)."""
+    from .stages.ann import ivfpq_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    res = ivfpq_knn(
+        ds, qids, qmat, k=KNN_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE,
+        m=PQ_M, ksub=PQ_KSUB, train_cutoff=PQ_CUTOFF,
+        ivf_iters=IVF_ITERS, pq_iters=PQ_ITERS,
+    )
+
+    def to_i6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "sim_i6": pa.array(
+                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+def _make_ivfpq_knn_sql(dim: int = 64) -> str:
+    """IVF chain (through the probed candidate set) + a p-prefixed PQ
+    training chain + PQ reconstruction scoring restricted to candidates.
+    Shares the IVF SQL verbatim up to ``cand`` — same sample CTEs (both
+    quantizers train on the identical deterministic sample), so the two
+    chains compose without duplication."""
+    base = _make_ivf_knn_sql(dim)
+    head, sep, _ = base.partition("prs AS (")
+    assert sep, "IVF SQL shape changed"
+    sub_d = dim // PQ_M
+    dist = (
+        "ROUND(sum(power(s.embedding[c.sb * {sd} + c.dl + 1]::DOUBLE - c.w, 2)), 9)"
+    ).format(sd=sub_d)
+    it = []
+    for i in range(PQ_ITERS):
+        it.append(f"""
+pa{i} AS MATERIALIZED (
+  SELECT vec_id, sb, j FROM (
+    SELECT s.vec_id, c.sb, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, c.sb ORDER BY {dist}, c.j
+           ) AS rk
+    FROM s, p{i} c GROUP BY s.vec_id, c.sb, c.j
+  ) WHERE rk = 1
+),
+pm{i} AS MATERIALIZED (
+  SELECT a.sb, a.j, d.dl,
+         avg(s.embedding[a.sb * {sub_d} + d.dl + 1]::DOUBLE) AS mu
+  FROM pa{i} a JOIN s ON s.vec_id = a.vec_id, ld d
+  GROUP BY a.sb, a.j, d.dl
+),
+p{i + 1} AS MATERIALIZED (
+  SELECT c.sb, c.j, c.dl, COALESCE(ROUND(m.mu, 9), c.w) AS w
+  FROM p{i} c
+  LEFT JOIN pm{i} m ON m.sb = c.sb AND m.j = c.j AND m.dl = c.dl
+)""")
+    fin = f"p{PQ_ITERS}"
+    return head + f"""subs AS (SELECT range AS sb FROM range({PQ_M})),
+ld AS (SELECT range AS dl FROM range({sub_d})),
+ks AS (SELECT range AS j FROM range({PQ_KSUB})),
+pinit AS (
+  SELECT k.j, sr.vec_id
+  FROM ks k JOIN sr
+    ON sr.rn = k.j * greatest(1, (SELECT count(*) FROM s) // {PQ_KSUB})
+),
+p0 AS MATERIALIZED (
+  SELECT ir.j, sub.sb, d.dl,
+         ROUND(s.embedding[sub.sb * {sub_d} + d.dl + 1]::DOUBLE, 9) AS w
+  FROM pinit ir JOIN s ON s.vec_id = ir.vec_id, subs sub, ld d
+),{",".join(it)},
+pqassign AS (
+  SELECT vec_id, sb, j FROM (
+    SELECT s.vec_id, c.sb, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, c.sb ORDER BY {dist}, c.j
+           ) AS rk
+    FROM c s, {fin} c GROUP BY s.vec_id, c.sb, c.j
+  ) WHERE rk = 1
+),
+rec AS (
+  SELECT ca.vec_id, f.sb * {sub_d} + f.dl AS d, f.w
+  FROM pqassign ca JOIN {fin} f ON f.sb = ca.sb AND f.j = ca.j
+),
+qv AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) - 1 AS d,
+              unnest(embedding)::DOUBLE AS x
+       FROM embeddings WHERE vec_id < {KNN_NQ}),
+qn AS (
+  SELECT qid,
+         list_reduce(list_prepend(0.0, list(x * x ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM qv GROUP BY qid
+),
+rn AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list(w * w ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM rec GROUP BY vec_id
+),
+dots AS (
+  SELECT qv.qid, rec.vec_id,
+         list_reduce(list_prepend(0.0, list(qv.x * rec.w ORDER BY qv.d)),
+                     (a, v) -> a + v) AS dp
+  FROM cand cd
+  JOIN qv ON qv.qid = cd.qid
+  JOIN rec ON rec.vec_id = cd.vec_id AND rec.d = qv.d
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT dots.qid, dots.vec_id, dots.dp / (sqrt(qn.s2) * sqrt(rn.s2)) AS sim
+  FROM dots JOIN qn ON qn.qid = dots.qid JOIN rn ON rn.vec_id = dots.vec_id
+),
+r AS (SELECT qid, vec_id, ROUND(sim, 9) AS sim9,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY ROUND(sim, 9) DESC, vec_id) AS rank
+      FROM sims)
+SELECT qid, vec_id, rank, CAST(ROUND(sim9 * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+IVFPQ_KNN_SQL = _make_ivfpq_knn_sql()
 
 
 # ------------------------------------------------------------------ events --
@@ -2743,6 +2879,7 @@ def queries_dict():
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
         "pq_knn": q_pq_knn,
+        "ivfpq_knn": q_ivfpq_knn,
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "sessions": q_sessions,
@@ -2797,6 +2934,7 @@ def oracle_sql_dict():
         "lsh_knn": LSH_KNN_SQL,
         "ivf_knn": IVF_KNN_SQL,
         "pq_knn": PQ_KNN_SQL,
+        "ivfpq_knn": IVFPQ_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,

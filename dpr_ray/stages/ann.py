@@ -59,7 +59,8 @@ class _BatchTopK:
     """Per-batch exact cosine vs the broadcast query matrix; emits each
     query's local top-k so the shuffle moves k rows per (query, block)."""
 
-    def __init__(self, q_ref, k: int, id_col: str, vec_col: str, exclude_ref=None):
+    def __init__(self, q_ref, k: int, id_col: str, vec_col: str,
+                 exclude_ref=None, snap9: bool = False):
         q = ray.get(q_ref)
         self.qids = q["qids"]
         self.qmat = _normalize(q["matrix"])
@@ -67,6 +68,12 @@ class _BatchTopK:
         self.id_col = id_col
         self.vec_col = vec_col
         self.exclude = ray.get(exclude_ref) if exclude_ref is not None else set()
+        # snap9: emit ROUND(sim, 9) so ranking ties are decided by vec_id
+        # identically on both sides. Needed when the corpus op maps many
+        # rows to IDENTICAL vectors (PQ reconstructions): BLAS gives
+        # ulp-different dots for the same vector in different matmul
+        # shapes/buckets, so "equal" candidates would rank nondeterministically
+        self.snap9 = snap9
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -83,6 +90,8 @@ class _BatchTopK:
                 }
             )
         sims = self.qmat @ mat.T  # (nq, nb) float64
+        if self.snap9:
+            sims = round_half_away(sims, 9)
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
@@ -125,10 +134,13 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: set | None = None,
+    snap9: bool = False,
 ):
     """→ Dataset (qid, vec_id, rank, sim): exact cosine top-k per query.
     ``sim`` rounded to 6 decimals (oracle parity); ranking uses the exact
-    float64 value with (-sim, vec_id) tie-break."""
+    float64 value with (-sim, vec_id) tie-break (``snap9=True`` ranks on
+    ROUND(sim, 9) instead — required when the input stream carries
+    duplicate vectors, see _BatchTopK)."""
     ensure_shippable()
     q_ref = ray.put(
         {"qids": list(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
@@ -136,7 +148,7 @@ def brute_force_knn(
     ex_ref = ray.put(set(exclude_ids)) if exclude_ids else None
     cand = ds.map_batches(
         _BatchTopK,
-        fn_constructor_args=(q_ref, k, id_col, vec_col, ex_ref),
+        fn_constructor_args=(q_ref, k, id_col, vec_col, ex_ref, snap9),
         batch_format="pyarrow",
         concurrency=_auto_pool(),
     )
@@ -773,7 +785,100 @@ def pq_knn(
             return pa.table({id_col: batch[id_col], vec_col: _list_col(rec)})
 
     rec = ds.map_batches(Reconstruct, batch_format="pyarrow", concurrency=_auto_pool())
+    # snap9: PQ maps many rows to identical reconstructions; rank on
+    # ROUND(sim, 9) so equal vectors tie exactly and vec_id decides
     return brute_force_knn(
         rec, query_ids, np.asarray(query_matrix, np.float64), k=k,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, snap9=True,
     )
+
+
+def ivfpq_knn(
+    ds,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_lists: int = 12,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    train_cutoff: int = 266,
+    ivf_iters: int = 8,
+    pq_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse filter + PQ asymmetric scoring — the FAISS
+    ``IndexIVFPQ`` analog in its ``by_residual=False`` form (PQ codebooks
+    over RAW vectors, not per-list residuals; the residual variant would
+    double the oracle's CTE surface for no extra Ray-side structure).
+    Both quantizers train on the same deterministic sample; each corpus
+    block assigns a coarse list AND m PQ codes, scores only the queries
+    probing its list, against the PQ reconstruction. Sub-linear in probes
+    like ivf_knn, with PQ's m-byte storage story on top."""
+    ensure_shippable()
+    import ray as _r
+
+    tables = [
+        _r.get(r)
+        for r in ds.filter(expr=f"{id_col} < {train_cutoff}").to_arrow_refs()
+    ]
+    tables = [t for t in tables if t.num_rows]
+    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False) for t in tables])
+    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    ivf = IVFPlan(ids, mat, n_lists=n_lists, iters=ivf_iters)
+    pq = PQPlan(ids, mat, m=m, ksub=ksub, iters=pq_iters)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    probe_map: dict[int, set[int]] = {}
+    for qid, v in zip(query_ids, qm):
+        for b in ivf.probe(v, n_probe):
+            probe_map.setdefault(int(b), set()).add(int(qid))
+    q_ref = ray.put({"qids": list(query_ids), "matrix": qm})
+    ivf_ref = ray.put(ivf)
+    pq_ref = ray.put(pq)
+    probe_ref = ray.put(probe_map)
+
+    class ListPQTopK(_BatchTopK):
+        def __init__(self):
+            super().__init__(q_ref, k, id_col, vec_col, None)
+            self.ivf = ray.get(ivf_ref)
+            self.pq = ray.get(pq_ref)
+            self.probe_map = ray.get(probe_ref)
+            self.qid_to_row = {q: i for i, q in enumerate(self.qids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            raw = _to_matrix(batch[self.vec_col])
+            lists = self.ivf.assign(raw)
+            rec = _normalize(self.pq.reconstruct(self.pq.assign(raw)))
+            out_q, out_v, out_s = [], [], []
+            for b in np.unique(lists):
+                qids = self.probe_map.get(int(b))
+                if not qids:
+                    continue
+                sel = lists == b
+                sub_ids = ids[sel]
+                sub = rec[sel]
+                for qid in sorted(qids):
+                    # snap9: identical reconstructions scored in different
+                    # buckets/matmul shapes get ulp-different BLAS dots;
+                    # ranking on ROUND(sim, 9) restores the vec_id tie-break
+                    row = round_half_away(
+                        self.qmat[self.qid_to_row[qid]] @ sub.T, 9
+                    )
+                    part = _local_topk_idx(row, min(self.k, len(row)))
+                    out_q.extend([qid] * len(part))
+                    out_v.extend(sub_ids[part].tolist())
+                    out_s.extend(row[part].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = ds.map_batches(
+        ListPQTopK, batch_format="pyarrow", concurrency=_auto_pool()
+    )
+    return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")

@@ -419,3 +419,41 @@ def test_pq_knn_codes_and_recall(ray_session):
     recall /= len(qids)
     # 4x8 codebooks on random 32-d data: coarse but must beat chance by far
     assert recall >= 0.2, recall
+
+
+def test_ivfpq_knn_recall(ray_session):
+    import ray.data
+
+    from dpr_ray.stages.ann import brute_force_knn, ivfpq_knn, pq_knn
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = list(range(5))
+    qm = mat[:5].astype(np.float64)
+    bf = brute_force_knn(ds, qids, qm, k=10).to_pandas()
+    pq_full = pq_knn(ds, qids, qm, k=10, m=4, ksub=8, train_cutoff=256).to_pandas()
+    ivfpq = ivfpq_knn(
+        ds, qids, qm, k=10, n_lists=8, n_probe=8, m=4, ksub=8, train_cutoff=256
+    ).to_pandas()
+    # probing ALL lists makes IVFPQ == plain PQ (the IVF stage only filters)
+    a = ivfpq.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = pq_full.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a[["qid", "vec_id"]].equals(b[["qid", "vec_id"]])
+    # with fewer probes: still beats chance by far
+    part = ivfpq_knn(
+        ds, qids, qm, k=10, n_lists=8, n_probe=3, m=4, ksub=8, train_cutoff=256
+    ).to_pandas()
+    recall = 0.0
+    for q in qids:
+        truth = set(bf[bf["qid"] == q]["vec_id"])
+        recall += len(truth & set(part[part["qid"] == q]["vec_id"])) / len(truth)
+    recall /= len(qids)
+    assert recall >= 0.15, recall
