@@ -1030,8 +1030,11 @@ FROM per
 # BPE-ish pre-tokenizer pieces (letter runs / digit runs / punct runs —
 # the GPT-2 pre-split shape without its lookahead, so the SAME pattern is
 # valid in both python re and DuckDB's RE2; branches are disjoint char
-# classes, so leftmost-first vs leftmost-longest cannot diverge)
-BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+# classes, so leftmost-first vs leftmost-longest cannot diverge).
+# Whitespace is an EXPLICIT char class, never \s: python's \s is Unicode
+# (matches \x1c-\x1f, NBSP,  ...) while RE2's is [\t\n\f\r ] — the
+# same pattern string would count pieces differently on such chars.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\t\n\x0b\f\r ]+"
 _BPE_RE = re.compile(BPE_PATTERN)
 
 
@@ -2205,7 +2208,7 @@ a{i} AS MATERIALIZED (
     SELECT s.vec_id, c.sb, c.j,
            row_number() OVER (
              PARTITION BY s.vec_id, c.sb
-             ORDER BY {dist.replace('c{i}', 'c')}, c.j
+             ORDER BY {dist}, c.j
            ) AS rk
     FROM s, c{i} c GROUP BY s.vec_id, c.sb, c.j
   ) WHERE rk = 1

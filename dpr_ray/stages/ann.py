@@ -155,6 +155,27 @@ def brute_force_knn(
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
 
 
+
+def _collect_sample(ds, id_col: str, vec_col: str, cutoff: int):
+    """Deterministic quantizer-training sample: all rows with
+    ``id_col < cutoff`` (predicate-pushdown scan, never a sort), pulled
+    to the driver as (ids, float64 matrix)."""
+    tables = [
+        ray.get(r)
+        for r in ds.filter(expr=f"{id_col} < {cutoff}").to_arrow_refs()
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        raise ValueError(
+            f"no training sample: no rows with {id_col} < {cutoff}"
+        )
+    ids = np.concatenate(
+        [t[id_col].to_numpy(zero_copy_only=False) for t in tables]
+    )
+    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    return ids, mat
+
+
 class IVFPlan:
     """Deterministic, SQL-reproducible IVF coarse quantizer (spherical
     k-means, driver-side Lloyd iterations on a small sample). Every float
@@ -229,15 +250,7 @@ def ivf_knn(
     centroids. Same output schema as brute_force_knn; recall tested vs
     brute force and replayed exactly by a DuckDB oracle (IVF_KNN_SQL)."""
     ensure_shippable()
-    import ray as _r
-
-    tables = [
-        _r.get(r)
-        for r in ds.filter(expr=f"{id_col} < {train_cutoff}").to_arrow_refs()
-    ]
-    tables = [t for t in tables if t.num_rows]
-    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False) for t in tables])
-    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
     plan = IVFPlan(ids, mat, n_lists=n_lists, iters=iters)
     qm = np.asarray(query_matrix, dtype=np.float64)
     probe_map: dict[int, set[int]] = {}
@@ -561,6 +574,8 @@ def sq8_minmax(ds, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
         )
 
     rows = ds.map_batches(mm, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("sq8_minmax: dataset has no vectors to train on")
     mn = np.min([r["mn"] for r in rows], axis=0).astype(np.float64)
     mx = np.max([r["mx"] for r in rows], axis=0).astype(np.float64)
     return mn, mx
@@ -615,10 +630,17 @@ def sq8_encode(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _to_matrix(batch[vec_col])
+            if len(m) == 0:  # empty filtered block: (0,0) cannot broadcast
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "codes": pa.array([], pa.list_(pa.uint8())),
+                    }
+                )
             codes = _sq8_codes(m, self.mn, self.mx)
-            n, d = codes.shape if codes.ndim == 2 else (0, 0)
+            n, d = codes.shape
             col = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (n + 1) * d, max(d, 1), dtype=np.int32)[: n + 1]),
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
                 pa.array(codes.ravel(), pa.uint8()),
             )
             return pa.table({id_col: batch[id_col], "codes": col})
@@ -658,12 +680,8 @@ def sq8_knn(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _to_matrix(batch[vec_col])
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    vec_col: _list_col(_sq8_dequant_mat(m, self.mn, self.mx)),
-                }
-            )
+            dq = _sq8_dequant_mat(m, self.mn, self.mx) if len(m) else m
+            return pa.table({id_col: batch[id_col], vec_col: _list_col(dq)})
 
     dq = ds.map_batches(Dequant, batch_format="pyarrow", concurrency=_auto_pool())
     return brute_force_knn(dq, query_ids, qd, k=k, id_col=id_col, vec_col=vec_col)
@@ -759,15 +777,7 @@ def pq_knn(
     dequantizes per batch from the broadcast codebook (m·ksub·sub_d
     floats, a few KB)."""
     ensure_shippable()
-    import ray as _r
-
-    tables = [
-        _r.get(r)
-        for r in ds.filter(expr=f"{id_col} < {train_cutoff}").to_arrow_refs()
-    ]
-    tables = [t for t in tables if t.num_rows]
-    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False) for t in tables])
-    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
     plan = PQPlan(ids, mat, m=m, ksub=ksub, iters=iters)
     plan_ref = ray.put(plan)
 
@@ -817,15 +827,7 @@ def ivfpq_knn(
     probing its list, against the PQ reconstruction. Sub-linear in probes
     like ivf_knn, with PQ's m-byte storage story on top."""
     ensure_shippable()
-    import ray as _r
-
-    tables = [
-        _r.get(r)
-        for r in ds.filter(expr=f"{id_col} < {train_cutoff}").to_arrow_refs()
-    ]
-    tables = [t for t in tables if t.num_rows]
-    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False) for t in tables])
-    mat = np.concatenate([_to_matrix(t[vec_col]) for t in tables])
+    ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
     ivf = IVFPlan(ids, mat, n_lists=n_lists, iters=ivf_iters)
     pq = PQPlan(ids, mat, m=m, ksub=ksub, iters=pq_iters)
     qm = np.asarray(query_matrix, dtype=np.float64)
@@ -849,7 +851,22 @@ def ivfpq_knn(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)
             raw = _to_matrix(batch[self.vec_col])
+            empty = pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+            if len(raw) == 0:
+                return empty
             lists = self.ivf.assign(raw)
+            # PQ-encode only rows whose coarse list some query probes —
+            # unprobed rows never score, so skip their assignment work
+            probed = np.isin(lists, list(self.probe_map.keys()))
+            if not probed.any():
+                return empty
+            ids, raw, lists = ids[probed], raw[probed], lists[probed]
             rec = _normalize(self.pq.reconstruct(self.pq.assign(raw)))
             out_q, out_v, out_s = [], [], []
             for b in np.unique(lists):

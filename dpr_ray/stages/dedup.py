@@ -659,13 +659,16 @@ def decontaminate(
     class Scan:
         def __init__(self):
             self.th = ray.get(ref)  # zero-copy plasma read, once per actor
-            self.memo: dict[str, int] = {}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_pylist()
             n_spans, n_hits = [], []
+            # per-batch memo: a per-ACTOR memo would grow one entry per
+            # distinct token the actor ever sees — unbounded on the
+            # long-running corpus scan this op exists for
+            memo: dict[str, int] = {}
             for toks in analyzer.tokenize_batch(batch[text_col].to_pylist()):
-                h = _span_hashes(toks, window, self.memo).astype(np.int64)
+                h = _span_hashes(toks, window, memo).astype(np.int64)
                 n_spans.append(len(h))
                 if len(h) == 0 or len(self.th) == 0:
                     n_hits.append(0)

@@ -234,6 +234,9 @@ def test_bpe_pattern_re2_parity():
     cases = [
         "", " ", "a b", "don't stop-me now!!", "é ü ñ 漢字", "x1y2z3",
         "...---...", "tab\tnewline\nmix  spaces", "a" * 100 + "!" + "9" * 50,
+        # chars where python \s and RE2 \s DISAGREE — the pattern must use
+        # an explicit whitespace class so both engines see the same thing
+        "a\vb", "a\x1cb", "a\x1db", "a\xa0b", "x y", "\v\v", "a\x85b",
     ]
     con = duckdb.connect()
     pat = re.compile(BPE_PATTERN)
