@@ -457,3 +457,32 @@ def test_ivfpq_knn_recall(ray_session):
         recall += len(truth & set(part[part["qid"] == q]["vec_id"])) / len(truth)
     recall /= len(qids)
     assert recall >= 0.15, recall
+
+
+def test_quantized_knn_survive_empty_blocks(ray_session):
+    """A filter that empties whole blocks must not crash the quantized
+    scorers ((0,0) matrices broadcast against (d,) params)."""
+    import ray.data
+
+    from dpr_ray.stages.ann import ivfpq_knn, sq8_knn
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    # 8 blocks; the filter empties the low-id blocks entirely
+    ds = ray.data.from_arrow(tbl).repartition(8).filter(expr="vec_id >= 100")
+    qids = [0, 1]
+    qm = mat[:2].astype(np.float64)
+    full = ray.data.from_arrow(tbl).repartition(8)
+    out = sq8_knn(ds, qids, qm, k=5, minmax_ds=full).to_pandas()
+    assert len(out) == 10 and (out["vec_id"] >= 100).all()
+    out2 = ivfpq_knn(
+        ds, qids, qm, k=5, n_lists=4, n_probe=4, m=4, ksub=4, train_cutoff=110
+    ).to_pandas()
+    assert len(out2) == 10 and (out2["vec_id"] >= 100).all()
