@@ -2609,6 +2609,48 @@ FROM x LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON x.event_id = m.left_id
 """
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval-containment) join: every event matched to its
+    containing gap-session window — events interval-joined against their
+    own sessions (stages/joins.py:interval_join; one shuffle, two
+    searchsorted calls per key group). Self-validating: row count equals
+    the event count and per-session multiplicity equals n_events."""
+    from .stages.joins import interval_join
+    from .stages.windows import session_windows
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    sess = session_windows(ev, gap_seconds=1800.0)
+    return interval_join(
+        ev, sess, key_col="user_id", ts_col="ts", id_col="event_id",
+        start_col="session_start", end_col="session_end",
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+           FROM events),
+f AS (SELECT user_id, ts,
+             CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                  THEN 1 ELSE 0 END AS nf
+      FROM o),
+s AS (SELECT user_id, ts,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+sess AS (SELECT user_id, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+         FROM s GROUP BY user_id, sid)
+SELECT e.user_id AS key, e.event_id AS left_id, epoch_us(e.ts) AS ts_us,
+       sess.s_us AS start_us, sess.e_us AS end_us
+FROM events e
+JOIN sess ON sess.user_id = e.user_id
+         AND epoch_us(e.ts) BETWEEN sess.s_us AND sess.e_us
+"""
+
+
 # -------------------------------------------------------------- multimodal --
 
 # The synthetic media chain is sha256-seeded precisely so DuckDB can replay
@@ -2887,6 +2929,7 @@ def queries_dict():
         "events_hopping": q_events_hopping,
         "sessions": q_sessions,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "heavy_hitters": q_heavy_hitters,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
@@ -2943,6 +2986,7 @@ def oracle_sql_dict():
         "events_hopping": EVENTS_HOPPING_SQL,
         "sessions": SESSIONS_SQL,
         "asof_join": ASOF_JOIN_SQL,
+        "range_join": RANGE_JOIN_SQL,
         "heavy_hitters": HEAVY_HITTERS_SQL,
         "media_decode": MEDIA_DECODE_SQL,
         "media_features": MEDIA_FEATURES_SQL,

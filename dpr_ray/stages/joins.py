@@ -106,3 +106,110 @@ def asof_join(
         )
 
     return tagged.groupby("key").map_groups(match, batch_format="pyarrow")
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    keep_unmatched: bool = True,
+):
+    """Range (interval-containment) join — each left event matched to
+    EVERY right interval of the same key containing its timestamp
+    (``start <= ts <= end``, inclusive): → Dataset
+    ``(key, left_id, ts_us, start_us, end_us)``, one row per containment
+    pair; unmatched left rows kept with ``-1`` sentinels when
+    ``keep_unmatched`` (left-outer, the asof_join convention).
+
+    Scale shape: the asof discipline — lift both sides to one tagged
+    narrow table and ``groupby(key)`` ONCE; inside a group, events are
+    sorted by ``(ts, id)`` and every interval finds its members with two
+    ``searchsorted`` calls, so group work is
+    O((L + R) log L + |output|), fully vectorized (the pair emit is one
+    repeat/gather, no per-interval Python loop). Overlapping intervals
+    are handled naturally (an event emits once per containing interval).
+    Same partitioning assumption as asof_join: a key's history fits one
+    group; over-worker keys pre-split by coarse time range with
+    boundary-crossing intervals replicated to every range they touch."""
+    ensure_shippable()
+    left = _lift(left_ds, key_col, ts_col, id_col, 0)
+
+    def lift_right(batch: pa.Table) -> pa.Table:
+        def us(col):
+            return (
+                batch[col].cast(pa.timestamp("us")).cast(pa.int64())
+                if pa.types.is_timestamp(batch[col].type)
+                else batch[col].cast(pa.int64())
+            )
+
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch[key_col].cast(pa.int64()),
+                "ts_us": us(start_col),
+                "eid": us(end_col),  # reuse the tagged-union slot
+                "side": pa.array(np.ones(n, np.int32), pa.int32()),
+            }
+        )
+
+    right = right_ds.map_batches(lift_right, batch_format="pyarrow")
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        t1 = group["ts_us"].to_numpy(zero_copy_only=False)
+        t2 = group["eid"].to_numpy(zero_copy_only=False)
+        key = int(group["key"][0].as_py())
+        lmask = side == 0
+        ts, eid = t1[lmask], t2[lmask]
+        starts, ends = t1[~lmask], t2[~lmask]
+        empty_cols = {
+            "key": pa.array([], pa.int64()),
+            "left_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+        }
+        if len(ts) == 0:
+            return pa.table(empty_cols)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        if len(starts):
+            iorder = np.lexsort((ends, starts))
+            starts, ends = starts[iorder], ends[iorder]
+            lo = np.searchsorted(ts, starts, side="left")
+            hi = np.searchsorted(ts, ends, side="right")
+            cnt = np.maximum(hi - lo, 0)
+            total = int(cnt.sum())
+            pos = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            ev = np.repeat(lo, cnt) + pos
+            rep = np.repeat(np.arange(len(starts)), cnt)
+            out_ts, out_id = ts[ev], eid[ev]
+            out_s, out_e = starts[rep], ends[rep]
+            matched = np.zeros(len(ts), bool)
+            matched[ev] = True
+        else:
+            out_ts = out_id = out_s = out_e = np.empty(0, np.int64)
+            matched = np.zeros(len(ts), bool)
+        if keep_unmatched and not matched.all():
+            um = ~matched
+            out_ts = np.concatenate([out_ts, ts[um]])
+            out_id = np.concatenate([out_id, eid[um]])
+            out_s = np.concatenate([out_s, np.full(um.sum(), -1, np.int64)])
+            out_e = np.concatenate([out_e, np.full(um.sum(), -1, np.int64)])
+        return pa.table(
+            {
+                "key": pa.array(np.full(len(out_ts), key, np.int64), pa.int64()),
+                "left_id": pa.array(out_id.astype(np.int64), pa.int64()),
+                "ts_us": pa.array(out_ts.astype(np.int64), pa.int64()),
+                "start_us": pa.array(out_s.astype(np.int64), pa.int64()),
+                "end_us": pa.array(out_e.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return left.union(right).groupby("key").map_groups(
+        match, batch_format="pyarrow"
+    )

@@ -95,3 +95,51 @@ def test_exact_quantiles_vs_sorted(ray_session):
 def test_exact_quantiles_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
     assert exact_quantiles(ds, "v").num_rows == 0
+
+
+def test_interval_join_brute(ray_session):
+    """interval_join vs brute force on overlapping intervals, boundary
+    inclusivity, and unmatched left rows."""
+    import numpy as np
+
+    from dpr_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(9)
+    n_ev, n_iv = 120, 25
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 4, n_ev), pa.int64()),
+            "ts": pa.array(rng.integers(0, 1000, n_ev), pa.int64()),
+        }
+    )
+    starts = rng.integers(0, 900, n_iv)
+    ends = starts + rng.integers(0, 200, n_iv)  # overlapping by design
+    iv = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 4, n_iv), pa.int64()),
+            "session_start": pa.array(starts, pa.int64()),
+            "session_end": pa.array(ends, pa.int64()),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(ev), ray.data.from_arrow(iv)
+    ).to_pandas()
+    got = set(map(tuple, out[["left_id", "start_us", "end_us"]].to_numpy()))
+    want = set()
+    matched = set()
+    for e_id, e_u, e_t in zip(
+        ev["event_id"].to_pylist(), ev["user_id"].to_pylist(), ev["ts"].to_pylist()
+    ):
+        for i_u, s, t in zip(
+            iv["user_id"].to_pylist(),
+            iv["session_start"].to_pylist(),
+            iv["session_end"].to_pylist(),
+        ):
+            if e_u == i_u and s <= e_t <= t:
+                want.add((e_id, s, t))
+                matched.add(e_id)
+    for e_id in ev["event_id"].to_pylist():
+        if e_id not in matched:
+            want.add((e_id, -1, -1))
+    assert got == want
