@@ -1240,6 +1240,39 @@ FROM ks CROSS JOIN n JOIN o ON o.r = (n.cnt - 1) * ks.p_i6 // 1000000
 """
 
 
+APPROX_Q_RATE_I6 = 200_000  # 20% deterministic sample
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Approximate quantiles of a CONTINUOUS column (events.value) — the
+    scale path where the exact distinct-value histogram is unbounded:
+    exact integer-rank quantiles of a deterministic hash-gated sample
+    (stages/sketch.py:approx_quantiles; DKW error bound documented)."""
+    from .stages.sketch import approx_quantiles
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return approx_quantiles(
+        ev, "value", "event_id", rate_i6=APPROX_Q_RATE_I6,
+    )
+
+
+APPROX_QUANTILES_SQL = f"""
+WITH s AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS v
+  FROM events
+  WHERE ({_ROLL131.format(s="'q:' || CAST(event_id AS VARCHAR)")}
+         * 2654435761) % 2147483647 % 1000000 < {APPROX_Q_RATE_I6}
+),
+o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM s),
+n AS (SELECT count(*) AS cnt FROM s),
+ks(p_i6) AS (VALUES (250000), (500000), (750000), (900000), (990000))
+SELECT ks.p_i6, o.v AS value
+FROM ks CROSS JOIN n JOIN o ON o.r = (n.cnt - 1) * ks.p_i6 // 1000000
+"""
+
+
 def q_langid(sf_dir: str):
     from .stages.text_stats import LangId
 
@@ -2906,6 +2939,7 @@ def queries_dict():
         "unigram_nll": q_unigram_nll,
         "token_count": q_token_count,
         "quantiles": q_quantiles,
+        "approx_quantiles": q_approx_quantiles,
         "pack_bins": q_pack_bins,
         "sample_corpus": q_sample_corpus,
         "sample_fixed": q_sample_fixed,
@@ -2965,6 +2999,7 @@ def oracle_sql_dict():
         "unigram_nll": UNIGRAM_NLL_SQL,
         "token_count": TOKEN_COUNT_SQL,
         "quantiles": QUANTILES_SQL,
+        "approx_quantiles": APPROX_QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,
         "sample_corpus": SAMPLE_CORPUS_SQL,
         "sample_fixed": SAMPLE_FIXED_SQL,

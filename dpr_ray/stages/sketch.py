@@ -226,3 +226,55 @@ def exact_quantiles(
             "value": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def approx_quantiles(
+    ds,
+    value_col: str,
+    id_col: str,
+    rate_i6: int = 100_000,
+    seed: str = "q",
+    ps_i6: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> pa.Table:
+    """Approximate quantiles for CONTINUOUS / high-cardinality columns —
+    the 100-TB path where :func:`exact_quantiles`' distinct-value
+    histogram is unbounded: exact integer-rank quantiles OF a
+    deterministic hash-gated uniform sample. The gate is the
+    stratified_sample discipline (a pure function of ``(seed, id)`` —
+    rerun-, reshard- and resume-stable) and values snap to i6, so the
+    whole estimator replays bit-for-bit in SQL: no RNG, no sketch state.
+
+    Error bound (DKW inequality): for sample size m the sup-norm CDF
+    error is ≤ sqrt(ln(2/δ) / (2m)) with probability 1-δ — a 10% gate
+    over 10^9 rows gives ±1.4e-4 quantile-units at 95% confidence. The
+    map-only filter never shuffles the corpus; the driver sees one
+    histogram row per distinct sampled i6 value (≤ m)."""
+    ensure_shippable()
+    from ..util import to_i6, token_hash31_impl
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        keep = np.fromiter(
+            (
+                (token_hash31_impl(f"{seed}:{k}", 131) * 2654435761)
+                % 2147483647
+                % 1_000_000
+                < rate_i6
+                for k in ids
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "value_i6": pa.array(
+                    to_i6(t[value_col].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    return exact_quantiles(
+        ds.map_batches(gate, batch_format="pyarrow"), "value_i6", ps_i6
+    )

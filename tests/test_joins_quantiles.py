@@ -143,3 +143,34 @@ def test_interval_join_brute(ray_session):
         if e_id not in matched:
             want.add((e_id, -1, -1))
     assert got == want
+
+
+def test_approx_quantiles_accuracy(ray_session):
+    """The sampled estimator must land within the DKW band of the true
+    quantiles, and be rerun-identical (deterministic gate)."""
+    import numpy as np
+
+    from dpr_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    vals = rng.standard_normal(n)
+    tbl = pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    est = approx_quantiles(ds, "v", "rid", rate_i6=300_000)
+    est2 = approx_quantiles(ds, "v", "rid", rate_i6=300_000)
+    assert est.equals(est2)  # deterministic
+    got = dict(zip(est["p_i6"].to_pylist(), est["value"].to_pylist()))
+    sv = np.sort(np.sign(vals * 1e6) * np.floor(np.abs(vals * 1e6) + 0.5))
+    m = int(n * 0.3)
+    eps = np.sqrt(np.log(2 / 0.01) / (2 * m))  # DKW at 99%
+    for p_i6, v in got.items():
+        p = p_i6 / 1e6
+        lo = sv[max(0, int(np.floor((p - eps) * (n - 1))))]
+        hi = sv[min(n - 1, int(np.ceil((p + eps) * (n - 1))))]
+        assert lo <= v <= hi, (p, v, lo, hi)
