@@ -189,11 +189,11 @@ def run_bench() -> dict:
 
         for name in ["dedup_exact", "ngram_jaccard", "dedup_clusters",
                      "curation", "ngram_jaccard_hashed", "dup_spans",
-                     "decontam", "text_quality", "repetition", "knn_cosine",
-                     "sq8_knn", "pq_knn", "ivfpq_knn",
+                     "decontam", "text_quality", "repetition", "unigram_nll",
+                     "knn_cosine", "sq8_knn", "pq_knn", "ivfpq_knn",
                      "embedding_cov", "events_window", "events_hopping",
-                     "asof_join", "quantiles", "pack_bins",
-                     "heavy_hitters"]:
+                     "asof_join", "range_join", "quantiles",
+                     "approx_quantiles", "pack_bins", "heavy_hitters"]:
             fn = ep.queries_dict()[name]
             t0 = time.time()
             out = fn(sf_dir)
