@@ -555,22 +555,30 @@ def q_ngram_jaccard_hashed(sf_dir: str):
 
 
 def _make_ngram_hashed_sql() -> str:
-    h131 = _ROLL131.format(s="shingle")
-    h137 = _ROLL137.format(s="shingle")
+    tok_hash = _ROLL131.format(s="tok")
     thr = int(NGRAM_THRESHOLD * 1e6)
+
+    def fold(base: int, arr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({arr}, tok -> {tok_hash})), "
+            f"(h, v) -> (h * {base} + v) % 2147483647)"
+        )
+
     return f"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-s AS (
+w AS (
   SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(a) - 1, 1)),
-           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
-  FROM t WHERE len(a) >= 3
+         ({fold(137, 'a[u.p : u.p + 2]')})
+         | (({fold(139, 'a[u.p : u.p + 2]')}) << 31) AS shash
+  FROM t, LATERAL unnest(range(1, len(a) - 1)) AS u(p)
+  WHERE len(a) >= 3
   UNION ALL
-  SELECT doc_id, array_to_string(a, ' ') AS shingle FROM t WHERE len(a) < 3
+  SELECT doc_id, ({fold(137, 'a')}) | (({fold(139, 'a')}) << 31) AS shash
+  FROM t WHERE len(a) < 3
 ),
 x AS (
-  SELECT DISTINCT doc_id, ({h131}) | (({h137}) << 31) AS shash FROM s
+  SELECT DISTINCT doc_id, shash FROM w
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
 pr AS (

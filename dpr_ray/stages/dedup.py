@@ -67,21 +67,42 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     return poly_mod31(cps, offs, 131)
 
 
-def shingle_hashes62(tokens: list[str], k: int = 3) -> np.ndarray:
-    """Distinct 62-bit shingle hashes: h131 | (h137 << 31) over each
-    shingle's code points (two SQL-expressible rolling hashes, the
-    ``token_hash62`` construction lifted to shingles). Deduplicated with
-    np.unique — the hashed-variant Jaccard is DEFINED over distinct hash
-    values, so the engine and the DuckDB oracle (which replays the same
-    chains) agree bitwise even if a collision ever occurs."""
-    ss = sorted(shingles(tokens, k))
-    if not ss:
+def shingle_hashes62(
+    tokens: list[str], k: int = 3, memo: dict | None = None
+) -> np.ndarray:
+    """Distinct 62-bit shingle hashes, STRING-FREE: two Horner folds
+    (bases 137 and 139) over per-token 31-bit hashes, combined as
+    h137 | (h139 << 31). No shingle string is ever built — the folds are
+    ``k`` shifted multiply-adds over the doc's token-hash array (the
+    ``_span_hashes`` construction twice), so the hot explode stage does
+    zero per-shingle Python work. Docs shorter than ``k`` fold their
+    whole token array (one shingle — the string variant's semantics).
+    Deduplicated with np.unique: the hashed-variant Jaccard is DEFINED
+    over distinct hash values, so the engine and the DuckDB oracle
+    (which replays the same chains) agree bitwise even under a
+    collision. ``memo`` caches token hashes across calls in one batch."""
+    n = len(tokens)
+    if n == 0:
         return np.empty(0, np.uint64)
-    offs = np.zeros(len(ss) + 1, dtype=np.int64)
-    np.cumsum([len(s) for s in ss], out=offs[1:])
-    cps = np.frombuffer("".join(ss).encode("utf-32-le"), dtype=np.uint32)
-    h = poly_mod31(cps, offs, 131) | (poly_mod31(cps, offs, 137) << np.uint64(31))
-    return np.unique(h)
+    if memo is None:
+        memo = {}
+    th = np.empty(n, np.uint64)
+    for i, t in enumerate(tokens):
+        v = memo.get(t)
+        if v is None:
+            v = memo[t] = token_hash31_impl(t)
+        th[i] = v
+    w = min(k, n)
+    m = n - w + 1
+    P = np.uint64(P31)
+    h137 = np.zeros(m, np.uint64)
+    h139 = np.zeros(m, np.uint64)
+    B137, B139 = np.uint64(137), np.uint64(139)
+    for j in range(w):  # Horner folds, vectorized over spans
+        sl = th[j : j + m]
+        h137 = (h137 * B137 + sl) % P
+        h139 = (h139 * B139 + sl) % P
+    return np.unique(h137 | (h139 << np.uint64(31)))
 
 
 # ---------------------------------------------------------------- exact ----
@@ -259,17 +280,18 @@ def ngram_jaccard_pairs_hashed(
     inflating ONE document pair's intersection count by ≤ 1 — negligible
     against any dedup threshold). Jaccard is DEFINED over distinct hash
     values (np.unique per doc), so the DuckDB oracle — which replays the
-    same base-131/137 rolling hashes — matches bitwise even when a
+    same token-Horner folds (bases 137/139) — matches bitwise even when a
     collision occurs. Same df-cap semantics as the string variant."""
     ensure_shippable()
 
     def explode(batch: pa.Table) -> pa.Table:
         out_h, out_d, out_n = [], [], []
         ids = batch[id_col].to_pylist()
+        memo: dict[str, int] = {}
         for i, toks in enumerate(
             analyzer.tokenize_batch(batch[text_col].to_pylist())
         ):
-            hs = shingle_hashes62(toks, k)
+            hs = shingle_hashes62(toks, k, memo)
             out_h.append(hs.astype(np.int64))
             out_d.append(np.full(len(hs), ids[i], np.int64))
             out_n.append(np.full(len(hs), len(hs), np.int64))
