@@ -183,10 +183,13 @@ def run_bench() -> dict:
     p50 = lats[len(lats) // 2]
     p95 = lats[int(len(lats) * 0.95)]
 
-    # ---- secondary operator timings ---------------------------------------
+    # ---- secondary operator timings (min-of-N like the headline: single
+    # shots swing 3x with host noise — ngram_jaccard measured 6.2 vs 22 s
+    # for identical code in different windows) ------------------------------
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         from dpr_ray import entrypoints as ep
 
+        ops_reps = int(os.environ.get("BENCH_OPS_REPEATS", "2"))
         for name in ["dedup_exact", "ngram_jaccard", "dedup_clusters",
                      "curation", "ngram_jaccard_hashed", "dup_spans",
                      "decontam", "text_quality", "repetition", "unigram_nll",
@@ -195,11 +198,19 @@ def run_bench() -> dict:
                      "asof_join", "range_join", "quantiles",
                      "approx_quantiles", "pack_bins", "heavy_hitters"]:
             fn = ep.queries_dict()[name]
-            t0 = time.time()
-            out = fn(sf_dir)
-            if hasattr(out, "count"):
-                out.count()
-            timings[name] = time.time() - t0
+            runs = []
+            for _ in range(ops_reps):
+                if name == "ngram_jaccard":
+                    # else rep 2 measures the pair-memo hit, not the op
+                    # (the memo stays warm afterwards for dedup_clusters /
+                    # curation — their documented consumer-on-memo timing)
+                    ep._ngram_pairs_memo.clear()
+                t0 = time.time()
+                out = fn(sf_dir)
+                if hasattr(out, "count"):
+                    out.count()
+                runs.append(time.time() - t0)
+            timings[name] = min(runs)
 
     headline = timings["index_build"] + timings["query_batch"]
     result = {
