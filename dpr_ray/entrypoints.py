@@ -611,19 +611,26 @@ def q_dup_spans(sf_dir: str):
     )
 
 
-def _make_dup_spans_sql() -> str:
+
+def _whash_sql(w: int) -> str:
+    """The (doc_id, whash) window-fingerprint CTE body shared by the
+    dup-spans / decontamination / repetition oracles: Horner base-137
+    fold over per-token base-131 hashes for every w-token window."""
     tok_hash = _ROLL131.format(s="tok")
-    w = DUP_SPAN_WINDOW
     return f"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-w AS (
   SELECT doc_id,
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform(a[u.p : u.p + {w - 1}], tok -> {tok_hash})),
            (h, v) -> (h * 137 + v) % 2147483647) AS whash
   FROM t, LATERAL unnest(range(1, len(a) - {w} + 2)) AS u(p)
-  WHERE len(a) >= {w}
+  WHERE len(a) >= {w}"""
+
+
+def _make_dup_spans_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+w AS ({_whash_sql(DUP_SPAN_WINDOW)}
 )
 SELECT whash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
 FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
@@ -659,18 +666,10 @@ def q_decontam(sf_dir: str):
 
 
 def _make_decontam_sql() -> str:
-    tok_hash = _ROLL131.format(s="tok")
     w = DUP_SPAN_WINDOW
     return f"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-w AS (
-  SELECT doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(a[u.p : u.p + {w - 1}], tok -> {tok_hash})),
-           (h, v) -> (h * 137 + v) % 2147483647) AS whash
-  FROM t, LATERAL unnest(range(1, len(a) - {w} + 2)) AS u(p)
-  WHERE len(a) >= {w}
+w AS ({_whash_sql(w)}
 ),
 test AS (SELECT DISTINCT whash FROM w WHERE doc_id % 20 = 0),
 hits AS (
@@ -720,22 +719,10 @@ def q_repetition(sf_dir: str):
 
 
 def _make_repetition_sql() -> str:
-    tok_hash = _ROLL131.format(s="tok")
-
-    def win(w: int) -> str:
-        return f"""
-  SELECT doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(a[u.p : u.p + {w - 1}], tok -> {tok_hash})),
-           (h, v) -> (h * 137 + v) % 2147483647) AS whash
-  FROM t, LATERAL unnest(range(1, len(a) - {w} + 2)) AS u(p)
-  WHERE len(a) >= {w}"""
-
     return f"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-w2 AS ({win(2)}),
-w3 AS ({win(3)}),
+w2 AS ({_whash_sql(2)}),
+w3 AS ({_whash_sql(3)}),
 c2 AS (SELECT doc_id, whash, count(*) AS c FROM w2 GROUP BY 1, 2),
 a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY doc_id),
 c3 AS (SELECT doc_id, whash, count(*) AS c FROM w3 GROUP BY 1, 2),
@@ -1811,14 +1798,9 @@ def _load_queries(sf_dir: str):
     return qids, mat
 
 
-def q_knn_cosine(sf_dir: str):
-    from .stages.ann import brute_force_knn
 
-    qids, qmat = _load_queries(sf_dir)
-    ds = read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).filter(expr=f"vec_id >= {KNN_NQ}")
-    res = brute_force_knn(ds, qids, qmat, k=KNN_K)
+def _knn_to_i6(res):
+    """Shared kNN result shaping: (qid, vec_id, rank:int64, sim_i6)."""
 
     def to_i6(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1833,6 +1815,18 @@ def q_knn_cosine(sf_dir: str):
         )
 
     return res.map_batches(to_i6, batch_format="pyarrow")
+
+
+def q_knn_cosine(sf_dir: str):
+    from .stages.ann import brute_force_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    res = brute_force_knn(ds, qids, qmat, k=KNN_K)
+
+    return _knn_to_i6(res)
 
 
 def q_embedding_cov(sf_dir: str):
@@ -1895,19 +1889,7 @@ def q_sq8_knn(sf_dir: str):
     corpus = full.filter(expr=f"vec_id >= {KNN_NQ}")
     res = sq8_knn(corpus, qids, qmat, k=KNN_K, minmax_ds=full)
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "qid": batch["qid"],
-                "vec_id": batch["vec_id"],
-                "rank": batch["rank"].cast(pa.int64()),
-                "sim_i6": pa.array(
-                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return res.map_batches(to_i6, batch_format="pyarrow")
+    return _knn_to_i6(res)
 
 
 SQ8_KNN_SQL = f"""
@@ -1979,19 +1961,7 @@ def q_lsh_knn(sf_dir: str):
     ).filter(expr=f"vec_id >= {KNN_NQ}")
     res = lsh_knn(ds, qids, qmat, k=KNN_K, n_bits=LSH_BITS, n_probe=LSH_PROBE)
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "qid": batch["qid"],
-                "vec_id": batch["vec_id"],
-                "rank": batch["rank"].cast(pa.int64()),
-                "sim_i6": pa.array(
-                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return res.map_batches(to_i6, batch_format="pyarrow")
+    return _knn_to_i6(res)
 
 
 def _make_lsh_knn_sql() -> str:
@@ -2080,19 +2050,7 @@ def q_ivf_knn(sf_dir: str):
         train_cutoff=IVF_CUTOFF, iters=IVF_ITERS,
     )
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "qid": batch["qid"],
-                "vec_id": batch["vec_id"],
-                "rank": batch["rank"].cast(pa.int64()),
-                "sim_i6": pa.array(
-                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return res.map_batches(to_i6, batch_format="pyarrow")
+    return _knn_to_i6(res)
 
 
 def _make_ivf_knn_sql(dim: int = 64) -> str:
@@ -2216,19 +2174,7 @@ def q_pq_knn(sf_dir: str):
         train_cutoff=PQ_CUTOFF, iters=PQ_ITERS,
     )
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "qid": batch["qid"],
-                "vec_id": batch["vec_id"],
-                "rank": batch["rank"].cast(pa.int64()),
-                "sim_i6": pa.array(
-                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return res.map_batches(to_i6, batch_format="pyarrow")
+    return _knn_to_i6(res)
 
 
 def _make_pq_knn_sql(dim: int = 64) -> str:
@@ -2357,19 +2303,7 @@ def q_ivfpq_knn(sf_dir: str):
         ivf_iters=IVF_ITERS, pq_iters=PQ_ITERS,
     )
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "qid": batch["qid"],
-                "vec_id": batch["vec_id"],
-                "rank": batch["rank"].cast(pa.int64()),
-                "sim_i6": pa.array(
-                    _i6(batch["sim"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return res.map_batches(to_i6, batch_format="pyarrow")
+    return _knn_to_i6(res)
 
 
 def _make_ivfpq_knn_sql(dim: int = 64) -> str:

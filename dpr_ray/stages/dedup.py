@@ -84,14 +84,7 @@ def shingle_hashes62(
     n = len(tokens)
     if n == 0:
         return np.empty(0, np.uint64)
-    if memo is None:
-        memo = {}
-    th = np.empty(n, np.uint64)
-    for i, t in enumerate(tokens):
-        v = memo.get(t)
-        if v is None:
-            v = memo[t] = token_hash31_impl(t)
-        th[i] = v
+    th = _token_hashes(tokens, {} if memo is None else memo)
     w = min(k, n)
     m = n - w + 1
     P = np.uint64(P31)
@@ -103,6 +96,18 @@ def shingle_hashes62(
         h137 = (h137 * B137 + sl) % P
         h139 = (h139 * B139 + sl) % P
     return np.unique(h137 | (h139 << np.uint64(31)))
+
+
+def _token_hashes(toks: list[str], memo: dict[str, int]) -> np.ndarray:
+    """Per-token 31-bit rolling hashes as uint64, memoized across calls
+    within one batch/actor (an lru_cache wrapper would not ship by value)."""
+    th = np.empty(len(toks), np.uint64)
+    for i, t in enumerate(toks):
+        v = memo.get(t)
+        if v is None:
+            v = memo[t] = token_hash31_impl(t)
+        th[i] = v
+    return th
 
 
 # ---------------------------------------------------------------- exact ----
@@ -541,12 +546,7 @@ def _span_hashes(
     n = len(toks)
     if n < window:
         return np.empty(0, np.uint64)
-    th = np.empty(n, np.uint64)
-    for k, t in enumerate(toks):
-        v = memo.get(t)
-        if v is None:
-            v = memo[t] = token_hash31_impl(t)
-        th[k] = v
+    th = _token_hashes(toks, memo)
     m = n - window + 1
     B, P = np.uint64(137), np.uint64(P31)
     h = np.zeros(m, np.uint64)

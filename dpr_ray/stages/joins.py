@@ -28,15 +28,20 @@ import pyarrow as pa
 from .._shipping import ensure_shippable
 
 
+def _as_us(col) -> pa.Array:
+    """Timestamp or integer column → int64 microseconds."""
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    return col.cast(pa.int64())
+
+
 def _lift(ds, key_col, ts_col, id_col, side: int):
     def f(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
                 "key": batch[key_col].cast(pa.int64()),
-                "ts_us": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-                if pa.types.is_timestamp(batch[ts_col].type)
-                else batch[ts_col].cast(pa.int64()),
+                "ts_us": _as_us(batch[ts_col]),
                 "eid": batch[id_col].cast(pa.int64()),
                 "side": pa.array(np.full(n, side, np.int32), pa.int32()),
             }
@@ -139,19 +144,12 @@ def interval_join(
     left = _lift(left_ds, key_col, ts_col, id_col, 0)
 
     def lift_right(batch: pa.Table) -> pa.Table:
-        def us(col):
-            return (
-                batch[col].cast(pa.timestamp("us")).cast(pa.int64())
-                if pa.types.is_timestamp(batch[col].type)
-                else batch[col].cast(pa.int64())
-            )
-
         n = batch.num_rows
         return pa.table(
             {
                 "key": batch[key_col].cast(pa.int64()),
-                "ts_us": us(start_col),
-                "eid": us(end_col),  # reuse the tagged-union slot
+                "ts_us": _as_us(batch[start_col]),
+                "eid": _as_us(batch[end_col]),  # reuse the tagged-union slot
                 "side": pa.array(np.ones(n, np.int32), pa.int32()),
             }
         )
