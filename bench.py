@@ -12,8 +12,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the same bench in fresh processes at two cpu counts (8 vs
-32 by default; override RAY_GRAFT_CPUS_LO/HI), interleaved
+--scaling: runs the same bench in fresh processes at two cpu counts (4 vs
+16 by default — N vs 4N below the single node's DRAM-bandwidth knee; the
+8v32 pair and its ceiling analysis live in BASELINE.md; override
+RAY_GRAFT_CPUS_LO/HI), interleaved
 $BENCH_SCALING_REPEATS times (default 3) with the min time per count taken
 (the sandbox VM's throughput swings >2x across minutes), and reports
 throughput at both plus scaling efficiency (T_lo/T_hi)/(hi/lo).
