@@ -187,3 +187,47 @@ def test_repetition_property(ray_session, texts):
         )
         assert abs(out.loc[did, "top2_frac"] - exp2) < 1e-9
         assert abs(out.loc[did, "dup3_frac"] - exp3) < 1e-9
+
+
+@_few
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=30
+    ),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 20)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_interval_join_property(ray_session, events, ivs):
+    from dpr_ray.stages.joins import interval_join
+
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(len(events)), pa.int64()),
+            "user_id": pa.array([u for u, _ in events], pa.int64()),
+            "ts": pa.array([t for _, t in events], pa.int64()),
+        }
+    )
+    iv = pa.table(
+        {
+            "user_id": pa.array([u for u, _, _ in ivs], pa.int64()),
+            "session_start": pa.array([s for _, s, _ in ivs], pa.int64()),
+            "session_end": pa.array([s + d for _, s, d in ivs], pa.int64()),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(ev), ray.data.from_arrow(iv)
+    ).to_pandas()
+    got = set(map(tuple, out[["left_id", "start_us", "end_us"]].to_numpy()))
+    want, matched = set(), set()
+    for eid, (u, t) in enumerate(events):
+        for iu, s, d in ivs:
+            if iu == u and s <= t <= s + d:
+                want.add((eid, s, s + d))
+                matched.add(eid)
+    for eid in range(len(events)):
+        if eid not in matched:
+            want.add((eid, -1, -1))
+    assert got == want
