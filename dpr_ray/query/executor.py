@@ -98,9 +98,23 @@ class SegmentStore:
       cluster via warm_posting_refs; plasma numpy reads are zero-copy).
     """
 
-    def __init__(self, index_dir: str, cache_terms: int = 50_000,
-                 cache_postings: int = 120_000_000, warm_refs=None,
+    def __init__(self, index_dir: str, cache_terms: int | None = None,
+                 cache_postings: int | None = None, warm_refs=None,
                  docid_range: tuple[int, int] | None = None):
+        # Per-actor cache ceilings, overridable for large-corpus deployments
+        # (env knobs follow the DPR_BATCH_ACCUM_MB convention). Combined
+        # worst-case per-actor footprint ≈ scored (≤ cache_postings elements
+        # × ~20 B: int64 docid + float64 contribution + overhead) + impact
+        # perms (≤ cache_postings × 4 B int32) + posmaps (≤ 3×cache_postings
+        # × 4 B) ≈ 3.5 GB at the 120M default — times the query-pool size;
+        # shrink DPR_CACHE_POSTINGS (or the pool) when corpus × actors
+        # exceeds node DRAM.
+        if cache_terms is None:
+            cache_terms = int(os.environ.get("DPR_CACHE_TERMS", 50_000))
+        if cache_postings is None:
+            cache_postings = int(
+                os.environ.get("DPR_CACHE_POSTINGS", 120_000_000)
+            )
         self.index_dir = index_dir
         self.stats = seg.read_stats(index_dir)
         self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"])

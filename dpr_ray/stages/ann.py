@@ -817,19 +817,29 @@ def ivfpq_knn(
     pq_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ):
     """IVF coarse filter + PQ asymmetric scoring — the FAISS
-    ``IndexIVFPQ`` analog in its ``by_residual=False`` form (PQ codebooks
-    over RAW vectors, not per-list residuals; the residual variant would
-    double the oracle's CTE surface for no extra Ray-side structure).
-    Both quantizers train on the same deterministic sample; each corpus
-    block assigns a coarse list AND m PQ codes, scores only the queries
-    probing its list, against the PQ reconstruction. Sub-linear in probes
-    like ivf_knn, with PQ's m-byte storage story on top."""
+    ``IndexIVFPQ`` analog. ``by_residual=False``: PQ codebooks over RAW
+    vectors. ``by_residual=True`` (FAISS's IndexIVFPQ default): the PQ
+    trains on and encodes the RESIDUAL ``x - centroid[assign(x)]``, and
+    reconstruction adds the coarse centroid back — finer quantization
+    near each list's center for the same m bytes/vector. Both quantizers
+    train on the same deterministic sample; each corpus block assigns a
+    coarse list AND m PQ codes, scores only the queries probing its list,
+    against the PQ reconstruction. Sub-linear in probes like ivf_knn,
+    with PQ's m-byte storage story on top. Reference analog: the trained
+    IVFPQ of ``faiss_indexers.py:201-232``."""
     ensure_shippable()
     ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
     ivf = IVFPlan(ids, mat, n_lists=n_lists, iters=ivf_iters)
-    pq = PQPlan(ids, mat, m=m, ksub=ksub, iters=pq_iters)
+    if by_residual:
+        # residuals vs the FINAL (round9-snapped) coarse centroids — the
+        # same values a SQL oracle derives from its cassign ⋈ c{N} join
+        train = np.asarray(mat, np.float64) - ivf.centroids[ivf.assign(mat)]
+    else:
+        train = mat
+    pq = PQPlan(ids, train, m=m, ksub=ksub, iters=pq_iters)
     qm = np.asarray(query_matrix, dtype=np.float64)
     probe_map: dict[int, set[int]] = {}
     for qid, v in zip(query_ids, qm):
@@ -867,7 +877,14 @@ def ivfpq_knn(
             if not probed.any():
                 return empty
             ids, raw, lists = ids[probed], raw[probed], lists[probed]
-            rec = _normalize(self.pq.reconstruct(self.pq.assign(raw)))
+            if by_residual:
+                coarse = self.ivf.centroids[lists]
+                rec = _normalize(
+                    coarse
+                    + self.pq.reconstruct(self.pq.assign(raw - coarse))
+                )
+            else:
+                rec = _normalize(self.pq.reconstruct(self.pq.assign(raw)))
             out_q, out_v, out_s = [], [], []
             for b in np.unique(lists):
                 qids = self.probe_map.get(int(b))

@@ -198,30 +198,10 @@ class RepetitionStats:
         )
 
 
-def unigram_logprob(
-    ds,
-    id_col: str = "docid",
-    text_col: str = "content",
-    vocab_cap: int | None = None,
-):
-    """Self-corpus unigram-LM negative log-likelihood per doc — the
-    perplexity-proxy quality signal corpus pipelines run next to the
-    heuristic rules (a doc whose tokens are improbable under the corpus'
-    own unigram distribution is boilerplate, code soup, or another
-    language): → Dataset ``(docid, n_tokens, nll)`` with
-    ``nll = -mean ln p(t)``, Laplace-smoothed
-    ``p(t) = (cf_t + 1) / (total + V)``.
-
-    Two passes. Pass 1 builds the LM: per-batch partial term counts
-    (map-side combine — the shuffle moves one row per distinct term per
-    batch, not per token) → groupby(term) sum → driver collect +
-    broadcast via ``ray.put``. Pass 2 is MAP-ONLY scoring against the
-    broadcast table. At 100-TB scale the vocabulary is the knob:
-    ``vocab_cap`` keeps the top-V terms by (cf desc, term) — the
-    heavy-hitters set — and scores tail terms with the unseen-term
-    probability ``1 / (total + V)``; V always counts the FULL vocabulary
-    so capped and uncapped models agree on the kept terms."""
-    ensure_shippable()
+def _partial_term_counts(ds, text_col: str):
+    """Corpus term frequencies: per-batch Counter (map-side combine) →
+    groupby(term) sum. One output row per distinct term, each term in
+    exactly one block (groupby post-condition `_collect_lm` relies on)."""
     from collections import Counter
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -246,23 +226,118 @@ def unigram_logprob(
             }
         )
 
-    cf_rows = (
+    return (
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("term")
         .map_groups(sum_group, batch_format="pyarrow")
+    )
+
+
+def _collect_lm(summed, vocab_cap: int | None):
+    """Distributed-capped LM collection → ``(cf dict, total, vocab,
+    pulled_rows)``. The driver never sees the full vocabulary: each block
+    keeps only its local top-``vocab_cap`` by (cnt desc, term) — correct
+    because after the groupby a term lives in exactly one block — plus one
+    null-term sentinel row carrying the block's FULL (vocab, total), so V
+    and the Laplace denominator still count the uncapped LM. A one-block
+    reduce then trims the candidate union to the global top-V, and the
+    driver pulls at most ``vocab_cap + 1`` rows."""
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = batch["term"].to_pylist()
+        blk_v, blk_tot = len(terms), int(cnt.sum())
+        if vocab_cap is not None and len(terms) > vocab_cap:
+            keep = np.lexsort((np.asarray(terms, dtype=object), -cnt))
+            keep = np.sort(keep[:vocab_cap])
+            terms = [terms[i] for i in keep]
+            cnt = cnt[keep]
+        n = len(terms)
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + [None], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([cnt, [0]]).astype(np.int64), pa.int64()
+                ),
+                "blk_vocab": pa.array([0] * n + [blk_v], pa.int64()),
+                "blk_total": pa.array([0] * n + [blk_tot], pa.int64()),
+            }
+        )
+
+    def final_top(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        sentinel = np.array([t is None for t in terms], dtype=bool)
+        vocab = int(batch["blk_vocab"].to_numpy(zero_copy_only=False).sum())
+        total = int(batch["blk_total"].to_numpy(zero_copy_only=False).sum())
+        idx = np.nonzero(~sentinel)[0]
+        if vocab_cap is not None and len(idx) > vocab_cap:
+            t_arr = np.asarray([terms[i] for i in idx], dtype=object)
+            order = np.lexsort((t_arr, -cnt[idx]))
+            idx = idx[order[:vocab_cap]]
+        n = len(idx)
+        if vocab > n:
+            logger.info(
+                "unigram_logprob: vocab_cap=%s dropped %d tail terms "
+                "(scored as unseen)", vocab_cap, vocab - n,
+            )
+        return pa.table(
+            {
+                "term": pa.array([terms[i] for i in idx] + [None], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([cnt[idx], [0]]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "blk_vocab": pa.array([0] * n + [vocab], pa.int64()),
+                "blk_total": pa.array([0] * n + [total], pa.int64()),
+            }
+        )
+
+    rows = (
+        summed.map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_top, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
-    total = sum(r["cnt"] for r in cf_rows)
-    vocab = len(cf_rows)
-    if vocab_cap is not None and len(cf_rows) > vocab_cap:
-        cf_rows = sorted(cf_rows, key=lambda r: (-r["cnt"], r["term"]))
-        dropped = len(cf_rows) - vocab_cap
-        cf_rows = cf_rows[:vocab_cap]
-        logger.info(
-            "unigram_logprob: vocab_cap=%d dropped %d tail terms "
-            "(scored as unseen)", vocab_cap, dropped,
-        )
-    ref = ray.put({r["term"]: r["cnt"] for r in cf_rows})
+    cf = {r["term"]: r["cnt"] for r in rows if r["term"] is not None}
+    total = sum(r["blk_total"] for r in rows)
+    vocab = sum(r["blk_vocab"] for r in rows)
+    return cf, total, vocab, len(rows)
+
+
+def unigram_logprob(
+    ds,
+    id_col: str = "docid",
+    text_col: str = "content",
+    vocab_cap: int | None = None,
+):
+    """Self-corpus unigram-LM negative log-likelihood per doc — the
+    perplexity-proxy quality signal corpus pipelines run next to the
+    heuristic rules (a doc whose tokens are improbable under the corpus'
+    own unigram distribution is boilerplate, code soup, or another
+    language): → Dataset ``(docid, n_tokens, nll)`` with
+    ``nll = -mean ln p(t)``, Laplace-smoothed
+    ``p(t) = (cf_t + 1) / (total + V)``.
+
+    Two passes. Pass 1 builds the LM: per-batch partial term counts
+    (map-side combine — the shuffle moves one row per distinct term per
+    batch, not per token) → groupby(term) sum → driver collect +
+    broadcast via ``ray.put``. Pass 2 is MAP-ONLY scoring against the
+    broadcast table. At 100-TB scale the vocabulary is the knob:
+    ``vocab_cap`` keeps the top-V terms by (cf desc, term) — the
+    heavy-hitters set — and scores tail terms with the unseen-term
+    probability ``1 / (total + V)``; V always counts the FULL vocabulary
+    so capped and uncapped models agree on the kept terms. The cap is
+    applied DISTRIBUTED (``_collect_lm``): per-block top-V after the
+    groupby (each term lives in exactly one block, so block-local top-V
+    is a correct candidate superset) → one-block reduce → the driver
+    pulls at most V+1 rows, never the full vocabulary."""
+    ensure_shippable()
+
+    cf, total, vocab, _pulled = _collect_lm(
+        _partial_term_counts(ds, text_col), vocab_cap
+    )
+    ref = ray.put(cf)
 
     class Score:
         def __init__(self):

@@ -13,7 +13,6 @@ Ordering assumption: none — tumbling counts/sums are order-independent.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -165,31 +164,46 @@ def session_windows(
     ts_col: str = "ts",
 ):
     """→ Dataset (key, session_start, session_end, n_events): session
-    windows per key (gap-based). Ordering handled inside map_groups: each
-    key's events are sorted by ts in its group (the documented partitioning
-    assumption: all events of a key land in one group via the groupby)."""
+    windows per key (gap-based, new session when the gap STRICTLY exceeds
+    ``gap_seconds``). Ordering handled inside map_groups: each key's events
+    are sorted by ts in its group (the documented partitioning assumption,
+    shared with asof_join: all events of a key land in one group via the
+    groupby; over-worker keys pre-split by coarse time range with one
+    boundary event replicated). Arrow/numpy end to end — one sort + one
+    boundary nonzero + three gathers per group, no pandas, no per-session
+    loop."""
     ensure_shippable()
+    gap_us = int(round(gap_seconds * 1e6))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy() / 1e6  # seconds
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_seconds
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame(
-                {"sid": sid, "ts": g[ts_col].to_numpy(), key_col: g[key_col].to_numpy()}
-            )
-            .groupby("sid")
-            .agg(
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("ts", "size"),
-            )
-            .reset_index(drop=True)
+    def sessions(group: pa.Table) -> pa.Table:
+        col = group[ts_col]
+        ts_us = (
+            col.cast(pa.timestamp("us")).cast(pa.int64())
+            if pa.types.is_timestamp(col.type)
+            else col.cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        ts_us = np.sort(ts_us)
+        n = len(ts_us)
+        new_session = np.ones(n, dtype=bool)
+        new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        b = np.nonzero(new_session)[0]  # first event index of each session
+        last = np.concatenate([b[1:], [n]]) - 1
+        out_ts_type = (
+            col.type if pa.types.is_timestamp(col.type) else pa.timestamp("us")
         )
-        out.insert(0, key_col, g[key_col].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+        starts = pa.array(ts_us[b], pa.int64()).cast(pa.timestamp("us"))
+        ends = pa.array(ts_us[last], pa.int64()).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [group[key_col][0].as_py()] * len(b), group[key_col].type
+                ),
+                "session_start": starts.cast(out_ts_type),
+                "session_end": ends.cast(out_ts_type),
+                "n_events": pa.array(last - b + 1, pa.int64()),
+            }
+        )
 
-    return events_ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return events_ds.groupby(key_col).map_groups(
+        sessions, batch_format="pyarrow"
+    )

@@ -71,3 +71,30 @@ def test_is_subsequence():
     assert not analyzer.is_subsequence(["be", "not"], hay)
     assert not analyzer.is_subsequence([], hay)
     assert not analyzer.is_subsequence(["to"] * 7, hay)
+
+
+def test_space_token_counts_duckdb_parity():
+    """_space_token_counts must equal DuckDB's
+    len(regexp_split_to_array(text, ' ')) on DIVERGENT inputs (double
+    spaces, tabs, punctuation, empties) — the pack_bins/token_count/
+    quantiles oracles count this way, so engine↔oracle agreement must not
+    depend on the fixture being single-space text."""
+    import duckdb
+    import pyarrow as pa
+
+    from dpr_ray.entrypoints import _space_token_counts
+
+    cases = [
+        "", " ", "  ", "a", "a b", "a  b", " a b ", "a\tb", "a\nb",
+        "a, b.c", "hello  world  ", " nbsp stays", "tab\t space mix",
+        "trailing ", " leading", "a   b   c",
+    ]
+    got = _space_token_counts(pa.array(cases, pa.string())).to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            "SELECT len(regexp_split_to_array(?, ' '))", params=[c]
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want

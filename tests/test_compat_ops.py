@@ -459,6 +459,55 @@ def test_ivfpq_knn_recall(ray_session):
     assert recall >= 0.15, recall
 
 
+def test_ivfpq_by_residual(ray_session):
+    """by_residual=True (FAISS IndexIVFPQ default): PQ over
+    x - centroid[assign(x)], centroid added back at reconstruction. On
+    clustered data the residual codebooks quantize finer than raw-vector
+    codebooks, so full-probe recall vs brute force must be at least as
+    good; and it must be a genuinely different code path (different
+    scores than by_residual=False)."""
+    import ray.data
+
+    from dpr_ray.stages.ann import brute_force_knn, ivfpq_knn
+
+    rng = np.random.default_rng(53)
+    n, d, n_clu = 400, 32, 8
+    centers = rng.standard_normal((n_clu, d)) * 4.0
+    mat = (
+        centers[rng.integers(0, n_clu, n)] + rng.standard_normal((n, d)) * 0.3
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = list(range(5))
+    qm = mat[:5].astype(np.float64)
+    bf = brute_force_knn(ds, qids, qm, k=10).to_pandas()
+    kw = dict(
+        k=10, n_lists=n_clu, n_probe=n_clu, m=4, ksub=8, train_cutoff=256
+    )
+    raw = ivfpq_knn(ds, qids, qm, **kw).to_pandas()
+    res = ivfpq_knn(ds, qids, qm, by_residual=True, **kw).to_pandas()
+
+    def recall(out):
+        r = 0.0
+        for q in qids:
+            truth = set(bf[bf["qid"] == q]["vec_id"])
+            r += len(truth & set(out[out["qid"] == q]["vec_id"])) / len(truth)
+        return r / len(qids)
+
+    assert recall(res) >= recall(raw)
+    assert recall(res) >= 0.25
+    r_ = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    w_ = raw.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert not r_[["vec_id", "sim"]].equals(w_[["vec_id", "sim"]])
+
+
 def test_quantized_knn_survive_empty_blocks(ray_session):
     """A filter that empties whole blocks must not crash the quantized
     scorers ((0,0) matrices broadcast against (d,) params)."""

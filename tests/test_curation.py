@@ -221,6 +221,38 @@ def test_unigram_logprob(ray_session):
     assert abs(capped.loc[1, "nll"] - round(exp1c, 6)) < 1e-9
     assert capped.loc[2, "nll"] == out.loc[2, "nll"]
 
+def test_unigram_lm_pull_bounded(ray_session):
+    """The LM collection must never pull the full vocabulary to the driver:
+    with vocab_cap=V the take_all sees at most V+1 rows (top-V + one stats
+    sentinel), while V/total still count the UNCAPPED vocabulary."""
+    from dpr_ray.stages.text_stats import _collect_lm, _partial_term_counts
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array(list(range(40)), pa.int64()),
+                "content": pa.array(
+                    [f"common w{i} w{i} unique{i}" for i in range(40)],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(8)
+    summed = _partial_term_counts(docs, "content")
+    cf, total, vocab, pulled = _collect_lm(summed, vocab_cap=3)
+    assert pulled <= 3 + 1
+    assert len(cf) == 3
+    assert cf["common"] == 40  # global head term survives the local caps
+    assert vocab == 81  # common + 40×w{i} + 40×unique{i} — uncapped V
+    assert total == 40 * 4
+    # uncapped path unchanged
+    cf_all, total_all, vocab_all, _ = _collect_lm(
+        _partial_term_counts(docs, "content"), None
+    )
+    assert len(cf_all) == 81 and total_all == total and vocab_all == vocab
+    assert all(cf_all[t] == c for t, c in cf.items())
+
+
 def test_bpe_pattern_re2_parity():
     """BPE_PATTERN must mean the same thing to python re (engine) and
     DuckDB's RE2 (oracle) — disjoint char-class branches guarantee it;

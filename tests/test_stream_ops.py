@@ -64,6 +64,60 @@ def test_hopping_rejects_nonmultiple(ray_session):
         )
 
 
+def test_session_windows_vs_brute(ray_session):
+    """Arrow-native sessionization vs an in-process brute force, including
+    exact-gap ties (gap == threshold must NOT split — strict >) and
+    duplicate timestamps."""
+    from dpr_ray.stages.windows import session_windows
+
+    rng = np.random.default_rng(11)
+    n = 400
+    gap_s = 2.0
+    ts = rng.integers(0, 40_000_000, n)
+    ts[10] = ts[11] = 5_000_000  # duplicate timestamps, same user
+    users = rng.integers(0, 12, n)
+    # plant an exact-gap pair for user 99: 2.000000s apart → same session
+    ts = np.concatenate([ts, [70_000_000, 72_000_000]])
+    users = np.concatenate([users, [99, 99]])
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    got = (
+        session_windows(
+            ray.data.from_arrow(t).repartition(7),
+            gap_seconds=gap_s,
+            key_col="user_id",
+            ts_col="ts",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+    # brute force per user
+    want = []
+    for u in np.unique(users):
+        uts = np.sort(ts[users == u])
+        start = prev = uts[0]
+        cnt = 1
+        for x in uts[1:]:
+            if x - prev > gap_s * 1e6:
+                want.append((u, start, prev, cnt))
+                start, cnt = x, 0
+            cnt += 1
+            prev = x
+        want.append((u, start, prev, cnt))
+    assert len(got) == len(want)
+    for row, (u, s, e, c) in zip(got.itertuples(index=False), want):
+        assert row.user_id == u
+        assert row.session_start.value // 1000 == s
+        assert row.session_end.value // 1000 == e
+        assert row.n_events == c
+    # the exact-gap user stayed one session
+    assert (got[got.user_id == 99].n_events == 2).all()
+
+
 def _docs(n=200, seed=3):
     rng = np.random.default_rng(seed)
     vocab = [f"w{i:03d}" for i in range(120)]

@@ -1,5 +1,9 @@
 """Driver-style harness: run every queries() entry at a given sf and compare
-against oracle_sql() via DuckDB (row count + sorted-column value equality).
+against oracle_sql() via DuckDB (row count + DTYPE + sorted-column value
+equality). The dtype check mirrors the driver's type-aware hash: a DuckDB
+HUGEINT (windowed/plain sum() over integers) coerces to float64/object in
+pandas while the engine emits int64 — values compare equal but the driver's
+hash differs (the round-2 pack_bins escape). Any such drift must fail HERE.
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
 """
 
@@ -30,6 +34,13 @@ def to_pandas(obj):
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
     return obj
+
+
+def raw_dtypes(df: pd.DataFrame) -> dict[str, str]:
+    """Pre-coercion dtypes: the driver hashes typed values, so an
+    object/float oracle column (e.g. DuckDB HUGEINT via pandas) must not
+    silently compare equal to an engine int64 column after str()-coercion."""
+    return {c: str(df[c].dtype) for c in sorted(df.columns)}
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,7 +77,8 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got_raw = to_pandas(fn(sf_dir))
+            got = canon(got_raw)
         except Exception as e:
             failures.append(name)
             print(f"[FAIL-run ] {name}: {type(e).__name__}: {e}")
@@ -76,7 +88,8 @@ def main():
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
         try:
-            exp = canon(con.sql(sql).df())
+            exp_raw = con.sql(sql).df()
+            exp = canon(exp_raw)
         except Exception as e:
             failures.append(name)
             print(f"[FAIL-sql ] {name}: {type(e).__name__}: {e}")
@@ -84,6 +97,12 @@ def main():
         if list(got.columns) != list(exp.columns):
             failures.append(name)
             print(f"[FAIL-cols] {name}: ray={list(got.columns)} sql={list(exp.columns)}")
+            continue
+        gd, ed = raw_dtypes(got_raw), raw_dtypes(exp_raw)
+        if gd != ed:
+            failures.append(name)
+            diff = {c: (gd[c], ed[c]) for c in gd if gd[c] != ed.get(c)}
+            print(f"[FAIL-type] {name}: ray_vs_sql dtypes differ: {diff}")
             continue
         if len(got) != len(exp):
             failures.append(name)
