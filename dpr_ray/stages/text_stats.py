@@ -241,7 +241,13 @@ def _collect_lm(summed, vocab_cap: int | None):
     null-term sentinel row carrying the block's FULL (vocab, total), so V
     and the Laplace denominator still count the uncapped LM. A one-block
     reduce then trims the candidate union to the global top-V, and the
-    driver pulls at most ``vocab_cap + 1`` rows."""
+    driver pulls at most ``vocab_cap + 1`` rows. Uncapped (vocab_cap is
+    None — the small-corpus mode whose contract IS the full LM) pulls the
+    vocab directly, skipping two stages of dispatch."""
+    if vocab_cap is None:
+        rows = summed.take_all()
+        cf = {r["term"]: r["cnt"] for r in rows}
+        return cf, sum(cf.values()), len(cf), len(rows)
 
     def local_top(batch: pa.Table) -> pa.Table:
         cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)

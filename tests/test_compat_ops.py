@@ -508,6 +508,63 @@ def test_ivfpq_by_residual(ray_session):
     assert not r_[["vec_id", "sim"]].equals(w_[["vec_id", "sim"]])
 
 
+def test_semdedup_vs_brute(ray_session):
+    """SemDeDup: keep=0 exactly for vectors with a lower-id same-cluster
+    neighbor at round9-cos >= eps; dup_of = the smallest such id. Verified
+    against an in-process brute force using the same IVFPlan assignment,
+    on clustered data with planted exact duplicates."""
+    import ray.data
+
+    from dpr_ray.stages.ann import IVFPlan, _normalize, semdedup
+    from dpr_ray.util import round_half_away
+
+    rng = np.random.default_rng(17)
+    n, d, n_clu = 300, 32, 6
+    centers = rng.standard_normal((n_clu, d)) * 4.0
+    mat = (
+        centers[rng.integers(0, n_clu, n)] + rng.standard_normal((n, d)) * 0.5
+    ).astype(np.float32)
+    mat[250] = mat[20]  # planted exact duplicates (same cluster by value)
+    mat[251] = mat[20]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    eps = 0.98
+    got = (
+        semdedup(
+            ray.data.from_arrow(tbl).repartition(5),
+            eps=eps, n_lists=n_clu, iters=4, train_cutoff=200,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert len(got) == n
+    # brute force with the same deterministic plan
+    sample = mat[:200].astype(np.float64)
+    plan = IVFPlan(list(range(200)), sample, n_lists=n_clu, iters=4)
+    cl = plan.assign(mat.astype(np.float64))
+    nm = _normalize(mat.astype(np.float64))
+    sims = round_half_away(nm @ nm.T, 9)
+    for i in range(n):
+        js = [
+            j for j in range(i)
+            if cl[j] == cl[i] and sims[i, j] >= eps
+        ]
+        row = got.iloc[i]
+        assert row.cluster_id == cl[i]
+        assert row.keep == (0 if js else 1)
+        assert row.dup_of == (min(js) if js else -1)
+    # the planted exact duplicates were pruned (dup_of may be an even
+    # lower-id near-dup in the same tight cluster, not necessarily 20)
+    assert got.iloc[250].keep == 0 and got.iloc[251].keep == 0
+    assert got.iloc[250].cluster_id == got.iloc[20].cluster_id
+
+
 def test_quantized_knn_survive_empty_blocks(ray_session):
     """A filter that empties whole blocks must not crash the quantized
     scorers ((0,0) matrices broadcast against (d,) params)."""
