@@ -199,7 +199,8 @@ def run_bench() -> dict:
                      "ivfpq_residual_knn", "semdedup",
                      "embedding_cov", "events_window", "events_hopping",
                      "sessions", "asof_join", "range_join", "quantiles",
-                     "approx_quantiles", "pack_bins", "heavy_hitters"]:
+                     "approx_quantiles", "pack_bins", "pack_fragments",
+                     "heavy_hitters"]:
             fn = ep.queries_dict()[name]
             runs = []
             for _ in range(ops_reps):

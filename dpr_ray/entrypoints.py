@@ -1245,6 +1245,55 @@ FROM o
 """
 
 
+def q_pack_fragments(sf_dir: str):
+    """Sequence packing with boundary splitting (stages/scan.py:
+    pack_fragments): docs concatenated in doc_id order, cut into exact
+    {PACK_BUDGET}-token windows, one fragment row per (doc, window)
+    incidence with doc-relative [tok_start, tok_end)."""
+    from .stages.scan import pack_fragments
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": _space_token_counts(batch["text"]),
+            }
+        )
+
+    counts = _docs_ds(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
+    out = pack_fragments(counts, "doc_id", "n_tokens", budget=PACK_BUDGET)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["docid", "bin_id", "tok_start", "tok_end", "frag_len"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+PACK_FRAGMENTS_SQL = f"""
+WITH c AS (SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS v
+           FROM documents),
+o AS (SELECT doc_id, v,
+             CAST(COALESCE(sum(v) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS toff
+      FROM c),
+f AS (SELECT doc_id, v, toff,
+             unnest(generate_series(toff // {PACK_BUDGET},
+                                    (toff + v - 1) // {PACK_BUDGET})) AS bin_id
+      FROM o WHERE v > 0)
+SELECT doc_id AS docid, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(greatest(toff, bin_id * {PACK_BUDGET}) - toff AS BIGINT)
+         AS tok_start,
+       CAST(least(toff + v, (bin_id + 1) * {PACK_BUDGET}) - toff AS BIGINT)
+         AS tok_end,
+       CAST(least(toff + v, (bin_id + 1) * {PACK_BUDGET})
+            - greatest(toff, bin_id * {PACK_BUDGET}) AS BIGINT) AS frag_len
+FROM f
+"""
+
+
 # rank r(p) = ((n-1) * p_i6) // 1e6 — integer arithmetic on both sides
 QUANTILES_SQL = """
 WITH c AS (SELECT len(regexp_split_to_array(text, ' ')) AS v FROM documents),
@@ -3111,11 +3160,12 @@ FROM q JOIN l ON q.docid = l.docid JOIN c ON q.docid = c.docid
 def queries_dict():
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries in
     # insertion order. Every distinct component must sit in the first 50;
-    # the tail (last 5) holds only redundant/pytest-gated variants with
+    # the tail (last 6) holds only redundant/pytest-gated variants with
     # prior driver-green rows: bm25_topk_bmw / bm25_topk_maxscore
     # (bitwise-identical to bm25_topk, tests/test_query.py), sample_fixed
-    # / grouped_topk (tests/test_sampling.py), quantiles (exact variant,
-    # tests/test_joins_quantiles.py; approx_quantiles stays checked).
+    # / grouped_topk / sample_corpus (tests/test_sampling.py), quantiles
+    # (exact variant, tests/test_joins_quantiles.py; approx_quantiles
+    # stays checked).
     return {
         "docstore": q_docstore,
         "corpus_stats": q_corpus_stats,
@@ -3139,7 +3189,7 @@ def queries_dict():
         "token_count": q_token_count,
         "approx_quantiles": q_approx_quantiles,
         "pack_bins": q_pack_bins,
-        "sample_corpus": q_sample_corpus,
+        "pack_fragments": q_pack_fragments,
         "chunk_corpus": q_chunk_corpus,
         "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
@@ -3173,6 +3223,7 @@ def queries_dict():
         "sample_fixed": q_sample_fixed,
         "grouped_topk": q_grouped_topk,
         "quantiles": q_quantiles,
+        "sample_corpus": q_sample_corpus,
     }
 
 
@@ -3205,6 +3256,7 @@ def oracle_sql_dict():
         "quantiles": QUANTILES_SQL,
         "approx_quantiles": APPROX_QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,
+        "pack_fragments": PACK_FRAGMENTS_SQL,
         "sample_corpus": SAMPLE_CORPUS_SQL,
         "sample_fixed": SAMPLE_FIXED_SQL,
         "grouped_topk": GROUPED_TOPK_SQL,

@@ -121,3 +121,55 @@ def pack_bins(
     return prefix_sum(ds, key_col, value_col, bucket_width).map_batches(
         add_bin, batch_format="pyarrow"
     )
+
+
+def pack_fragments(
+    ds,
+    key_col: str,
+    value_col: str,
+    budget: int,
+    bucket_width: int | None = None,
+):
+    """Sequence packing WITH boundary splitting — the layout an LLM
+    pretraining loader actually materializes: documents concatenated in
+    key order and cut into exactly-``budget``-token context windows, a
+    doc straddling a window boundary contributing one FRAGMENT to each
+    window it crosses. → Dataset ``(key, bin_id, tok_start, tok_end,
+    frag_len)``, one row per (doc, window) incidence; ``tok_start``/
+    ``tok_end`` are doc-relative ([start, end) exclusive), so a loader
+    can slice each doc's token array directly. Zero-token docs emit no
+    fragments.
+
+    Built on the same two-pass distributed scan as ``pack_bins`` (global
+    offsets without a global sort); the fragment expansion is a map-only
+    vectorized repeat/gather per batch — total output rows =
+    n_docs + n_boundary_crossings ≤ n_docs + total_tokens/budget."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        off = batch["offset"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        keep = v > 0
+        off, v, k = off[keep], v[keep], k[keep]
+        b0 = off // budget
+        b1 = (off + v - 1) // budget
+        nb = (b1 - b0 + 1).astype(np.int64)
+        total = int(nb.sum())
+        rep = np.repeat(np.arange(len(k)), nb)
+        pos = np.arange(total) - np.repeat(np.cumsum(nb) - nb, nb)
+        bins = b0[rep] + pos
+        g_start = np.maximum(off[rep], bins * budget)
+        g_end = np.minimum(off[rep] + v[rep], (bins + 1) * budget)
+        return pa.table(
+            {
+                "key": pa.array(k[rep], pa.int64()),
+                "bin_id": pa.array(bins, pa.int64()),
+                "tok_start": pa.array(g_start - off[rep], pa.int64()),
+                "tok_end": pa.array(g_end - off[rep], pa.int64()),
+                "frag_len": pa.array(g_end - g_start, pa.int64()),
+            }
+        )
+
+    return prefix_sum(ds, key_col, value_col, bucket_width).map_batches(
+        explode, batch_format="pyarrow"
+    )

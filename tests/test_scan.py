@@ -56,3 +56,39 @@ def test_pack_bins_layout(ray_session):
         .sort_values("key")
     )
     assert list(out["bin_id"]) == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_pack_fragments_tiling(ray_session):
+    """Fragments must tile: (a) each doc's fragments partition [0, n)
+    contiguously in bin order; (b) each window's frag_len sums to exactly
+    the budget except the final window; (c) zero-token docs emit nothing."""
+    from dpr_ray.stages.scan import pack_fragments
+
+    rng = np.random.default_rng(9)
+    n = 200
+    keys = rng.permutation(n)
+    vals = rng.integers(0, 90, n)  # includes zeros
+    vals[vals < 5] = 0
+    budget = 128
+    out = (
+        pack_fragments(_ds(keys, vals), "k", "v", budget=budget,
+                       bucket_width=17)
+        .to_pandas()
+        .sort_values(["key", "bin_id"], ignore_index=True)
+    )
+    vmap = dict(zip(keys, vals))
+    # (a) per-doc tiling
+    for k, g in out.groupby("key"):
+        assert g["tok_start"].iloc[0] == 0
+        assert g["tok_end"].iloc[-1] == vmap[k]
+        assert (g["tok_start"].to_numpy()[1:] == g["tok_end"].to_numpy()[:-1]).all()
+        assert (g["frag_len"] == g["tok_end"] - g["tok_start"]).all()
+        assert (g["bin_id"].to_numpy()[1:] == g["bin_id"].to_numpy()[:-1] + 1).all()
+    # (b) per-window budget
+    per_bin = out.groupby("bin_id")["frag_len"].sum()
+    total = int(vals.sum())
+    assert per_bin.iloc[:-1].eq(budget).all()
+    assert per_bin.sum() == total
+    assert per_bin.index.max() == (total - 1) // budget
+    # (c) zero docs absent
+    assert set(out["key"]) == {int(k) for k, v in vmap.items() if v > 0}
