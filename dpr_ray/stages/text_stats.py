@@ -14,7 +14,13 @@ import ray
 
 from .. import analyzer
 from .._shipping import ensure_shippable
-from ..util import auto_pool, poly_mod31, round_half_away, token_hash31_impl
+from ..util import (
+    auto_pool,
+    poly_mod31,
+    round_half_away,
+    to_i6,
+    token_hash31_impl,
+)
 from .dedup import _span_hashes
 
 logger = logging.getLogger("dpr_ray.text_stats")
@@ -196,6 +202,79 @@ class RepetitionStats:
                 "dup3_frac": pa.array(dup3, pa.float64()),
             }
         )
+
+
+def tfidf_topk(ds, id_col: str = "docid", text_col: str = "content",
+               k: int = 5):
+    """Per-document TF-IDF keyword extraction — the top-``k`` terms of
+    each doc by ``tf · ln(N / df)`` (the sparse-retrieval / tagging
+    feature every corpus pipeline derives next to the quality scores):
+    → Dataset ``(docid, term, tf, df, rank, tfidf_i6)``, rank 1..k per
+    doc under the (score desc, term asc) total order.
+
+    Tokens follow the oracle whitespace convention (literal single-space
+    split — one row per distinct (doc, term)). Scale shape: the canonical
+    two-shuffle — per-batch tf rows (map-side combine), ONE groupby(term)
+    attaches df (each term's postings live in one group; no separate df
+    table, no broadcast of an unbounded vocabulary), ONE groupby(doc)
+    takes the local top-k. Scores are round9-snapped so the oracle's
+    sequential ln/products rank identically (the BM25 discipline)."""
+    ensure_shippable()
+    from collections import Counter
+
+    n_docs = ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for d, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            c = Counter(t.split(" "))
+            docs.extend([d] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "docid": pa.array(docs, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        df = group.num_rows  # one row per doc containing this term
+        return group.append_column(
+            "df", pa.array(np.full(df, df, np.int64), pa.int64())
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = group["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        terms = group["term"].to_pylist()
+        score9 = round_half_away(tf * np.log(n_docs / df), 9)
+        order = np.lexsort((np.asarray(terms, dtype=object), -score9))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "docid": group["docid"].take(pa.array(order)),
+                "term": pa.array([terms[i] for i in order], pa.string()),
+                "tf": group["tf"].take(pa.array(order)),
+                "df": group["df"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64),
+                                 pa.int64()),
+                "tfidf_i6": pa.array(to_i6(score9[order]), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("docid")
+        .map_groups(topk, batch_format="pyarrow")
+    )
 
 
 def _partial_term_counts(ds, text_col: str):

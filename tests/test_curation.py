@@ -253,6 +253,44 @@ def test_unigram_lm_pull_bounded(ray_session):
     assert all(cf_all[t] == c for t, c in cf.items())
 
 
+def test_tfidf_topk_hand_computed(ray_session):
+    import math
+
+    from dpr_ray.stages.text_stats import tfidf_topk
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "docid": pa.array([1, 2, 3], pa.int64()),
+                "content": pa.array(
+                    ["cat cat dog", "dog fish", "fish fish fish"],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(3)
+    out = (
+        tfidf_topk(docs, k=2)
+        .to_pandas()
+        .sort_values(["docid", "rank"], ignore_index=True)
+    )
+    # N=3; df: cat=1, dog=2, fish=2
+    def i6(tf, df):
+        return round(round(tf * math.log(3 / df), 9) * 1e6)
+
+    assert len(out) == 5  # doc 3 has a single distinct term
+    d1 = out[out.docid == 1]
+    assert list(d1.term) == ["cat", "dog"]  # 2·ln3 > 1·ln1.5
+    assert list(d1.tfidf_i6) == [i6(2, 1), i6(1, 2)]
+    assert list(d1["rank"]) == [1, 2]
+    d3 = out[out.docid == 3]
+    assert list(d3.term) == ["fish"] and d3.iloc[0].tfidf_i6 == i6(3, 2)
+    # doc 2: dog and fish tie at 1·ln(1.5) → term asc breaks the tie
+    d2 = out[out.docid == 2]
+    assert list(d2.term) == ["dog", "fish"]
+    assert list(d2.tf) == [1, 1] and list(d2.df) == [2, 2]
+
+
 def test_bpe_pattern_re2_parity():
     """BPE_PATTERN must mean the same thing to python re (engine) and
     DuckDB's RE2 (oracle) — disjoint char-class branches guarantee it;
