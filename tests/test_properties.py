@@ -231,3 +231,45 @@ def test_interval_join_property(ray_session, events, ivs):
         if eid not in matched:
             want.add((eid, -1, -1))
     assert got == want
+
+
+@_few
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    budget=st.integers(1, 50),
+)
+def test_pack_fragments_property(ray_session, vals, budget):
+    """Fragment tiling invariants for random token counts and budgets:
+    fragments partition each nonzero doc's [0, n); every window except
+    the last sums to exactly the budget; global fragment order in
+    (bin_id, key) equals the concatenation layout."""
+    from dpr_ray.stages.scan import pack_fragments
+
+    keys = list(range(0, 2 * len(vals), 2))  # sparse, unique, ordered
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = pack_fragments(ds, "k", "v", budget=budget, bucket_width=7).to_pandas()
+    total = sum(vals)
+    vmap = dict(zip(keys, vals))
+    if total == 0:
+        assert len(out) == 0
+        return
+    out = out.sort_values(["key", "bin_id"], ignore_index=True)
+    assert set(out["key"]) == {k for k, v in vmap.items() if v > 0}
+    for k, g in out.groupby("key"):
+        assert g["tok_start"].iloc[0] == 0
+        assert g["tok_end"].iloc[-1] == vmap[k]
+        assert (
+            g["tok_start"].to_numpy()[1:] == g["tok_end"].to_numpy()[:-1]
+        ).all()
+    if total:
+        per_bin = out.groupby("bin_id")["frag_len"].sum().sort_index()
+        assert per_bin.iloc[:-1].eq(budget).all()
+        assert per_bin.sum() == total
+        assert list(per_bin.index) == list(range((total - 1) // budget + 1))
