@@ -1,0 +1,161 @@
+"""`ray job submit`-able corpus-CURATION driver — the training-data side
+of tools/build_job.py: quality + language-ID + near-dup canonicalization
+over a documents parquet, written as resumable hive-partitioned parquet.
+
+On a real cluster:
+    ray job submit --working-dir . -- python tools/curate_job.py \
+        --docs s3://bucket/documents/*.parquet --out-dir /data/curated \
+        --write-corpus
+
+Outputs under --out-dir:
+  verdicts/keep={0,1}/part-*.parquet — one row per doc with every rule's
+    verdict (docid, n_tokens, lang_pred, quality_i6, is_canonical, keep);
+    `keep=1/` IS the curated docid list, so any engine can semi-join the
+    raw corpus against it without rerunning the rules.
+  corpus/bucket=*/part-*.parquet (with --write-corpus) — the kept docs
+    WITH text, partitioned by docid hash bucket so a failed run resumes
+    per bucket. The keep-set filter is the decontam broadcast shape (one
+    ray.put of a sorted int64 array, map-only searchsorted membership);
+    for corpora whose keep-set exceeds the broadcast budget, partition
+    both sides by docid range and join per partition instead.
+
+In this sandbox Ray runs local-mode; the same script exercises the exact
+job path (`ray.init(address=...)` honors RAY_ADDRESS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True,
+                    help="parquet path/dir with (doc_id, text[, lang, ...])")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality-i6", type=int, default=250_000)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--max-tokens", type=int, default=1_000_000)
+    ap.add_argument("--ngram-k", type=int, default=3)
+    ap.add_argument("--ngram-threshold", type=float, default=0.5)
+    ap.add_argument("--write-corpus", action="store_true",
+                    help="also materialize kept docs with text")
+    ap.add_argument("--corpus-buckets", type=int, default=64,
+                    help="docid hash buckets for the corpus partitioning")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    ray.init(
+        address=os.environ.get("RAY_ADDRESS", "local"),
+        num_cpus=args.num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.index.io import write_partitioned
+    from dpr_ray.stages.curation import curate_corpus
+    from dpr_ray.stages.dedup import ngram_jaccard_pairs_hashed
+    from dpr_ray.util import read_parquet_clean
+
+    t0 = time.time()
+    docs = read_parquet_clean(
+        args.docs, columns=[args.id_col, args.text_col]
+    )
+    pairs = ngram_jaccard_pairs_hashed(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        k=args.ngram_k, threshold=args.ngram_threshold,
+    )
+    verdicts = curate_corpus(
+        docs, pairs, id_col=args.id_col, text_col=args.text_col,
+        min_quality_i6=args.min_quality_i6,
+        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+    )
+    vstats = write_partitioned(
+        verdicts, os.path.join(args.out_dir, "verdicts"),
+        partition_col="keep", sum_cols=[],
+    )
+    out = {
+        "verdict_rows": vstats["rows"],
+        "verdicts_sec": round(time.time() - t0, 2),
+    }
+
+    if args.write_corpus:
+        t1 = time.time()
+        # keep=1 partition is the kept docid list — read it back (narrow,
+        # already on disk) and broadcast as a sorted membership array
+        kept = ray.data.read_parquet(
+            os.path.join(args.out_dir, "verdicts", "keep=1"),
+            columns=["docid"],
+        )
+        ids = np.sort(
+            np.concatenate(
+                [
+                    t["docid"].to_numpy(zero_copy_only=False)
+                    for t in (ray.get(r) for r in kept.to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        ids_ref = ray.put(ids)
+        n_buckets = args.corpus_buckets
+        id_col = args.id_col
+
+        class KeepFilter:
+            def __init__(self):
+                self.ids = ray.get(ids_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                d = batch[id_col].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.ids, d)
+                hit = (pos < len(self.ids)) & (
+                    self.ids[np.minimum(pos, len(self.ids) - 1)] == d
+                )
+                kept_b = batch.filter(pa.array(hit))
+                return kept_b.append_column(
+                    "bucket",
+                    pa.array(
+                        kept_b[id_col]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        % n_buckets,
+                        pa.int64(),
+                    ),
+                )
+
+        full_docs = read_parquet_clean(args.docs)
+        cstats = write_partitioned(
+            full_docs.map_batches(KeepFilter, batch_format="pyarrow",
+                                  concurrency=(1, max(2, args.num_cpus - 1))),
+            os.path.join(args.out_dir, "corpus"),
+            partition_col="bucket", sum_cols=[],
+        )
+        out["kept_rows"] = cstats["rows"]
+        out["corpus_sec"] = round(time.time() - t1, 2)
+
+    out["total_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
