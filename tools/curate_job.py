@@ -13,11 +13,17 @@ Outputs under --out-dir:
     `keep=1/` IS the curated docid list, so any engine can semi-join the
     raw corpus against it without rerunning the rules.
   corpus/bucket=*/part-*.parquet (with --write-corpus) — the kept docs
-    WITH text, partitioned by docid hash bucket so a failed run resumes
-    per bucket. The keep-set filter is the decontam broadcast shape (one
-    ray.put of a sorted int64 array, map-only searchsorted membership);
-    for corpora whose keep-set exceeds the broadcast budget, partition
-    both sides by docid range and join per partition instead.
+    WITH text, partitioned by docid hash bucket. The keep-set filter is
+    the decontam broadcast shape (one ray.put of a sorted int64 array,
+    map-only searchsorted membership); for corpora whose keep-set
+    exceeds the broadcast budget, partition both sides by docid range
+    and join per partition instead.
+
+Resume: each phase writes a `_SUCCESS` marker on completion; a re-run
+with the same --out-dir skips completed phases (so a crash between
+phases never recomputes the verdicts, and re-running never duplicates
+part files). A phase that crashed MID-write has no marker — its
+directory is cleared and rewritten.
 
 In this sandbox Ray runs local-mode; the same script exercises the exact
 job path (`ray.init(address=...)` honors RAY_ADDRESS).
@@ -71,34 +77,59 @@ def main() -> None:
     import pyarrow as pa
     import ray.data
 
+    from dpr_ray._shipping import ensure_shippable
     from dpr_ray.index.io import write_partitioned
     from dpr_ray.stages.curation import curate_corpus
     from dpr_ray.stages.dedup import ngram_jaccard_pairs_hashed
     from dpr_ray.util import read_parquet_clean
 
-    t0 = time.time()
-    docs = read_parquet_clean(
-        args.docs, columns=[args.id_col, args.text_col]
-    )
-    pairs = ngram_jaccard_pairs_hashed(
-        docs, id_col=args.id_col, text_col=args.text_col,
-        k=args.ngram_k, threshold=args.ngram_threshold,
-    )
-    verdicts = curate_corpus(
-        docs, pairs, id_col=args.id_col, text_col=args.text_col,
-        min_quality_i6=args.min_quality_i6,
-        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
-    )
-    vstats = write_partitioned(
-        verdicts, os.path.join(args.out_dir, "verdicts"),
-        partition_col="keep", sum_cols=[],
-    )
-    out = {
-        "verdict_rows": vstats["rows"],
-        "verdicts_sec": round(time.time() - t0, 2),
-    }
+    # register dpr_ray for by-value pickling BEFORE any UDF is created:
+    # the resume path can reach the KeepFilter stage without ever calling
+    # a pipeline entry point (which would have registered it), and an
+    # unregistered read_parquet_clean closure ships by module reference —
+    # workers without the repo on sys.path then hang PENDING (the
+    # round-2 shipping trap #4, hit again here in round 3)
+    ensure_shippable()
 
-    if args.write_corpus:
+    import shutil
+
+    def phase_dir(name: str) -> tuple[str, bool]:
+        """(path, already_done). Clears a half-written phase (no marker)."""
+        d = os.path.join(args.out_dir, name)
+        marker = os.path.join(d, "_SUCCESS")
+        if os.path.exists(marker):
+            return d, True
+        shutil.rmtree(d, ignore_errors=True)
+        return d, False
+
+    t0 = time.time()
+    out: dict = {}
+    vdir, vdone = phase_dir("verdicts")
+    if vdone:
+        out["verdicts"] = "resumed (marker present)"
+    else:
+        docs = read_parquet_clean(
+            args.docs, columns=[args.id_col, args.text_col]
+        )
+        pairs = ngram_jaccard_pairs_hashed(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            k=args.ngram_k, threshold=args.ngram_threshold,
+        )
+        verdicts = curate_corpus(
+            docs, pairs, id_col=args.id_col, text_col=args.text_col,
+            min_quality_i6=args.min_quality_i6,
+            min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        )
+        vstats = write_partitioned(verdicts, vdir, partition_col="keep",
+                                   sum_cols=[])
+        open(os.path.join(vdir, "_SUCCESS"), "w").close()
+        out["verdict_rows"] = vstats["rows"]
+        out["verdicts_sec"] = round(time.time() - t0, 2)
+
+    cdir, cdone = phase_dir("corpus") if args.write_corpus else ("", True)
+    if args.write_corpus and cdone:
+        out["corpus"] = "resumed (marker present)"
+    if args.write_corpus and not cdone:
         t1 = time.time()
         # keep=1 partition is the kept docid list — read it back (narrow,
         # already on disk) and broadcast as a sorted membership array
@@ -146,9 +177,9 @@ def main() -> None:
         cstats = write_partitioned(
             full_docs.map_batches(KeepFilter, batch_format="pyarrow",
                                   concurrency=(1, max(2, args.num_cpus - 1))),
-            os.path.join(args.out_dir, "corpus"),
-            partition_col="bucket", sum_cols=[],
+            cdir, partition_col="bucket", sum_cols=[],
         )
+        open(os.path.join(cdir, "_SUCCESS"), "w").close()
         out["kept_rows"] = cstats["rows"]
         out["corpus_sec"] = round(time.time() - t1, 2)
 
