@@ -302,7 +302,27 @@ def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
 
 
 def q_bm25_topk(sf_dir: str):
-    return _bm25_results(sf_dir)[["qid", "docid", "rank", "score_i6"]]
+    """Driver entry runs ALL THREE executor methods — TAAT, MaxScore and
+    block-max WAND — and asserts they are bitwise-identical (same docids in
+    the same order with equal float64 scores) before returning the shared
+    result. This keeps the pruned query paths (the code most likely to
+    drift under executor changes) inside a driver-checked entry, not just
+    behind the pytest gate in tests/test_query.py."""
+    base = _bm25_results(sf_dir, method="taat")
+    for method in ("maxscore", "bmw"):
+        alt = _bm25_results(sf_dir, method=method)
+        same = (
+            len(base) == len(alt)
+            and (base["qid"].to_numpy() == alt["qid"].to_numpy()).all()
+            and (base["docid"].to_numpy() == alt["docid"].to_numpy()).all()
+            and (base["score"].to_numpy() == alt["score"].to_numpy()).all()
+        )
+        if not same:
+            raise AssertionError(
+                f"executor method {method!r} diverged from TAAT "
+                "(bitwise top-k mismatch)"
+            )
+    return base[["qid", "docid", "rank", "score_i6"]]
 
 
 def q_bm25_topk_bmw(sf_dir: str):
@@ -2113,15 +2133,34 @@ pairs AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib
   FROM cassign a JOIN cassign b ON b.j = a.j AND b.vec_id < a.vec_id
 ),
-prs AS (
-  SELECT p.ia, p.ib, unnest(ea.embedding)::DOUBLE AS x,
-         unnest(eb.embedding)::DOUBLE AS y
-  FROM pairs p JOIN c ea ON ea.vec_id = p.ia JOIN c eb ON eb.vec_id = p.ib
+pvec AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM c
+),
+-- Plain sum() accumulates in hash-arrival order (nondeterministic per
+-- group); near the eps boundary that leaves only the round9 snap between
+-- the two sides. Use ordered-list sequential reduction for the dot and
+-- both norms (the residual-KNN oracle's qn/rn/dots idiom).
+vn AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list(x * x ORDER BY d)),
+                     (a, v) -> a + v) AS s2
+  FROM pvec GROUP BY vec_id
+),
+dots AS (
+  SELECT p.ia, p.ib,
+         list_reduce(list_prepend(0.0, list(ea.x * eb.x ORDER BY ea.d)),
+                     (a, v) -> a + v) AS dp
+  FROM pairs p JOIN pvec ea ON ea.vec_id = p.ia
+               JOIN pvec eb ON eb.vec_id = p.ib AND eb.d = ea.d
+  GROUP BY 1, 2
 ),
 sims AS (
-  SELECT ia, ib,
-         ROUND(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 9) AS sim9
-  FROM prs GROUP BY ia, ib
+  SELECT t.ia, t.ib,
+         ROUND(t.dp / (sqrt(na.s2) * sqrt(nb.s2)), 9) AS sim9
+  FROM dots t JOIN vn na ON na.vec_id = t.ia
+              JOIN vn nb ON nb.vec_id = t.ib
 ),
 dup AS (
   SELECT ia, min(ib) AS dup_of FROM sims WHERE sim9 >= {SEM_EPS} GROUP BY ia
@@ -3192,13 +3231,14 @@ def queries_dict():
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries in
     # insertion order. Every distinct component must sit in the first 50;
     # the tail (last 7) holds only redundant/pytest-gated variants with
-    # prior driver-green rows: bm25_topk_bmw / bm25_topk_maxscore
-    # (bitwise-identical to bm25_topk, tests/test_query.py), sample_fixed
-    # / grouped_topk / sample_corpus (tests/test_sampling.py), quantiles
-    # (exact variant, tests/test_joins_quantiles.py; approx_quantiles
-    # stays checked), chunked_bm25 (composition of chunk_corpus + the
-    # bitwise-gated BM25 engine; chunk_corpus AND chunk_hits stay
-    # checked).
+    # prior driver-green rows: bm25_topk_bmw / bm25_topk_maxscore (now
+    # FULLY redundant — the checked bm25_topk entry itself runs all three
+    # executor methods and asserts bitwise identity in-query; these stay
+    # for per-method oracle sweeps), sample_fixed / grouped_topk /
+    # sample_corpus (tests/test_sampling.py), quantiles (exact variant,
+    # tests/test_joins_quantiles.py; approx_quantiles stays checked),
+    # chunked_bm25 (composition of chunk_corpus + the bitwise-gated BM25
+    # engine; chunk_corpus AND chunk_hits stay checked).
     return {
         "docstore": q_docstore,
         "corpus_stats": q_corpus_stats,

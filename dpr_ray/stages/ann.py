@@ -926,6 +926,7 @@ def semdedup(
     train_cutoff: int = 266,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_row_budget: int | None = None,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-bucket the embedding space, then prune
@@ -946,8 +947,28 @@ def semdedup(
     (round9-snapped spherical k-means on the ``id_col < train_cutoff``
     sample) — the oracle replays training, assignment, in-cluster pair
     sims and the keep decision exactly. Reference analog: the trained
-    coarse quantizer of ``faiss_indexers.py:201-232``."""
+    coarse quantizer of ``faiss_indexers.py:201-232``.
+
+    Degenerate-cluster guard: ``n_lists`` is the paper's knob for bounding
+    cluster size, but skewed embeddings can still collapse most of the
+    corpus into one cluster — an unguarded in-group ``nmat @ nmat.T`` is
+    then O(c²) memory and OOMs at scale. Clusters larger than
+    ``cluster_row_budget`` rows (default ``$DPR_SEMDEDUP_CLUSTER_BUDGET``
+    or 65536) are deterministically SUBSPLIT into contiguous id-order
+    segments of at most that many rows, and pairs are only compared within
+    a segment (a logged approximation — cross-segment duplicates in an
+    over-budget cluster are missed, exactly the ``shingle_df_cap``
+    discipline of ``dedup.py``). The guard never trips at test scale, so
+    the SQL oracle stays exact; at 100 TB it converts a silent OOM into a
+    bounded, warned fallback (the real fix is raising ``n_lists``)."""
     ensure_shippable()
+    import os
+
+    if cluster_row_budget is None:
+        cluster_row_budget = int(
+            os.environ.get("DPR_SEMDEDUP_CLUSTER_BUDGET", "8192")
+        )
+    budget = max(2, int(cluster_row_budget))
     ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
     plan = IVFPlan(ids, mat, n_lists=n_lists, iters=iters)
     plan_ref = ray.put(plan)
@@ -982,14 +1003,35 @@ def semdedup(
         order = np.argsort(vids, kind="stable")
         vids = vids[order]
         nmat = _normalize(_to_matrix(group[vec_col]))[order]
-        sims = round_half_away(nmat @ nmat.T, 9)
-        # strict lower triangle in id order: row i vs all j < i
-        dup_mask = np.tril(sims >= eps, k=-1)
-        has_dup = dup_mask.any(axis=1)
-        first_j = np.argmax(dup_mask, axis=1)  # first True = smallest id
-        dup_of = np.where(has_dup, vids[first_j], -1)
         cluster = int(group["cluster_id"][0].as_py())
         n = len(vids)
+        if n > budget:
+            # Degenerate cluster: the quadratic sims matrix would be
+            # n²·8 B. Subsplit into contiguous id-order segments of
+            # ≤ budget rows; compare pairs within a segment only.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %d has %d rows > budget %d; "
+                "subsplitting into %d id-order segments (cross-segment "
+                "duplicate pairs in this cluster are NOT compared — "
+                "raise n_lists to avoid degenerate clusters)",
+                cluster,
+                n,
+                budget,
+                -(-n // budget),
+            )
+        has_dup = np.zeros(n, bool)
+        dup_of = np.full(n, -1, np.int64)
+        for a in range(0, n, budget):
+            b = min(a + budget, n)
+            sims = round_half_away(nmat[a:b] @ nmat[a:b].T, 9)
+            # strict lower triangle in id order: row i vs all j < i
+            dup_mask = np.tril(sims >= eps, k=-1)
+            seg_has = dup_mask.any(axis=1)
+            first_j = np.argmax(dup_mask, axis=1)  # first True = min id
+            has_dup[a:b] = seg_has
+            dup_of[a:b] = np.where(seg_has, vids[a:b][first_j], -1)
         return pa.table(
             {
                 id_col: pa.array(vids, pa.int64()),

@@ -171,15 +171,30 @@ def session_windows(
     groupby; over-worker keys pre-split by coarse time range with one
     boundary event replicated). Arrow/numpy end to end — one sort + one
     boundary nonzero + three gathers per group, no pandas, no per-session
-    loop."""
+    loop.
+
+    ``session_start`` / ``session_end`` preserve the input ``ts_col``
+    type: timestamp inputs yield the same timestamp type, integer inputs
+    yield int64 (interpreted as microseconds for the gap comparison)."""
     ensure_shippable()
     gap_us = int(round(gap_seconds * 1e6))
 
     def sessions(group: pa.Table) -> pa.Table:
         col = group[ts_col]
+        is_ts = pa.types.is_timestamp(col.type)
+        out_ts_type = col.type if is_ts else pa.int64()
+        if len(group) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], group[key_col].type),
+                    "session_start": pa.array([], out_ts_type),
+                    "session_end": pa.array([], out_ts_type),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
         ts_us = (
             col.cast(pa.timestamp("us")).cast(pa.int64())
-            if pa.types.is_timestamp(col.type)
+            if is_ts
             else col.cast(pa.int64())
         ).to_numpy(zero_copy_only=False)
         ts_us = np.sort(ts_us)
@@ -188,18 +203,23 @@ def session_windows(
         new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
         b = np.nonzero(new_session)[0]  # first event index of each session
         last = np.concatenate([b[1:], [n]]) - 1
-        out_ts_type = (
-            col.type if pa.types.is_timestamp(col.type) else pa.timestamp("us")
-        )
-        starts = pa.array(ts_us[b], pa.int64()).cast(pa.timestamp("us"))
-        ends = pa.array(ts_us[last], pa.int64()).cast(pa.timestamp("us"))
+        # int64 carries µs; timestamp outputs go via timestamp("us") so a
+        # non-µs unit is rescaled, not reinterpreted.
+        def _out(vals: np.ndarray) -> pa.Array:
+            arr = pa.array(vals, pa.int64())
+            if is_ts:
+                return arr.cast(pa.timestamp("us")).cast(out_ts_type)
+            return arr
+
+        starts = _out(ts_us[b])
+        ends = _out(ts_us[last])
         return pa.table(
             {
                 key_col: pa.array(
                     [group[key_col][0].as_py()] * len(b), group[key_col].type
                 ),
-                "session_start": starts.cast(out_ts_type),
-                "session_end": ends.cast(out_ts_type),
+                "session_start": starts,
+                "session_end": ends,
                 "n_events": pa.array(last - b + 1, pa.int64()),
             }
         )

@@ -565,6 +565,58 @@ def test_semdedup_vs_brute(ray_session):
     assert got.iloc[250].cluster_id == got.iloc[20].cluster_id
 
 
+def test_semdedup_degenerate_cluster_guard(ray_session):
+    """Pathological embeddings that collapse into ONE cluster must not
+    materialize an O(n²) sims matrix: with cluster_row_budget=50 a
+    200-row cluster is subsplit into 4 contiguous id-order segments and
+    pairs are compared within a segment only (the documented, warned
+    approximation). Verified against an in-process per-segment brute
+    force: keep=1 exactly at each segment head, dup_of = the smallest
+    same-segment lower id at round9-cos >= eps."""
+    import ray.data
+
+    from dpr_ray.stages.ann import _normalize, semdedup
+    from dpr_ray.util import round_half_away
+
+    rng = np.random.default_rng(3)
+    n, d, budget = 200, 16, 50
+    base = rng.standard_normal(d)
+    mat = (base + rng.standard_normal((n, d)) * 1e-3).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    eps = 0.9
+    got = (
+        semdedup(
+            ray.data.from_arrow(tbl).repartition(4),
+            eps=eps, n_lists=1, iters=2, train_cutoff=120,
+            cluster_row_budget=budget,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert len(got) == n
+    assert (got["cluster_id"] == 0).all()
+    nm = _normalize(mat.astype(np.float64))
+    sims = round_half_away(nm @ nm.T, 9)
+    for i in range(n):
+        seg = i // budget
+        js = [
+            j for j in range(seg * budget, i) if sims[i, j] >= eps
+        ]
+        row = got.iloc[i]
+        assert row.keep == (0 if js else 1), i
+        assert row.dup_of == (min(js) if js else -1), i
+    # only the 4 segment heads survive (all vectors are near-identical)
+    assert got["keep"].sum() == 4
+    assert set(got[got["keep"] == 1]["vec_id"]) == {0, 50, 100, 150}
+
+
 def test_quantized_knn_survive_empty_blocks(ray_session):
     """A filter that empties whole blocks must not crash the quantized
     scorers ((0,0) matrices broadcast against (d,) params)."""

@@ -316,3 +316,41 @@ def test_bpe_pattern_re2_parity():
             "SELECT len(regexp_extract_all(?, ?))", [t, BPE_PATTERN]
         ).fetchone()[0]
         assert py == sql, (t, py, sql)
+
+
+def test_curate_job_empty_keepset(tmp_path):
+    """curate_job with a quality bar nothing can clear: the verdicts
+    phase writes only keep=0/, the corpus phase must short-circuit
+    (no keep=1/ directory exists) instead of crashing, and a rerun
+    resumes both phases from markers. Subprocess with its own Ray
+    session from an off-path cwd (the shipping-trap drive pattern)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "curated")
+    cmd = [
+        sys.executable, "/root/repo/tools/curate_job.py",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id", "--text-col", "text",
+        "--out-dir", out_dir, "--write-corpus",
+        "--min-quality-i6", "2000000",  # quality_i6 <= 1e6 → keep nobody
+        "--num-cpus", "2",
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
+                        text=True, timeout=300, env=env)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    rep1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert rep1["kept_rows"] == 0
+    assert not os.path.isdir(os.path.join(out_dir, "verdicts", "keep=1"))
+    assert os.path.exists(os.path.join(out_dir, "verdicts", "_SUCCESS"))
+    assert os.path.exists(os.path.join(out_dir, "corpus", "_SUCCESS"))
+    # rerun: both phases resume from markers, nothing recomputed
+    r2 = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
+                        text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["verdicts"] == "resumed (marker present)"
+    assert rep2["corpus"] == "resumed (marker present)"

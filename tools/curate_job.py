@@ -133,20 +133,23 @@ def main() -> None:
         t1 = time.time()
         # keep=1 partition is the kept docid list — read it back (narrow,
         # already on disk) and broadcast as a sorted membership array
-        kept = ray.data.read_parquet(
-            os.path.join(args.out_dir, "verdicts", "keep=1"),
-            columns=["docid"],
-        )
-        ids = np.sort(
-            np.concatenate(
-                [
-                    t["docid"].to_numpy(zero_copy_only=False)
-                    for t in (ray.get(r) for r in kept.to_arrow_refs())
-                    if t.num_rows
-                ]
-                or [np.empty(0, np.int64)]
+        keep1_dir = os.path.join(args.out_dir, "verdicts", "keep=1")
+        if os.path.isdir(keep1_dir):
+            # hive partition dirs are only written when non-empty — a run
+            # where NO doc survived has no keep=1/ directory at all
+            kept = ray.data.read_parquet(keep1_dir, columns=["docid"])
+            ids = np.sort(
+                np.concatenate(
+                    [
+                        t["docid"].to_numpy(zero_copy_only=False)
+                        for t in (ray.get(r) for r in kept.to_arrow_refs())
+                        if t.num_rows
+                    ]
+                    or [np.empty(0, np.int64)]
+                )
             )
-        )
+        else:
+            ids = np.empty(0, np.int64)
         ids_ref = ray.put(ids)
         n_buckets = args.corpus_buckets
         id_col = args.id_col
@@ -156,6 +159,13 @@ def main() -> None:
                 self.ids = ray.get(ids_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
+                if len(self.ids) == 0:
+                    # empty keep-set: all-False filter (minimum(pos, -1)
+                    # would index into an empty array below)
+                    empty = batch.slice(0, 0)
+                    return empty.append_column(
+                        "bucket", pa.array([], pa.int64())
+                    )
                 d = batch[id_col].to_numpy(zero_copy_only=False)
                 pos = np.searchsorted(self.ids, d)
                 hit = (pos < len(self.ids)) & (
@@ -173,14 +183,22 @@ def main() -> None:
                     ),
                 )
 
-        full_docs = read_parquet_clean(args.docs)
-        cstats = write_partitioned(
-            full_docs.map_batches(KeepFilter, batch_format="pyarrow",
-                                  concurrency=(1, max(2, args.num_cpus - 1))),
-            cdir, partition_col="bucket", sum_cols=[],
-        )
+        if len(ids) == 0:
+            # nothing was kept: skip the corpus scan entirely, leave an
+            # empty (but marked-complete) corpus phase
+            os.makedirs(cdir, exist_ok=True)
+            out["kept_rows"] = 0
+        else:
+            full_docs = read_parquet_clean(args.docs)
+            cstats = write_partitioned(
+                full_docs.map_batches(
+                    KeepFilter, batch_format="pyarrow",
+                    concurrency=(1, max(2, args.num_cpus - 1)),
+                ),
+                cdir, partition_col="bucket", sum_cols=[],
+            )
+            out["kept_rows"] = cstats["rows"]
         open(os.path.join(cdir, "_SUCCESS"), "w").close()
-        out["kept_rows"] = cstats["rows"]
         out["corpus_sec"] = round(time.time() - t1, 2)
 
     out["total_sec"] = round(time.time() - t0, 2)
