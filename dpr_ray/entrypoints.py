@@ -352,29 +352,53 @@ BM25_TOPK_SQL = (
 def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
     """Top-k results + has_answer via the distributed stages (DocJoin
     batch-pruned parquet probe + AttachHasAnswer), never materializing the
-    docstore on the driver. The result set itself is query-scale (tiny)."""
+    docstore on the driver. The result set itself is query-scale (tiny).
+
+    Runs the doc join through BOTH shapes — the per-batch probe
+    (``DocJoin``) and the dbucket-co-partitioned merge
+    (``doc_join_copartitioned``, the bulk-result scale path) — and asserts
+    identical joined content, so the driver row checks both paths."""
     from .eval.qa import AttachHasAnswer
-    from .query.executor import DocJoin
+    from .query.executor import DocJoin, doc_join_copartitioned
 
     res = _bm25_results(sf_dir)
     index_dir = ensure_index(sf_dir)
     ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
-    ds = (
-        ray.data.from_pandas(res[["qid", "rank", "docid"]])
-        .map_batches(
-            DocJoin,
-            fn_constructor_kwargs={"index_dir": index_dir, "columns": ["content"]},
-            batch_format="pyarrow",
-            concurrency=1,
-        )
-        .map_batches(
-            AttachHasAnswer,
-            fn_constructor_kwargs={"answers_ref": ans_ref, "match": "string"},
-            batch_format="pyarrow",
-            concurrency=1,
-        )
+    joined = ray.data.from_pandas(res[["qid", "rank", "docid"]]).map_batches(
+        DocJoin,
+        fn_constructor_kwargs={"index_dir": index_dir, "columns": ["content"]},
+        batch_format="pyarrow",
+        concurrency=1,
     )
-    return ds.to_pandas()
+    alt = (
+        doc_join_copartitioned(
+            ray.data.from_pandas(res[["qid", "rank", "docid"]]),
+            index_dir,
+            columns=["content"],
+        )
+        .to_pandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    ds = joined.map_batches(
+        AttachHasAnswer,
+        fn_constructor_kwargs={"answers_ref": ans_ref, "match": "string"},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    out = ds.to_pandas()
+    probe = out.sort_values(["qid", "rank"], ignore_index=True)
+    same = (
+        len(alt) == len(probe)
+        and (alt["qid"].to_numpy() == probe["qid"].to_numpy()).all()
+        and (alt["docid"].to_numpy().astype("uint64")
+             == probe["docid"].to_numpy().astype("uint64")).all()
+        and (alt["content"].to_numpy() == probe["content"].to_numpy()).all()
+    )
+    if not same:
+        raise AssertionError(
+            "co-partitioned doc join diverged from per-batch probe"
+        )
+    return out
 
 
 def q_qa_eval(sf_dir: str):

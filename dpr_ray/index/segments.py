@@ -6,7 +6,7 @@ map, ``dpr/indexer/faiss_indexers.py:41-79``):
     <index_dir>/
       stats.json                       # {"N", "avgdl", "sum_dl", ...}
       manifest.json                    # build lineage + per-stage metrics
-      docstore/dbucket=<i>/*.parquet   # docid-partitioned document table
+      docstore/part-<lo>-<hi>.parquet  # docid-sorted, range-named parts
       segments/tbucket=<i>/*.parquet   # term-partitioned posting lists
 
 Segment schema (one row per term SLICE — FIXTURES.md F7):

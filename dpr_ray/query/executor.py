@@ -1167,7 +1167,16 @@ class DocJoin:
     docid — the J1 join (reference builds a 21M-entry driver dict instead,
     ``dense_retriever.py:461-469``). Per batch: one parquet scan filtered to
     the batch's unique docids; the docstore is written docid-SORTED, so
-    pyarrow prunes row groups by min/max stats (docid-range pruning)."""
+    pyarrow prunes row groups by min/max stats (docid-range pruning).
+
+    Scale trade-off: this probe shape streams inside a warm pipeline
+    (no shuffle barrier, pool already up), but at bulk result volume
+    every batch re-scans overlapping row groups and a one-shot use pays
+    pool spawn. For one-shot or bulk joins use
+    ``doc_join_copartitioned`` — one shuffle of the (small) result rows
+    by the docstore's own part-file ranges, then each docstore file is
+    scanned once per run, not once per batch (measured 7× at 2k AND
+    200k result rows, BASELINE.md round 4)."""
 
     def __init__(self, index_dir: str, columns: list[str] | None = None):
         self.columns = columns or ["ext_id", "title", "content"]
@@ -1194,6 +1203,93 @@ class DocJoin:
         return pa.table(out)
 
 
+def doc_join_copartitioned(results_ds, index_dir: str, columns=None):
+    """Range-co-partitioned variant of :class:`DocJoin` — identical
+    output, different scan shape. The docstore is a directory of
+    docid-SORTED parts named ``part-<lo>-<hi>.parquet`` (disjoint docid
+    ranges); the driver lists the directory once (names only, no data),
+    broadcasts the (lo, hi) arrays via one ``ray.put``, and each result
+    row is tagged with the index of the part file owning its docid
+    (searchsorted — a map-only stage). One ``groupby(dpart)`` then
+    co-locates every row that needs a given part, so each docstore file
+    is opened and scanned ONCE per run instead of being re-probed by
+    every result batch. The shuffle moves only the narrow result rows
+    (qid, rank, docid, ...), never document text.
+
+    Measured (BASELINE.md round 4, 100k-doc docstore): 7× faster than
+    the probe for ONE-SHOT joins at both 2k and 200k result rows — the
+    probe pays actor-pool spawn per run and re-probes row groups per
+    batch. The probe remains the right shape INSIDE a warm streaming
+    pipeline (``search_pipeline(with_docs=True)`` default): its pool is
+    already up, and it streams results as they arrive instead of
+    inserting a shuffle barrier."""
+    from .._shipping import ensure_shippable
+
+    ensure_shippable()
+    import ray
+
+    cols = columns or ["ext_id", "title", "content"]
+    store_dir = os.path.join(index_dir, "docstore")
+    names = sorted(
+        fn for fn in os.listdir(store_dir) if fn.endswith(".parquet")
+    )
+    if not names:
+        raise FileNotFoundError(f"no docstore parts under {store_dir}")
+    # part-<lo>-<hi>.parquet; zero-padded so lexical sort == numeric sort
+    lo = np.array([int(fn.split("-")[1]) for fn in names], np.uint64)
+    hi = np.array(
+        [int(fn.split("-")[2].split(".")[0]) for fn in names], np.uint64
+    )
+    ranges_ref = ray.put((lo, hi))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        los, _ = ray.get(ranges_ref)
+        # uint64 throughout — int64-typed result docids near 2^63 must
+        # not promote to float64 in searchsorted
+        d = batch["docid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = (
+            np.searchsorted(los, d, side="right").astype(np.int64) - 1
+            if len(d)
+            else np.empty(0, np.int64)
+        )
+        return batch.append_column(
+            "dpart", pa.array(np.maximum(idx, 0), pa.int64())
+        )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        part_idx = int(group["dpart"][0].as_py())
+        los, his = ray.get(ranges_ref)
+        fname = (
+            f"part-{int(los[part_idx]):020d}-"
+            f"{int(his[part_idx]):020d}.parquet"
+        )
+        docids = (
+            group["docid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        docs = pq_.read_table(
+            os.path.join(store_dir, fname), columns=["docid"] + cols
+        )
+        d_ids = docs["docid"].to_numpy(zero_copy_only=False)
+        # the part is docid-sorted on disk; one searchsorted merges
+        pos = np.searchsorted(d_ids, docids)
+        out = {
+            name: group[name]
+            for name in group.column_names
+            if name != "dpart"
+        }
+        for c in cols:
+            out[c] = docs[c].take(pa.array(pos, pa.int64()))
+        return pa.table(out)
+
+    return (
+        results_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
 def search_pipeline(
     queries_ds,
     index_dir: str,
@@ -1206,6 +1302,7 @@ def search_pipeline(
     max_warm_queries: int = 1_000_000,
     dedup_queries: bool = False,
     doc_shards: int | None = None,
+    doc_join_mode: str = "probe",
 ):
     """queries Dataset (qid, question) → top-k result Dataset
     (qid, question, rank, docid, score [, doc columns]).
@@ -1410,10 +1507,15 @@ def search_pipeline(
             concurrency=concurrency,
         )
     if with_docs:
-        res = res.map_batches(
-            DocJoin,
-            fn_constructor_kwargs={"index_dir": index_dir, "columns": doc_columns},
-            batch_format="pyarrow",
-            concurrency=auto_pool(0.5),
-        )
+        if doc_join_mode == "copartition":
+            res = doc_join_copartitioned(res, index_dir, columns=doc_columns)
+        else:
+            res = res.map_batches(
+                DocJoin,
+                fn_constructor_kwargs={
+                    "index_dir": index_dir, "columns": doc_columns,
+                },
+                batch_format="pyarrow",
+                concurrency=auto_pool(0.5),
+            )
     return res

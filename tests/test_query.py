@@ -110,6 +110,48 @@ def test_search_pipeline_with_docs(setup):
     assert got0 == [d for d, _s in oracle.top_k("rare_tok_7", 5)]
 
 
+def test_doc_join_copartitioned_matches_probe(setup):
+    """The range-co-partitioned doc join must produce IDENTICAL joined
+    content to the per-batch probe DocJoin, on hash64 docids (near 2^63 —
+    the uint64 searchsorted/tag edge) with multi-query result sets."""
+    index_dir, _oracle = setup
+    import pandas as pd
+    import ray.data
+
+    qds = ray.data.from_items(
+        [
+            {"qid": "q0", "question": "def return"},
+            {"qid": "q1", "question": "rare_tok_3"},
+            {"qid": "q2", "question": "import class struct impl fn"},
+        ]
+    )
+    cols = ["ext_id", "title", "content"]
+    probe = (
+        qe.search_pipeline(
+            qds, index_dir, k=20, with_docs=True, doc_columns=cols
+        )
+        .to_pandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    qds2 = ray.data.from_items(
+        [
+            {"qid": "q0", "question": "def return"},
+            {"qid": "q1", "question": "rare_tok_3"},
+            {"qid": "q2", "question": "import class struct impl fn"},
+        ]
+    )
+    copart = (
+        qe.search_pipeline(
+            qds2, index_dir, k=20, with_docs=True, doc_columns=cols,
+            doc_join_mode="copartition",
+        )
+        .to_pandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(probe, copart)
+    assert len(probe) > 0 and set(cols) <= set(probe.columns)
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("DPR_RAY_SLOW"),
     reason="10k-doc conformance: run with DPR_RAY_SLOW=1",
