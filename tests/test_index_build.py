@@ -141,3 +141,103 @@ def test_salting_does_not_change_logical_index(ray_session, tmp_path):
         out_a = QueryExecutor(a, k=10, method=method)(qb).to_pylist()
         out_b = QueryExecutor(b, k=10, method=method)(qb).to_pylist()
         assert out_a == out_b
+
+
+@pytest.mark.parametrize(
+    "shape", ["omni_term", "two_heads", "identical_docs"]
+)
+def test_salted_merge_adversarial_skew(ray_session, tmp_path, shape):
+    """Adversarial head-term skew: a single term covering >50% (here up to
+    100%) of docs must spread across MANY docid-range salts and still
+    merge to the exact logical index of an unsalted build — decoded
+    postings, df sums, and query results identical; and a rebuild at
+    different parallelism is byte-identical (determinism under the same
+    skew plan)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    rng = np.random.default_rng(29)
+    n = 90
+    contents = []
+    for i in range(n):
+        if shape == "omni_term":
+            # "omni" in EVERY doc (df = 100%), many times, plus noise
+            toks = ["omni"] * int(rng.integers(2, 8)) + [
+                f"noise{int(x)}" for x in rng.integers(0, 30, 10)
+            ]
+        elif shape == "two_heads":
+            toks = [f"noise{int(x)}" for x in rng.integers(0, 30, 8)]
+            if i % 10 < 6:
+                toks += ["heavya"] * 3
+            if i % 2 == 0:
+                toks += ["heavyb"]
+        else:  # identical_docs: EVERY term is a 100%-df head term
+            toks = ["alpha", "beta", "gamma", "delta", "epsilon"] * 4
+        rng.shuffle(toks)
+        contents.append(" ".join(toks))
+    tbl = pa.table(
+        {
+            "repo": pa.array([f"r{i % 5}" for i in range(n)], pa.string()),
+            "path": pa.array([f"p/{i}.py" for i in range(n)], pa.string()),
+            "commit": pa.array(["c"] * n, pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    salted = str(tmp_path / "salted")
+    salted2 = str(tmp_path / "salted2")
+    plain = str(tmp_path / "plain")
+    # group_budget=8 with sample_mod=1 → the head term needs ceil(df/8)
+    # salts (≥ 12 for the omni shapes)
+    build_index(ray.data.from_arrow(tbl).repartition(4), salted,
+                docid_strategy="hash64", group_budget=8, sample_mod=1,
+                block_size=8)
+    build_index(ray.data.from_arrow(tbl).repartition(2), salted2,
+                docid_strategy="hash64", group_budget=8, sample_mod=1,
+                block_size=8)
+    build_index(ray.data.from_arrow(tbl).repartition(3), plain,
+                docid_strategy="hash64", group_budget=10**9, sample_mod=1,
+                block_size=8)
+    with open(os.path.join(salted, "docstore_done.json")) as f:
+        salt_map = json.load(f)["salt_map"]
+    head_terms = {
+        "omni_term": ["omni"],
+        "two_heads": ["heavya", "heavyb"],
+        "identical_docs": ["alpha", "beta", "gamma", "delta", "epsilon"],
+    }[shape]
+    for t in head_terms:
+        assert t in salt_map, (shape, t, salt_map)
+    rs = sorted(_load_segment_rows(salted),
+                key=lambda r: (r["term"], r["slice_id"]))
+    rs2 = sorted(_load_segment_rows(salted2),
+                 key=lambda r: (r["term"], r["slice_id"]))
+    assert rs == rs2  # same skew plan, different parallelism → same bytes
+    # the head term really is spread over many slices
+    n_slices_head = sum(1 for r in rs if r["term"] == head_terms[0])
+    assert n_slices_head >= 4, (shape, n_slices_head)
+    # logical identity vs the unsalted build, term by term
+    by_term_s, by_term_p = {}, {}
+    for rows, acc in ((rs, by_term_s), (_load_segment_rows(plain), by_term_p)):
+        for r in rows:
+            acc.setdefault(r["term"], []).append(r)
+    assert set(by_term_s) == set(by_term_p)
+    for t in by_term_s:
+        ds_, ts_, ls_ = seg.decode_rows(
+            sorted(by_term_s[t], key=lambda r: r["slice_id"]))
+        dp_, tp_, lp_ = seg.decode_rows(
+            sorted(by_term_p[t], key=lambda r: r["slice_id"]))
+        assert np.array_equal(ds_, dp_) and np.array_equal(ts_, tp_)
+        assert np.array_equal(ls_, lp_)
+        assert (sum(r["df"] for r in by_term_s[t])
+                == sum(r["df"] for r in by_term_p[t]))
+    qb = pa.table(
+        {"qid": ["q"], "question": [" ".join(head_terms + ["noise3"])]}
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        out_s = QueryExecutor(salted, k=15, method=method)(qb).to_pylist()
+        out_p = QueryExecutor(plain, k=15, method=method)(qb).to_pylist()
+        assert out_s == out_p, (shape, method)
