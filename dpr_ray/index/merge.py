@@ -12,9 +12,33 @@ re-derives contiguous ids — the equality then holds LOGICALLY (same
 decoded posting sets, same scores; ``test_merge_of_salted_indexes``), not
 byte-for-byte.
 
+Two modes:
+
+- ``mode="disjoint"`` (default): docids must be disjoint across inputs
+  (they are, for disjoint corpora with deterministic ids). Postings and
+  docstores concatenate; stats are input-stat sums.
+- ``mode="upsert"``: the incremental-refresh cycle. ``index_dirs`` is
+  ordered oldest → newest; a docid present in several inputs keeps ONLY
+  its newest version (postings of the older content drop for EVERY term),
+  and ``delete_ext_ids`` tombstones documents out of the result entirely.
+  ``upsert_merge(base, build(delta)) == build(latest_corpus)``
+  byte-for-byte for unsalted builds (property-tested) — adds, updates and
+  deletes in one pass, replacing a full rebuild of the base.
+
+Scale shape (upsert): the arbitration map covers only docids of the
+NON-BASE inputs plus tombstones — delta-sized by definition of an
+incremental refresh, NOT corpus-sized. It is built on the driver from the
+deltas' narrow docid columns (8 B/doc; capped by $DPR_UPSERT_DRIVER_CAP,
+default 50M ≈ 400 MB) and broadcast once via ``ray.put`` (sorted uint64 +
+winner-rank arrays, zero-copy plasma reads in every task). The docstore
+filter is map-only; the segments pass is the same single groupby(term)
+as disjoint mode. The 100-TB shape is therefore: base index any size,
+delta bounded by the cap per merge — chain merges for bigger backlogs.
+
 Replaces the reference's index serialize/ingest cycle
 (``faiss_indexers.py:41-105``), which cannot merge two HNSW indexes at all
-(``faiss_indexers.py:148-151`` one-shot constraint).
+(``faiss_indexers.py:148-151`` one-shot constraint) and has no
+delete/update story short of rebuilding.
 """
 
 from __future__ import annotations
@@ -23,13 +47,120 @@ import os
 import shutil
 import time
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 from .._shipping import ensure_shippable
-from ..config import BLOCK_SIZE, BM25Params, DEFAULT_TERM_BUCKETS
+from ..config import BLOCK_SIZE, BM25Params
 from . import segments as seg
 from .manifest import write_manifest
+
+UPSERT_DRIVER_CAP = int(os.environ.get("DPR_UPSERT_DRIVER_CAP", 50_000_000))
+
+
+def _keep_mask(
+    docids: np.ndarray, rank: int, sh_ids: np.ndarray, sh_win: np.ndarray
+) -> np.ndarray:
+    """True where a (docid, source-rank) posting/doc survives the upsert:
+    docid not arbitrated at all, or arbitrated with this rank as winner.
+    ``sh_ids`` sorted uint64; ``sh_win`` the winning rank (-1 = deleted)."""
+    if len(sh_ids) == 0:
+        return np.ones(len(docids), bool)
+    pos = np.searchsorted(sh_ids, docids)
+    pos_c = np.minimum(pos, len(sh_ids) - 1)
+    hit = sh_ids[pos_c] == docids
+    return ~hit | ((sh_win[pos_c] == rank) & hit)
+
+
+def _build_shadow(
+    index_dirs: list[str],
+    stats_list: list[dict],
+    delete_ext_ids: list[str] | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side arbitration map for upsert mode: (sorted docids that
+    appear in any non-base input or the tombstone list, winning rank per
+    docid). Later inputs win; tombstones (-1) beat everything."""
+    import pyarrow.dataset as pads
+
+    from ..stages.featurize import docid_from_ext_id
+
+    n_delta = sum(int(s["N"]) for s in stats_list[1:])
+    n_del = len(delete_ext_ids or [])
+    if n_delta + n_del > UPSERT_DRIVER_CAP:
+        raise ValueError(
+            f"upsert arbitration map would hold {n_delta + n_del} docids > "
+            f"DPR_UPSERT_DRIVER_CAP={UPSERT_DRIVER_CAP}; chain smaller "
+            "delta merges or raise the cap"
+        )
+    ids_parts: list[np.ndarray] = []
+    rank_parts: list[np.ndarray] = []
+    for rank, d in enumerate(index_dirs[1:], start=1):
+        t = pads.dataset(
+            os.path.join(d, "docstore"), partitioning="hive"
+        ).to_table(columns=["docid"])
+        arr = t["docid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids_parts.append(arr)
+        rank_parts.append(np.full(len(arr), rank, np.int64))
+    if delete_ext_ids:
+        darr = np.fromiter(
+            (docid_from_ext_id(e) for e in delete_ext_ids),
+            dtype=np.uint64,
+            count=len(delete_ext_ids),
+        )
+        ids_parts.append(darr)
+        rank_parts.append(np.full(len(darr), -1, np.int64))
+    if not ids_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    ids = np.concatenate(ids_parts)
+    rk = np.concatenate(rank_parts)
+    # stable sort keeps concatenation order within a docid; the LAST entry
+    # per docid is the highest delta rank (or the tombstone, appended last)
+    order = np.argsort(ids, kind="stable")
+    ids_s, rk_s = ids[order], rk[order]
+    last = np.concatenate([ids_s[1:] != ids_s[:-1], [True]])
+    return ids_s[last], rk_s[last]
+
+
+def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
+    """Terminal docstore writer: one ``part-<lo>-<hi>.parquet`` per
+    docid-sorted block (the layout ``build_index`` produces and
+    ``doc_join_copartitioned`` / DocJoin range pruning require), with
+    (rows, sum_dl, max_docid) partials folded into the same pass — no
+    re-read execution for the merged stats."""
+    import pyarrow.parquet as pq_
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "rows": pa.array([0], pa.int64()),
+                    "sum_dl": pa.array([0], pa.int64()),
+                    "max_docid": pa.array([0], pa.uint64()),
+                }
+            )
+        docids = batch["docid"].to_numpy(zero_copy_only=False)
+        name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
+        pq_.write_table(batch, os.path.join(out_dir, name))
+        dl = int(batch["doclen"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "rows": pa.array([batch.num_rows], pa.int64()),
+                "sum_dl": pa.array([dl], pa.int64()),
+                "max_docid": pa.array([int(docids.max())], pa.uint64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = ds_sorted.map_batches(write_block, batch_format="pyarrow").aggregate(
+        Sum("rows"), Sum("sum_dl"), Max("max_docid")
+    )
+    return {
+        "rows": int(agg["sum(rows)"] or 0),
+        "sum_dl": int(agg["sum(sum_dl)"] or 0),
+        "max_docid": int(agg["max(max_docid)"] or 0),
+    }
 
 
 def merge_indexes(
@@ -40,9 +171,17 @@ def merge_indexes(
     num_tbuckets: int | None = None,
     block_size: int | None = None,
     max_postings_per_slice: int | None = None,
+    mode: str = "disjoint",
+    delete_ext_ids: list[str] | None = None,
 ) -> dict:
-    """Merge k built indexes into ``out_dir``. Docids must be disjoint
-    across inputs (they are, for disjoint corpora with deterministic ids)."""
+    """Merge k built indexes into ``out_dir``. ``mode="disjoint"`` requires
+    disjoint docids; ``mode="upsert"`` arbitrates collisions newest-wins
+    (``index_dirs`` ordered oldest → newest) and drops ``delete_ext_ids``
+    tombstones everywhere (docstore + every term's postings)."""
+    if mode not in ("disjoint", "upsert"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    if delete_ext_ids and mode != "upsert":
+        raise ValueError("delete_ext_ids requires mode='upsert'")
     ensure_shippable()
     t0 = time.time()
     stats_list = [seg.read_stats(d) for d in index_dirs]
@@ -51,46 +190,137 @@ def merge_indexes(
     num_tbuckets = num_tbuckets or int(s0["num_tbuckets"])
     block_size = block_size or int(s0.get("block_size", BLOCK_SIZE))
     max_pps = max_postings_per_slice or seg.MAX_POSTINGS_PER_SLICE
-    n_docs = sum(int(s["N"]) for s in stats_list)
-    sum_dl = sum(int(s["sum_dl"]) for s in stats_list)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
     num_dbuckets = int(s0.get("num_dbuckets", 16))
+    upsert = mode == "upsert"
 
-    def _read_union(subdir: str):
+    if upsert:
+        sh_ids, sh_win = _build_shadow(index_dirs, stats_list, delete_ext_ids)
+        shadow_ref = ray.put((sh_ids, sh_win))
+    else:
+        shadow_ref = None
+
+    keep_mask = _keep_mask  # captured as a FUNCTION (ship-by-value safe)
+
+    def _read_union(subdir: str, with_rank: bool = False):
         # read_parquet rejects a LIST of directories in this Ray version;
         # read each index's dir and union (multi-source concat is native)
-        parts = [
-            ray.data.read_parquet(os.path.join(d, subdir)) for d in index_dirs
-        ]
+        parts = []
+        for rank, d in enumerate(index_dirs):
+            p = ray.data.read_parquet(os.path.join(d, subdir))
+            if with_rank:
+
+                def _tag(batch: pa.Table, _r: int = rank) -> pa.Table:
+                    return batch.append_column(
+                        "src_rank",
+                        pa.array(np.full(batch.num_rows, _r, np.int64)),
+                    )
+
+                p = p.map_batches(_tag, batch_format="pyarrow")
+            parts.append(p)
         ds = parts[0]
         for p in parts[1:]:
             ds = ds.union(p)
         return ds
 
-    segs = _read_union("segments")
-
-    def remerge(group: pa.Table) -> pa.Table:
-        term = group["term"][0].as_py()
-        docids, tfs, dls = seg.decode_rows(group.to_pylist())
-        rows = seg.encode_posting_list(
-            term, docids, tfs, dls, avgdl, params,
-            num_tbuckets, block_size, max_pps,
-        )
-        return seg.rows_to_table(rows)
-
     out_segments = os.path.join(out_dir, "segments")
     out_docstore = os.path.join(out_dir, "docstore")
     shutil.rmtree(out_segments, ignore_errors=True)
     shutil.rmtree(out_docstore, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(out_docstore, exist_ok=True)
+
+    # ---- docstore first: the upsert avgdl comes from SURVIVING docs, and
+    # the ranged writer folds (N, sum_dl, max_docid) into the write pass
+    if upsert:
+        # filter per input BRANCH (rank is a per-branch constant; a
+        # post-union batch could coalesce rows of different branches)
+        parts = []
+        for rank, d in enumerate(index_dirs):
+
+            def _doc_filter(batch: pa.Table, _r: int = rank) -> pa.Table:
+                si, sw = ray.get(shadow_ref)
+                ids = batch["docid"].to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+                return batch.filter(pa.array(keep_mask(ids, _r, si, sw)))
+
+            parts.append(
+                ray.data.read_parquet(os.path.join(d, "docstore")).map_batches(
+                    _doc_filter, batch_format="pyarrow"
+                )
+            )
+        doc_ds = parts[0]
+        for p in parts[1:]:
+            doc_ds = doc_ds.union(p)
+        doc_ds = doc_ds.sort("docid")
+    else:
+        doc_ds = _read_union("docstore").sort("docid")
+    doc_stats = _write_docstore_ranged(doc_ds, out_docstore)
+    if doc_stats["rows"] == 0:
+        # fully-deleted corpus: keep an empty docstore file so downstream
+        # readers see the schema (mirrors build_index's empty-corpus path)
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq_
+
+        schema = pads.dataset(
+            os.path.join(index_dirs[0], "docstore"), partitioning="hive"
+        ).schema
+        pq_.write_table(
+            schema.empty_table(), os.path.join(out_docstore, "empty.parquet")
+        )
+
+    if upsert:
+        n_docs = doc_stats["rows"]
+        sum_dl = doc_stats["sum_dl"]
+        max_docid = doc_stats["max_docid"]
+    else:
+        # input-stat sums: identical ints (and avgdl float) to a from-
+        # scratch union build — the byte-for-byte property depends on it
+        n_docs = sum(int(s["N"]) for s in stats_list)
+        sum_dl = sum(int(s["sum_dl"]) for s in stats_list)
+        max_docid = max(int(s.get("max_docid", 0)) for s in stats_list)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    # ---- segments: ONE groupby(term) over encoded sub-lists, re-encoded
+    # with the merged avgdl (block-max bounds depend on it)
+    decode_rows = seg.decode_rows
+    encode_posting_list = seg.encode_posting_list
+    rows_to_table = seg.rows_to_table
+
+    def remerge(group: pa.Table) -> pa.Table:
+        term = group["term"][0].as_py()
+        if upsert:
+            si, sw = ray.get(shadow_ref)
+            by_rank: dict[int, list[dict]] = {}
+            for r in group.to_pylist():
+                by_rank.setdefault(int(r["src_rank"]), []).append(r)
+            dparts, tparts, lparts = [], [], []
+            for rank, rws in by_rank.items():
+                d, t, l = decode_rows(rws)
+                m = keep_mask(d, rank, si, sw)
+                dparts.append(d[m])
+                tparts.append(t[m])
+                lparts.append(l[m])
+            docids = np.concatenate(dparts)
+            tfs = np.concatenate(tparts)
+            dls = np.concatenate(lparts)
+            if len(docids) == 0:
+                return rows_to_table([])
+        else:
+            docids, tfs, dls = decode_rows(group.to_pylist())
+        rows = encode_posting_list(
+            term, docids, tfs, dls, avgdl, params,
+            num_tbuckets, block_size, max_pps,
+        )
+        return rows_to_table(rows)
+
     from .io import write_partitioned
 
     write_partitioned(
-        segs.groupby("term").map_groups(remerge, batch_format="pyarrow"),
+        _read_union("segments", with_rank=upsert)
+        .groupby("term")
+        .map_groups(remerge, batch_format="pyarrow"),
         out_segments, "tbucket",
     )
-    # docstore union, re-sorted by docid (docid-range file layout preserved)
-    _read_union("docstore").sort("docid").write_parquet(out_docstore)
 
     from ray.data.aggregate import Count, Sum
 
@@ -101,7 +331,7 @@ def merge_indexes(
         "N": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,
-        "max_docid": max(int(s.get("max_docid", 0)) for s in stats_list),
+        "max_docid": max_docid,
         "postings": int(seg_agg["sum(df)"] or 0),
         "segment_slices": int(seg_agg["count()"]),
         "k1": params.k1,
@@ -111,6 +341,8 @@ def merge_indexes(
         "block_size": block_size,
         "head_terms_salted": 0,
         "merged_from": [os.path.abspath(d) for d in index_dirs],
+        "merge_mode": mode,
+        "tombstones": len(delete_ext_ids or []),
     }
     seg.write_stats(out_dir, stats)
     write_manifest(

@@ -1,0 +1,211 @@
+"""Upsert-merge properties (incremental refresh M3 extension):
+``merge(base, build(delta), mode="upsert", delete_ext_ids=...)`` ==
+``build(latest corpus)`` byte-for-byte for unsalted builds — adds,
+updates (same ext_id → same docid, new content) and tombstones in one
+pass. Also gates the merged docstore's ranged part-<lo>-<hi> layout,
+which DocJoin range pruning and doc_join_copartitioned require."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from dpr_ray import corpus as corpus_mod
+from dpr_ray.index import segments as seg
+from dpr_ray.index.build import build_index
+from dpr_ray.index.merge import merge_indexes
+
+
+def _segment_rows(index_dir):
+    d = pads.dataset(os.path.join(index_dir, "segments"), partitioning="hive")
+    return sorted(
+        d.to_table().to_pylist(), key=lambda r: (r["term"], r["slice_id"])
+    )
+
+
+def _docstore_rows(index_dir):
+    d = pads.dataset(os.path.join(index_dir, "docstore"), partitioning="hive")
+    t = d.to_table().sort_by("docid")
+    return t.to_pylist()
+
+
+def _ext_ids(tbl):
+    return [
+        f"{r}/{p}"
+        for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())
+    ]
+
+
+def _adds_table(n):
+    return pa.table(
+        {
+            "repo": pa.array(["neworg/newproj"] * n, pa.string()),
+            "path": pa.array([f"src/new_{i}.py" for i in range(n)], pa.string()),
+            "commit": pa.array(["deadbeef"] * n, pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(
+                [f"def added import freshadd{i} return value" for i in range(n)],
+                pa.large_string(),
+            ),
+        }
+    )
+
+
+def test_upsert_merge_equals_rebuild(ray_session, tmp_path):
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    base = corpus_mod.synth_corpus_table(120, seed=31)
+    # updates: rows 0..29 get NEW content under the SAME ext_id (same docid)
+    upd = base.slice(0, 30)
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"),
+        "content",
+        pa.array(
+            [
+                c + f" updatedtok{i} freshterm"
+                for i, c in enumerate(upd["content"].to_pylist())
+            ],
+            pa.large_string(),
+        ),
+    )
+    adds = _adds_table(20)
+    delta = pa.concat_tables([upd, adds])
+    dels = _ext_ids(base.slice(30, 10))  # rows 30..39 tombstoned
+    latest = pa.concat_tables([base.slice(40), upd, adds])
+
+    dbase, ddelta, dlatest, dm = (
+        str(tmp_path / x) for x in ["base", "delta", "latest", "m"]
+    )
+    build_index(ray.data.from_arrow(base).repartition(3), dbase,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(delta).repartition(2), ddelta,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(latest).repartition(4), dlatest,
+                docid_strategy="hash64")
+    stats_m = merge_indexes([dbase, ddelta], dm, mode="upsert",
+                            delete_ext_ids=dels)
+
+    stats_l = seg.read_stats(dlatest)
+    for k in ("N", "sum_dl", "avgdl", "max_docid", "postings"):
+        assert stats_m[k] == stats_l[k], k
+    assert stats_m["N"] == 130  # 120 - 10 deleted + 20 added
+    assert stats_m["tombstones"] == 10
+
+    # segments byte-for-byte vs the from-scratch rebuild
+    rm, rl = _segment_rows(dm), _segment_rows(dlatest)
+    assert len(rm) == len(rl)
+    for x, y in zip(rm, rl):
+        assert x == y, x["term"]
+
+    # docstore rows identical (modified content won, deletions gone)
+    doc_m, doc_l = _docstore_rows(dm), _docstore_rows(dlatest)
+    assert doc_m == doc_l
+    ext_m = {r["ext_id"] for r in doc_m}
+    assert not (set(dels) & ext_m)
+    assert "neworg/newproj/src/new_0.py" in ext_m
+
+    # queries identical across all three executor methods; an updated
+    # term is findable, a deleted doc's rare token is not
+    qb = pa.table(
+        {
+            "qid": ["q0", "q1", "q2"],
+            "question": [
+                "def return import value",
+                "updatedtok5 freshterm",
+                "rare tok 35",  # doc 35 was deleted
+            ],
+        }
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        out_m = QueryExecutor(dm, k=10, method=method)(qb).to_pylist()
+        out_l = QueryExecutor(dlatest, k=10, method=method)(qb).to_pylist()
+        assert out_m == out_l, method
+    terms_m = {r["term"] for r in rm}
+    assert "35" not in terms_m  # the deleted doc's unique token vanished
+    assert "freshterm" in terms_m
+
+
+def test_upsert_delete_only(ray_session, tmp_path):
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(60, seed=13)
+    dels = _ext_ids(base.slice(0, 15))
+    keep_tbl = base.slice(15)
+    dbase, dkeep, dm = (str(tmp_path / x) for x in ["base", "keep", "m"])
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(keep_tbl).repartition(2), dkeep,
+                docid_strategy="hash64")
+    stats_m = merge_indexes([dbase], dm, mode="upsert", delete_ext_ids=dels)
+    assert stats_m["N"] == 45
+    rm, rk = _segment_rows(dm), _segment_rows(dkeep)
+    assert rm == rk
+    assert _docstore_rows(dm) == _docstore_rows(dkeep)
+
+
+def test_merged_docstore_is_ranged_and_copartition_joinable(
+    ray_session, tmp_path
+):
+    """Both merge modes must emit the part-<lo>-<hi>.parquet docstore
+    layout (disjoint mode previously wrote Ray-default filenames, which
+    broke doc_join_copartitioned on merged indexes)."""
+    import ray.data
+
+    from dpr_ray.query.executor import doc_join_copartitioned
+
+    tbl = corpus_mod.synth_corpus_table(50, seed=5)
+    a, b = tbl.slice(0, 30), tbl.slice(30)
+    da, db, dm = (str(tmp_path / x) for x in ["a", "b", "m"])
+    build_index(ray.data.from_arrow(a).repartition(2), da,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(b).repartition(2), db,
+                docid_strategy="hash64")
+    merge_indexes([da, db], dm)
+    names = [
+        f for f in os.listdir(os.path.join(dm, "docstore"))
+        if f.endswith(".parquet")
+    ]
+    assert names and all(
+        re.fullmatch(r"part-\d{20}-\d{20}\.parquet", f) for f in names
+    ), names
+    # the ranged layout actually serves a co-partitioned join
+    doc = _docstore_rows(dm)
+    want = [doc[3], doc[17], doc[41]]
+    res = doc_join_copartitioned(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array(["q"] * 3, pa.string()),
+                    "docid": pa.array(
+                        [r["docid"] for r in want], pa.uint64()
+                    ),
+                }
+            )
+        ),
+        dm,
+        columns=["ext_id", "content"],
+    ).to_pandas().sort_values("docid").reset_index(drop=True)
+    assert list(res["ext_id"]) == [
+        r["ext_id"] for r in sorted(want, key=lambda r: r["docid"])
+    ]
+    assert list(res["content"]) == [
+        r["content"] for r in sorted(want, key=lambda r: r["docid"])
+    ]
+
+
+def test_upsert_mode_validation(ray_session, tmp_path):
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(10, seed=3)
+    d = str(tmp_path / "i")
+    build_index(ray.data.from_arrow(tbl).repartition(1), d,
+                docid_strategy="hash64")
+    with pytest.raises(ValueError, match="delete_ext_ids"):
+        merge_indexes([d], str(tmp_path / "o"), delete_ext_ids=["x/y"])
+    with pytest.raises(ValueError, match="mode"):
+        merge_indexes([d], str(tmp_path / "o2"), mode="bogus")
