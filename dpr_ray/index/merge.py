@@ -77,6 +77,7 @@ def _build_shadow(
     index_dirs: list[str],
     stats_list: list[dict],
     delete_ext_ids: list[str] | None,
+    delete_docids=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side arbitration map for upsert mode: (sorted docids that
     appear in any non-base input or the tombstone list, winning rank per
@@ -86,7 +87,9 @@ def _build_shadow(
     from ..stages.featurize import docid_from_ext_id
 
     n_delta = sum(int(s["N"]) for s in stats_list[1:])
-    n_del = len(delete_ext_ids or [])
+    n_del = len(delete_ext_ids or []) + (
+        len(delete_docids) if delete_docids is not None else 0
+    )
     if n_delta + n_del > UPSERT_DRIVER_CAP:
         raise ValueError(
             f"upsert arbitration map would hold {n_delta + n_del} docids > "
@@ -102,12 +105,19 @@ def _build_shadow(
         arr = t["docid"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids_parts.append(arr)
         rank_parts.append(np.full(len(arr), rank, np.int64))
+    tomb: list[np.ndarray] = []
     if delete_ext_ids:
-        darr = np.fromiter(
-            (docid_from_ext_id(e) for e in delete_ext_ids),
-            dtype=np.uint64,
-            count=len(delete_ext_ids),
+        tomb.append(
+            np.fromiter(
+                (docid_from_ext_id(e) for e in delete_ext_ids),
+                dtype=np.uint64,
+                count=len(delete_ext_ids),
+            )
         )
+    if delete_docids is not None and len(delete_docids):
+        tomb.append(np.asarray(delete_docids, dtype=np.uint64))
+    if tomb:
+        darr = np.concatenate(tomb)
         ids_parts.append(darr)
         rank_parts.append(np.full(len(darr), -1, np.int64))
     if not ids_parts:
@@ -173,15 +183,21 @@ def merge_indexes(
     max_postings_per_slice: int | None = None,
     mode: str = "disjoint",
     delete_ext_ids: list[str] | None = None,
+    delete_docids=None,
 ) -> dict:
     """Merge k built indexes into ``out_dir``. ``mode="disjoint"`` requires
     disjoint docids; ``mode="upsert"`` arbitrates collisions newest-wins
-    (``index_dirs`` ordered oldest → newest) and drops ``delete_ext_ids``
-    tombstones everywhere (docstore + every term's postings)."""
+    (``index_dirs`` ordered oldest → newest) and drops tombstones
+    everywhere (docstore + every term's postings). Tombstones are
+    ``delete_ext_ids`` (hash64-docid indexes) and/or ``delete_docids``
+    (raw ids, for ``docid_strategy="provided"`` corpora)."""
     if mode not in ("disjoint", "upsert"):
         raise ValueError(f"unknown merge mode {mode!r}")
-    if delete_ext_ids and mode != "upsert":
-        raise ValueError("delete_ext_ids requires mode='upsert'")
+    has_dels = bool(delete_ext_ids) or (
+        delete_docids is not None and len(delete_docids) > 0
+    )
+    if has_dels and mode != "upsert":
+        raise ValueError("delete_ext_ids/delete_docids require mode='upsert'")
     ensure_shippable()
     t0 = time.time()
     stats_list = [seg.read_stats(d) for d in index_dirs]
@@ -194,7 +210,9 @@ def merge_indexes(
     upsert = mode == "upsert"
 
     if upsert:
-        sh_ids, sh_win = _build_shadow(index_dirs, stats_list, delete_ext_ids)
+        sh_ids, sh_win = _build_shadow(
+            index_dirs, stats_list, delete_ext_ids, delete_docids
+        )
         shadow_ref = ray.put((sh_ids, sh_win))
     else:
         shadow_ref = None
@@ -255,6 +273,7 @@ def merge_indexes(
     else:
         doc_ds = _read_union("docstore").sort("docid")
     doc_stats = _write_docstore_ranged(doc_ds, out_docstore)
+    t_docstore = time.time()
     if doc_stats["rows"] == 0:
         # fully-deleted corpus: keep an empty docstore file so downstream
         # readers see the schema (mirrors build_index's empty-corpus path)
@@ -280,45 +299,102 @@ def merge_indexes(
         max_docid = max(int(s.get("max_docid", 0)) for s in stats_list)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
-    # ---- segments: ONE groupby(term) over encoded sub-lists, re-encoded
-    # with the merged avgdl (block-max bounds depend on it)
-    decode_rows = seg.decode_rows
+    # ---- segments: ONE groupby(tbucket) over encoded sub-lists, re-encoded
+    # with the merged avgdl (block-max bounds depend on it). BUCKET
+    # granularity, not per-term: map_groups costs ~1ms of Python per group,
+    # which at code-scale vocabularies (100k+ terms) dominates the stage —
+    # same lesson as build_index's merge_bucket (build.py:376). Inside a
+    # bucket every sub-list decodes in ONE vectorized varint pass; upsert
+    # filtering is a single searchsorted over the concatenated values.
     encode_posting_list = seg.encode_posting_list
+    encode_single_block_lists = seg.encode_single_block_lists
     rows_to_table = seg.rows_to_table
+    concat_delta_decode = seg.concat_delta_decode
+    concat_varint_decode = seg.concat_varint_decode
 
-    def remerge(group: pa.Table) -> pa.Table:
-        term = group["term"][0].as_py()
+    def remerge_bucket(group: pa.Table) -> pa.Table:
+        terms_col = group["term"].to_pylist()
+        uniq_terms = sorted(set(terms_col))
+        t_to_i = {t: i for i, t in enumerate(uniq_terms)}
+        ranks_col = (
+            group["src_rank"].to_numpy(zero_copy_only=False) if upsert else None
+        )
+        d_blobs: list[bytes] = []
+        tf_blobs: list[bytes] = []
+        dl_blobs: list[bytes] = []
+        row_tidx: list[int] = []
+        row_rank: list[int] = []
+        for i in range(group.num_rows):
+            for b_d, b_t, b_l in zip(
+                group["block_docids"][i].as_py(),
+                group["block_tfs"][i].as_py(),
+                group["block_dls"][i].as_py(),
+            ):
+                d_blobs.append(b_d)
+                tf_blobs.append(b_t)
+                dl_blobs.append(b_l)
+                row_tidx.append(t_to_i[terms_col[i]])
+                if upsert:
+                    row_rank.append(int(ranks_col[i]))
+        if not d_blobs:
+            return rows_to_table([])
+        docids, vals_per_blob = concat_delta_decode(d_blobs)
+        tfs, _ = concat_varint_decode(tf_blobs)
+        dls, _ = concat_varint_decode(dl_blobs)
+        tidx = np.repeat(np.asarray(row_tidx, dtype=np.int64), vals_per_blob)
         if upsert:
             si, sw = ray.get(shadow_ref)
-            by_rank: dict[int, list[dict]] = {}
-            for r in group.to_pylist():
-                by_rank.setdefault(int(r["src_rank"]), []).append(r)
-            dparts, tparts, lparts = [], [], []
-            for rank, rws in by_rank.items():
-                d, t, l = decode_rows(rws)
-                m = keep_mask(d, rank, si, sw)
-                dparts.append(d[m])
-                tparts.append(t[m])
-                lparts.append(l[m])
-            docids = np.concatenate(dparts)
-            tfs = np.concatenate(tparts)
-            dls = np.concatenate(lparts)
+            rk = np.repeat(np.asarray(row_rank, dtype=np.int64), vals_per_blob)
+            m = keep_mask(docids, rk, si, sw)
+            docids, tfs, dls, tidx = docids[m], tfs[m], dls[m], tidx[m]
             if len(docids) == 0:
                 return rows_to_table([])
-        else:
-            docids, tfs, dls = decode_rows(group.to_pylist())
-        rows = encode_posting_list(
-            term, docids, tfs, dls, avgdl, params,
-            num_tbuckets, block_size, max_pps,
+        order = np.lexsort((docids, tidx))
+        docids, tfs, dls, tidx = (
+            docids[order], tfs[order], dls[order], tidx[order],
         )
-        return rows_to_table(rows)
+        bounds = np.flatnonzero(np.diff(tidx)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tidx)]])
+        small_terms: list[str] = []
+        s_off = [0]
+        s_idx: list[np.ndarray] = []
+        out_rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            term = uniq_terms[tidx[s]]
+            n = e - s
+            if n <= block_size:
+                small_terms.append(term)
+                s_idx.append(np.arange(s, e))
+                s_off.append(s_off[-1] + n)
+            else:
+                out_rows.extend(
+                    encode_posting_list(
+                        term, docids[s:e], tfs[s:e], dls[s:e],
+                        avgdl, params, num_tbuckets, block_size, max_pps,
+                    )
+                )
+        parts = []
+        if small_terms:
+            sel = np.concatenate(s_idx)
+            small_tbl, _ = encode_single_block_lists(
+                small_terms, np.asarray(s_off, dtype=np.int64),
+                docids[sel], tfs[sel], dls[sel],
+                avgdl, params, num_tbuckets,
+            )
+            parts.append(small_tbl)
+        if out_rows:
+            parts.append(rows_to_table(out_rows))
+        if not parts:
+            return rows_to_table([])
+        return pa.concat_tables(parts)
 
     from .io import write_partitioned
 
     write_partitioned(
         _read_union("segments", with_rank=upsert)
-        .groupby("term")
-        .map_groups(remerge, batch_format="pyarrow"),
+        .groupby("tbucket")
+        .map_groups(remerge_bucket, batch_format="pyarrow"),
         out_segments, "tbucket",
     )
 
@@ -342,13 +418,18 @@ def merge_indexes(
         "head_terms_salted": 0,
         "merged_from": [os.path.abspath(d) for d in index_dirs],
         "merge_mode": mode,
-        "tombstones": len(delete_ext_ids or []),
+        "tombstones": len(delete_ext_ids or [])
+        + (len(delete_docids) if delete_docids is not None else 0),
     }
     seg.write_stats(out_dir, stats)
     write_manifest(
         out_dir,
         stats=stats,
-        timings={"total_sec": time.time() - t0},
+        timings={
+            "total_sec": time.time() - t0,
+            "docstore_sec": t_docstore - t0,
+            "segments_sec": time.time() - t_docstore,
+        },
         salt_map={},
     )
     return stats

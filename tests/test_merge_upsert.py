@@ -198,6 +198,30 @@ def test_merged_docstore_is_ranged_and_copartition_joinable(
     ]
 
 
+def test_upsert_delete_docids_provided_strategy(ray_session, tmp_path):
+    """delete_docids tombstones raw ids — the path for corpora built with
+    docid_strategy="provided" (where ext_id hashing doesn't apply)."""
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(40, seed=17)
+    base = base.append_column(
+        "docid", pa.array(np.arange(40, dtype=np.uint64), pa.uint64())
+    )
+    keep_tbl = base.slice(10)  # docids 0..9 deleted
+    dbase, dkeep, dm = (str(tmp_path / x) for x in ["base", "keep", "m"])
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="provided")
+    build_index(ray.data.from_arrow(keep_tbl).repartition(2), dkeep,
+                docid_strategy="provided")
+    stats_m = merge_indexes(
+        [dbase], dm, mode="upsert",
+        delete_docids=np.arange(10, dtype=np.uint64),
+    )
+    assert stats_m["N"] == 30 and stats_m["tombstones"] == 10
+    assert _segment_rows(dm) == _segment_rows(dkeep)
+    assert _docstore_rows(dm) == _docstore_rows(dkeep)
+
+
 def test_upsert_mode_validation(ray_session, tmp_path):
     import ray.data
 
