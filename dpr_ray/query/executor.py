@@ -100,7 +100,26 @@ class SegmentStore:
 
     def __init__(self, index_dir: str, cache_terms: int | None = None,
                  cache_postings: int | None = None, warm_refs=None,
-                 docid_range: tuple[int, int] | None = None):
+                 docid_range: tuple[int, int] | None = None,
+                 banned_docids=None):
+        # Query-time tombstones (the Lucene live-docs pattern): banned
+        # docids are dropped at posting-DECODE time, so every method —
+        # dense/sparse TAAT, MaxScore, both BMW variants — serves deletes
+        # immediately without waiting for an upsert merge. Block-max
+        # bounds stay valid (they bound a SUPERSET), so pruning remains
+        # exact. Collection stats (df, N, avgdl) intentionally keep their
+        # index-time values until a real merge, exactly like Lucene
+        # deletes. Accepts a sequence or a ray.ObjectRef (one ray.put,
+        # zero-copy plasma read per actor).
+        self.banned: np.ndarray | None = None
+        if banned_docids is not None:
+            if isinstance(banned_docids, _ray.ObjectRef):
+                banned_docids = _ray.get(banned_docids)
+            b = np.unique(np.asarray(banned_docids, dtype=np.uint64))
+            if len(b):
+                self.banned = b
+        if self.banned is not None:
+            warm_refs = None  # warm entries are UNFILTERED decodes
         # Per-actor cache ceilings, overridable for large-corpus deployments
         # (env knobs follow the DPR_BATCH_ACCUM_MB convention). Combined
         # worst-case per-actor footprint ≈ scored (≤ cache_postings elements
@@ -265,6 +284,17 @@ class SegmentStore:
             docids, vals_per_blob = seg.concat_delta_decode(d_blobs)
             tfs, _ = seg.concat_varint_decode(t_blobs)
             dls, _ = seg.concat_varint_decode(l_blobs)
+            if self.banned is not None and len(docids):
+                pos = np.searchsorted(self.banned, docids)
+                posc = np.minimum(pos, len(self.banned) - 1)
+                keep = self.banned[posc] != docids
+                if not keep.all():
+                    # shrink per-blob counts so block offsets stay aligned
+                    csum = np.zeros(len(keep) + 1, np.int64)
+                    np.cumsum(keep, out=csum[1:])
+                    ends0 = np.cumsum(vals_per_blob)
+                    vals_per_blob = csum[ends0] - csum[ends0 - vals_per_blob]
+                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
             if self.docid_range is not None:
                 # boundary blocks may carry out-of-range postings
                 lo, hi = self.docid_range
@@ -928,8 +958,13 @@ def bmw_topk(
     avgdl: float,
     params: BM25Params,
     k: int,
+    banned: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact block-max WAND with a bounded min-heap. Rank-identical to TAAT."""
+    """Exact block-max WAND with a bounded min-heap. Rank-identical to TAAT.
+
+    ``banned`` (sorted uint64): tombstoned docids never enter the heap —
+    they may still be evaluated as pivots (bounds unchanged, pruning
+    stays exact for every surviving doc), they just can't win."""
     cursors = []
     for term in sorted(t for t, rows in term_rows.items() if rows):
         rows = term_rows[term]
@@ -972,7 +1007,11 @@ def bmw_topk(
                 elif not c.exhausted():
                     # cursor moved past pivot inside advance; no contribution
                     pass
-            if block_sum > th:
+            is_banned = False
+            if banned is not None:
+                p_ = int(np.searchsorted(banned, np.uint64(pivot)))
+                is_banned = p_ < len(banned) and int(banned[p_]) == pivot
+            if block_sum > th and not is_banned:
                 # full evaluation: cursors list is term-sorted → summation
                 # order matches the oracle exactly
                 score = 0.0
@@ -1011,10 +1050,11 @@ class QueryExecutor:
         warm_refs=None,
         result_cache: int = 100_000,
         docid_range: tuple[int, int] | None = None,
+        banned_docids=None,
     ):
         self.store = SegmentStore(
             index_dir, cache_terms=cache_terms, warm_refs=warm_refs,
-            docid_range=docid_range,
+            docid_range=docid_range, banned_docids=banned_docids,
         )
         self.k = k
         self.method = method
@@ -1112,7 +1152,8 @@ class QueryExecutor:
                 fetched = self.store.fetch(terms)
                 rows = {t: fetched[t] for t in terms}
                 docids, scores = bmw_topk(
-                    rows, self.n_docs, self.avgdl, self.store.params, self.k
+                    rows, self.n_docs, self.avgdl, self.store.params, self.k,
+                    banned=self.store.banned,
                 )
             results[i] = (docids, scores)
             if ckey is not None:
@@ -1303,6 +1344,7 @@ def search_pipeline(
     dedup_queries: bool = False,
     doc_shards: int | None = None,
     doc_join_mode: str = "probe",
+    banned_docids=None,
 ):
     """queries Dataset (qid, question) → top-k result Dataset
     (qid, question, rank, docid, score [, doc columns]).
@@ -1321,6 +1363,12 @@ def search_pipeline(
     net LOSS at a 10k-query/35%-dup mix — the per-actor result LRU already
     absorbs within-actor repeats).
 
+    ``banned_docids``: query-time tombstones (Lucene live-docs pattern) —
+    one ``ray.put`` broadcast; banned docs vanish from results of every
+    method with pruning still exact (filtered at posting decode; bounds
+    bound a superset). Serves deletes IMMEDIATELY between upsert merges;
+    collection stats stay index-time until the merge, as in Lucene.
+
     ``doc_shards=S``: doc-sharded execution for corpora whose hot posting
     lists exceed a worker's heap — S executor pools each own a docid RANGE
     and decode ONLY blocks intersecting it (per-actor heap ~ df/S per hot
@@ -1334,6 +1382,12 @@ def search_pipeline(
     import ray
 
     total = int(ray.cluster_resources().get("CPU", 4))
+    banned_ref = None
+    if banned_docids is not None:
+        b = np.unique(np.asarray(banned_docids, dtype=np.uint64))
+        if len(b):
+            banned_ref = ray.put(b)  # one put; zero-copy read per actor
+            warm = False  # warm entries are unfiltered decodes
     warm_refs = None
     n_queries = None
     if warm and method in ("taat", "maxscore"):
@@ -1363,7 +1417,7 @@ def search_pipeline(
         concurrency = (lo, n)
     exec_kwargs = {
         "index_dir": index_dir, "k": k, "method": method,
-        "warm_refs": warm_refs,
+        "warm_refs": warm_refs, "banned_docids": banned_ref,
     }
     if doc_shards and doc_shards > 1:
         stats = seg.read_stats(index_dir)
