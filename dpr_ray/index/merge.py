@@ -43,6 +43,8 @@ delete/update story short of rebuilding.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
 import time
@@ -132,6 +134,25 @@ def _build_shadow(
     return ids_s[last], rk_s[last]
 
 
+def _merge_signature(
+    index_dirs, stats_list, mode, delete_ext_ids, delete_docids,
+    params, num_tbuckets, block_size,
+) -> str:
+    """Content signature of everything the merged docstore depends on —
+    keys the docstore-phase resume marker."""
+    h = hashlib.blake2b(digest_size=16)
+    for d, s in zip(index_dirs, stats_list):
+        h.update(os.path.abspath(d).encode())
+        h.update(json.dumps(s, sort_keys=True).encode())
+    h.update(f"{mode}|{params.k1}|{params.b}|{num_tbuckets}|{block_size}".encode())
+    for e in sorted(delete_ext_ids or []):
+        h.update(e.encode())
+    if delete_docids is not None and len(delete_docids):
+        for v in np.sort(np.asarray(delete_docids, dtype=np.uint64)):
+            h.update(int(v).to_bytes(8, "little"))
+    return h.hexdigest()
+
+
 def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
     """Terminal docstore writer: one ``part-<lo>-<hi>.parquet`` per
     docid-sorted block (the layout ``build_index`` produces and
@@ -184,6 +205,7 @@ def merge_indexes(
     mode: str = "disjoint",
     delete_ext_ids: list[str] | None = None,
     delete_docids=None,
+    resume: bool = True,
 ) -> dict:
     """Merge k built indexes into ``out_dir``. ``mode="disjoint"`` requires
     disjoint docids; ``mode="upsert"`` arbitrates collisions newest-wins
@@ -242,13 +264,39 @@ def merge_indexes(
 
     out_segments = os.path.join(out_dir, "segments")
     out_docstore = os.path.join(out_dir, "docstore")
+    os.makedirs(out_dir, exist_ok=True)
     shutil.rmtree(out_segments, ignore_errors=True)
-    shutil.rmtree(out_docstore, ignore_errors=True)
-    os.makedirs(out_docstore, exist_ok=True)
 
     # ---- docstore first: the upsert avgdl comes from SURVIVING docs, and
-    # the ranged writer folds (N, sum_dl, max_docid) into the write pass
-    if upsert:
+    # the ranged writer folds (N, sum_dl, max_docid) into the write pass.
+    # Phase marker (written only AFTER a complete pass, keyed by an input
+    # signature): a merge killed during the SEGMENTS shuffle resumes
+    # without repaying the docstore sort+rewrite — a partial docstore has
+    # no marker and is recomputed from scratch.
+    sig = _merge_signature(
+        index_dirs, stats_list, mode, delete_ext_ids, delete_docids,
+        params, num_tbuckets, block_size,
+    )
+    marker = os.path.join(out_dir, "merge_docstore_done.json")
+    doc_stats = None
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f)
+        if (
+            done.get("signature") == sig
+            and os.path.isdir(out_docstore)
+            and any(f.endswith(".parquet") for f in os.listdir(out_docstore))
+        ):
+            doc_stats = done["doc_stats"]
+    doc_resumed = doc_stats is not None
+    if not doc_resumed and os.path.exists(marker):
+        os.remove(marker)
+    if not doc_resumed:
+        shutil.rmtree(out_docstore, ignore_errors=True)
+        os.makedirs(out_docstore, exist_ok=True)
+    if doc_resumed:
+        pass
+    elif upsert:
         # filter per input BRANCH (rank is a per-branch constant; a
         # post-union batch could coalesce rows of different branches)
         parts = []
@@ -272,20 +320,25 @@ def merge_indexes(
         doc_ds = doc_ds.sort("docid")
     else:
         doc_ds = _read_union("docstore").sort("docid")
-    doc_stats = _write_docstore_ranged(doc_ds, out_docstore)
-    t_docstore = time.time()
-    if doc_stats["rows"] == 0:
-        # fully-deleted corpus: keep an empty docstore file so downstream
-        # readers see the schema (mirrors build_index's empty-corpus path)
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq_
+    if not doc_resumed:
+        doc_stats = _write_docstore_ranged(doc_ds, out_docstore)
+        if doc_stats["rows"] == 0:
+            # fully-deleted corpus: keep an empty docstore file so
+            # downstream readers see the schema (mirrors build_index's
+            # empty-corpus path)
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq_
 
-        schema = pads.dataset(
-            os.path.join(index_dirs[0], "docstore"), partitioning="hive"
-        ).schema
-        pq_.write_table(
-            schema.empty_table(), os.path.join(out_docstore, "empty.parquet")
-        )
+            schema = pads.dataset(
+                os.path.join(index_dirs[0], "docstore"), partitioning="hive"
+            ).schema
+            pq_.write_table(
+                schema.empty_table(),
+                os.path.join(out_docstore, "empty.parquet"),
+            )
+        with open(marker, "w") as f:
+            json.dump({"signature": sig, "doc_stats": doc_stats}, f)
+    t_docstore = time.time()
 
     if upsert:
         n_docs = doc_stats["rows"]
@@ -429,6 +482,7 @@ def merge_indexes(
             "total_sec": time.time() - t0,
             "docstore_sec": t_docstore - t0,
             "segments_sec": time.time() - t_docstore,
+            "docstore_resumed": doc_resumed,
         },
         salt_map={},
     )

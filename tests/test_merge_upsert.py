@@ -222,6 +222,49 @@ def test_upsert_delete_docids_provided_strategy(ray_session, tmp_path):
     assert _docstore_rows(dm) == _docstore_rows(dkeep)
 
 
+def test_merge_docstore_phase_resume(ray_session, tmp_path):
+    """A merge killed during the segments shuffle must resume without
+    repaying the docstore sort+rewrite: marker present + same inputs →
+    docstore parts untouched (mtime-stable), output byte-identical.
+    Changed inputs (different tombstones) → marker invalid → recompute."""
+    import json
+
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(60, seed=3)
+    delta = _adds_table(10)
+    dbase, ddelta, dm = (str(tmp_path / x) for x in ["base", "delta", "m"])
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(delta).repartition(1), ddelta,
+                docid_strategy="hash64")
+    dels = _ext_ids(base.slice(0, 5))
+    merge_indexes([dbase, ddelta], dm, mode="upsert", delete_ext_ids=dels)
+    ref_seg = _segment_rows(dm)
+    ref_doc = _docstore_rows(dm)
+    store = os.path.join(dm, "docstore")
+    mtimes = {f: os.path.getmtime(os.path.join(store, f))
+              for f in os.listdir(store)}
+    # simulate a kill after the docstore phase: segments gone, marker kept
+    import shutil
+
+    shutil.rmtree(os.path.join(dm, "segments"))
+    os.remove(os.path.join(dm, "manifest.json"))
+    merge_indexes([dbase, ddelta], dm, mode="upsert", delete_ext_ids=dels)
+    assert {f: os.path.getmtime(os.path.join(store, f))
+            for f in os.listdir(store)} == mtimes  # phase skipped
+    with open(os.path.join(dm, "manifest.json")) as f:
+        assert json.load(f)["timings"]["docstore_resumed"] is True
+    assert _segment_rows(dm) == ref_seg
+    assert _docstore_rows(dm) == ref_doc
+    # different tombstones → signature mismatch → docstore recomputed
+    merge_indexes([dbase, ddelta], dm, mode="upsert",
+                  delete_ext_ids=dels[:3])
+    with open(os.path.join(dm, "manifest.json")) as f:
+        assert json.load(f)["timings"]["docstore_resumed"] is False
+    assert len(_docstore_rows(dm)) == 67  # 60 - 3 deleted + 10 added
+
+
 def test_upsert_mode_validation(ray_session, tmp_path):
     import ray.data
 
