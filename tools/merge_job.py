@@ -131,7 +131,10 @@ def main() -> None:
             kw["delete_docids"] = [int(x) for x in dels]
         else:
             kw["delete_ext_ids"] = dels
-    stats = merge_indexes(index_dirs, args.out_index, mode=args.mode, **kw)
+    stats = merge_indexes(
+        index_dirs, args.out_index, mode=args.mode,
+        resume=not args.no_resume, **kw,
+    )
     out["merge_sec"] = round(time.time() - t0, 2)
     out["stats"] = stats
     with open(marker, "w") as f:
