@@ -222,6 +222,97 @@ def test_upsert_delete_docids_provided_strategy(ray_session, tmp_path):
     assert _docstore_rows(dm) == _docstore_rows(dkeep)
 
 
+def test_upsert_delete_beats_update(ray_session, tmp_path):
+    """A doc both UPDATED in the delta and TOMBSTONED must be gone: the
+    tombstone wins over every rank, including the newest delta."""
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(40, seed=19)
+    upd = base.slice(0, 12)
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"), "content",
+        pa.array([c + " revised" for c in upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    # tombstone 4 of the 12 UPDATED docs plus 4 untouched ones
+    dels = _ext_ids(base.slice(0, 4)) + _ext_ids(base.slice(20, 4))
+    latest = pa.concat_tables([base.slice(24), base.slice(12, 8), upd.slice(4)])
+    dbase, ddelta, dlatest, dm = (
+        str(tmp_path / x) for x in ["base", "delta", "latest", "m"]
+    )
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(upd).repartition(1), ddelta,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(latest).repartition(2), dlatest,
+                docid_strategy="hash64")
+    stats_m = merge_indexes([dbase, ddelta], dm, mode="upsert",
+                            delete_ext_ids=dels)
+    assert stats_m["N"] == 32
+    assert _segment_rows(dm) == _segment_rows(dlatest)
+    assert _docstore_rows(dm) == _docstore_rows(dlatest)
+
+
+def test_upsert_merge_random_mixes(ray_session, tmp_path):
+    """Randomized add/update/delete mixes (seeded, 4 draws): upsert merge
+    byte-equals the rebuild of the latest corpus, including empty-delta
+    and delete-overlapping-update draws."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        n = int(rng.integers(20, 70))
+        base = corpus_mod.synth_corpus_table(n, seed=100 + trial)
+        n_upd = int(rng.integers(0, n // 2 + 1))
+        n_add = int(rng.integers(0, 12))
+        n_del = int(rng.integers(0, n // 3 + 1))
+        upd_idx = rng.choice(n, n_upd, replace=False) if n_upd else []
+        del_idx = rng.choice(n, n_del, replace=False) if n_del else []
+        upd_rows = base.take(pa.array(sorted(upd_idx), pa.int64()))
+        if upd_rows.num_rows:
+            upd_rows = upd_rows.set_column(
+                upd_rows.schema.get_field_index("content"), "content",
+                pa.array([f"{c} rev{trial}" for c in
+                          upd_rows["content"].to_pylist()],
+                         pa.large_string()),
+            )
+        adds = _adds_table(n_add) if n_add else None
+        delta_parts = [t for t in (upd_rows, adds)
+                       if t is not None and t.num_rows]
+        dels = _ext_ids(base.take(pa.array(sorted(del_idx), pa.int64())))
+        del_set = set(del_idx)
+        upd_set = set(upd_idx)
+        keep_base = [i for i in range(n)
+                     if i not in del_set and i not in upd_set]
+        latest_parts = [base.take(pa.array(keep_base, pa.int64()))]
+        if upd_rows.num_rows:
+            keep_upd = [j for j, i in enumerate(sorted(upd_idx))
+                        if i not in del_set]
+            latest_parts.append(upd_rows.take(pa.array(keep_upd, pa.int64())))
+        if adds is not None and adds.num_rows:
+            latest_parts.append(adds)
+        latest = pa.concat_tables(latest_parts)
+        d = str(tmp_path / f"t{trial}")
+        os.makedirs(d)
+        build_index(ray.data.from_arrow(base).repartition(2),
+                    f"{d}/base", docid_strategy="hash64")
+        dirs = [f"{d}/base"]
+        if delta_parts:
+            build_index(
+                ray.data.from_arrow(pa.concat_tables(delta_parts))
+                .repartition(1),
+                f"{d}/delta", docid_strategy="hash64",
+            )
+            dirs.append(f"{d}/delta")
+        build_index(ray.data.from_arrow(latest).repartition(2),
+                    f"{d}/latest", docid_strategy="hash64")
+        stats_m = merge_indexes(dirs, f"{d}/m", mode="upsert",
+                                delete_ext_ids=dels)
+        assert stats_m["N"] == latest.num_rows, trial
+        assert _segment_rows(f"{d}/m") == _segment_rows(f"{d}/latest"), trial
+        assert _docstore_rows(f"{d}/m") == _docstore_rows(f"{d}/latest"), trial
+
+
 def test_merge_docstore_phase_resume(ray_session, tmp_path):
     """A merge killed during the segments shuffle must resume without
     repaying the docstore sort+rewrite: marker present + same inputs →
