@@ -110,6 +110,47 @@ def test_tombstones_match_oracle_all_methods(ray_session, tmp_path, strategy):
         )
 
 
+def test_tombstones_with_doc_shards(ray_session, tmp_path):
+    """Tombstones compose with doc-sharded execution: the banned filter
+    runs before the shard's docid-range mask, so a 2-shard pipeline with
+    bans equals the unsharded banned pipeline bitwise."""
+    import ray.data
+
+    from dpr_ray.query.executor import search_pipeline
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    n = 70
+    tbl = corpus_mod.synth_corpus_table(n, seed=29)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl).repartition(2), idx,
+                docid_strategy="hash64")
+    docids = np.array(
+        [
+            docid_from_ext_id(f"{r}/{p}")
+            for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())
+        ],
+        np.uint64,
+    )
+    banned = np.sort(docids[::7])  # every 7th doc, spread across shards
+    qb = pa.table(
+        {"qid": ["a", "b"], "question": [QUESTIONS[0], QUESTIONS[2]]}
+    )
+
+    def run(**kw):
+        df = search_pipeline(
+            ray.data.from_arrow(qb), idx, k=12, banned_docids=banned,
+            concurrency=(1, 2), **kw,
+        ).to_pandas()
+        return df.sort_values(["qid", "rank"]).reset_index(drop=True)[
+            ["qid", "rank", "docid", "score"]
+        ]
+
+    plain = run()
+    sharded = run(doc_shards=2)
+    assert plain.equals(sharded)
+    assert not set(plain["docid"]) & set(banned.tolist())
+
+
 def test_tombstones_through_search_pipeline(ray_session, tmp_path):
     import ray.data
 
