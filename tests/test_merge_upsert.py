@@ -313,6 +313,62 @@ def test_upsert_merge_random_mixes(ray_session, tmp_path):
         assert _docstore_rows(f"{d}/m") == _docstore_rows(f"{d}/latest"), trial
 
 
+def test_chained_upserts_equal_rebuild(ray_session, tmp_path):
+    """The tiered-refresh claim: v1+d1→v2, then v2+d2→v3 — a MERGED index
+    as the base of the next merge — still byte-equals rebuilding the
+    final corpus. (Slice ids/stats must round-trip through merge.)"""
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(70, seed=47)
+    # day 1: update 0..14, add 5, delete 60..64
+    d1_upd = base.slice(0, 15)
+    d1_upd = d1_upd.set_column(
+        d1_upd.schema.get_field_index("content"), "content",
+        pa.array([c + " day1" for c in d1_upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    d1 = pa.concat_tables([d1_upd, _adds_table(5)])
+    d1_dels = _ext_ids(base.slice(60, 5))
+    # day 2: re-update 5..9 (already updated day 1) + one day-1 add,
+    # delete 10..11 (day-1-updated docs) and one day-1 add
+    d2_upd = d1.slice(5, 5)
+    d2_upd = d2_upd.set_column(
+        d2_upd.schema.get_field_index("content"), "content",
+        pa.array([c + " day2" for c in d2_upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    d2 = pa.concat_tables([d2_upd, d1.slice(15, 1)])  # re-adds new_0 as-is
+    d2_dels = _ext_ids(d1_upd.slice(10, 2)) + ["neworg/newproj/src/new_1.py"]
+
+    # final corpus, assembled by replaying the log
+    final = {}
+    for t in (base, d1, d2):
+        for r in t.to_pylist():
+            final[f"{r['repo']}/{r['path']}"] = r
+    for e in d1_dels + d2_dels:
+        final.pop(e, None)
+    latest = pa.Table.from_pylist(
+        list(final.values()), schema=base.schema
+    )
+
+    D = {k: str(tmp_path / k) for k in
+         ("v1", "d1", "v2", "d2", "v3", "latest")}
+    build_index(ray.data.from_arrow(base).repartition(2), D["v1"],
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(d1).repartition(2), D["d1"],
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(d2).repartition(1), D["d2"],
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(latest).repartition(3), D["latest"],
+                docid_strategy="hash64")
+    merge_indexes([D["v1"], D["d1"]], D["v2"], mode="upsert",
+                  delete_ext_ids=d1_dels)
+    merge_indexes([D["v2"], D["d2"]], D["v3"], mode="upsert",
+                  delete_ext_ids=d2_dels)
+    assert _segment_rows(D["v3"]) == _segment_rows(D["latest"])
+    assert _docstore_rows(D["v3"]) == _docstore_rows(D["latest"])
+
+
 def test_merge_docstore_phase_resume(ray_session, tmp_path):
     """A merge killed during the segments shuffle must resume without
     repaying the docstore sort+rewrite: marker present + same inputs →

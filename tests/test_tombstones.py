@@ -110,6 +110,68 @@ def test_tombstones_match_oracle_all_methods(ray_session, tmp_path, strategy):
         )
 
 
+@pytest.fixture(scope="module")
+def tomb_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    n = 60
+    tbl = corpus_mod.synth_corpus_table(n, seed=53)
+    idx = str(tmp_path_factory.mktemp("tombprop"))
+    build_index(ray.data.from_arrow(tbl).repartition(2), idx,
+                docid_strategy="hash64", block_size=8)
+    docids = np.array(
+        [
+            docid_from_ext_id(f"{r}/{p}")
+            for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist())
+        ],
+        np.uint64,
+    )
+    oracle = BruteForceBM25(docids, tbl["content"].to_pylist(), BM25Params())
+    return idx, docids, oracle
+
+
+def test_tombstone_property_sweep(tomb_index):
+    """Randomized banned sets × methods × k vs the oracle (seeded numpy
+    sweep — one shared index, 36 draws incl. ban-everything and k=1)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    idx, docids, oracle = tomb_index
+
+    @settings(
+        max_examples=30, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        banned_idx=st.lists(st.integers(0, 59), max_size=60),
+        qsel=st.integers(0, len(QUESTIONS) - 1),
+        method=st.sampled_from(["taat", "maxscore", "bmw"]),
+        k=st.integers(1, 15),
+    )
+    def inner(banned_idx, qsel, method, k):
+        banned = (
+            np.unique(docids[banned_idx])
+            if banned_idx
+            else np.empty(0, np.uint64)
+        )
+        q = QUESTIONS[qsel]
+        ex = QueryExecutor(idx, k=k, method=method, banned_docids=banned)
+        out = ex(pa.table({"qid": ["q"], "question": [q]})).to_pylist()
+        got = [(r["docid"], r["score"]) for r in out]
+        assert got == _oracle_topk_banned(oracle, q, k, banned), (
+            method, k, len(banned),
+        )
+
+    inner()
+    # the everything-banned edge deterministically
+    for method in ("taat", "maxscore", "bmw"):
+        ex = QueryExecutor(idx, k=10, method=method, banned_docids=docids)
+        out = ex(pa.table({"qid": ["q"], "question": [QUESTIONS[0]]}))
+        assert out.num_rows == 0, method
+
+
 def test_tombstones_with_doc_shards(ray_session, tmp_path):
     """Tombstones compose with doc-sharded execution: the banned filter
     runs before the shard's docid-range mask, so a 2-shard pipeline with
