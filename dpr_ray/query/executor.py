@@ -51,14 +51,17 @@ import ray as _ray
 
 
 @_ray.remote
-def _decode_terms_task(index_dir: str, terms: list[str]) -> dict:
+def _decode_terms_task(index_dir: str, terms: list[str], banned=None) -> dict:
     """Warmup task: decode + score a chunk of terms once; the returned
     arrays live in the object store and every executor actor reads them
     zero-copy (decode happens once per CLUSTER, not once per actor).
     Head terms (df ≥ N/20) also ship their impact permutation and dense
     position map — per-actor lexsorts of multi-million-posting lists were
-    the duplicated cold cost that capped query-side scaling."""
-    store = SegmentStore(index_dir)
+    the duplicated cold cost that capped query-side scaling.
+    ``banned``: tombstones applied INSIDE the warm decode, so tombstoned
+    serving keeps the once-per-cluster decode (measured 3.2× at 5M docs
+    when each actor instead re-decoded head terms cold)."""
+    store = SegmentStore(index_dir, banned_docids=banned)
     out = {}
     n = store.n_docs
     for t in terms:
@@ -73,15 +76,19 @@ def _decode_terms_task(index_dir: str, terms: list[str]) -> dict:
     return out
 
 
-def warm_posting_refs(index_dir: str, terms: list[str], chunks: int = 16):
-    """Parallel decode of ``terms`` → list of ObjectRefs of {term: entry}."""
+def warm_posting_refs(
+    index_dir: str, terms: list[str], chunks: int = 16, banned=None
+):
+    """Parallel decode of ``terms`` → list of ObjectRefs of {term: entry}.
+    Pass ``banned`` (array or ObjectRef) to pre-filter tombstoned docids
+    in the warm tasks; consumers must then set ``warm_prefiltered=True``."""
     terms = sorted(set(terms))
     if not terms:
         return []
     n = max(1, min(chunks, len(terms)))
     per = (len(terms) + n - 1) // n
     return [
-        _decode_terms_task.remote(index_dir, terms[i : i + per])
+        _decode_terms_task.remote(index_dir, terms[i : i + per], banned)
         for i in range(0, len(terms), per)
     ]
 
@@ -101,7 +108,7 @@ class SegmentStore:
     def __init__(self, index_dir: str, cache_terms: int | None = None,
                  cache_postings: int | None = None, warm_refs=None,
                  docid_range: tuple[int, int] | None = None,
-                 banned_docids=None):
+                 banned_docids=None, warm_prefiltered: bool = False):
         # Query-time tombstones (the Lucene live-docs pattern): banned
         # docids are dropped at posting-DECODE time, so every method —
         # dense/sparse TAAT, MaxScore, both BMW variants — serves deletes
@@ -118,8 +125,11 @@ class SegmentStore:
             b = np.unique(np.asarray(banned_docids, dtype=np.uint64))
             if len(b):
                 self.banned = b
-        if self.banned is not None:
-            warm_refs = None  # warm entries are UNFILTERED decodes
+        if self.banned is not None and not warm_prefiltered:
+            # warm entries are unfiltered decodes UNLESS the producer ran
+            # warm_posting_refs(banned=...) with the SAME tombstone set
+            # (search_pipeline does; it sets warm_prefiltered)
+            warm_refs = None
         # Per-actor cache ceilings, overridable for large-corpus deployments
         # (env knobs follow the DPR_BATCH_ACCUM_MB convention). Combined
         # worst-case per-actor footprint ≈ scored (≤ cache_postings elements
@@ -1051,10 +1061,12 @@ class QueryExecutor:
         result_cache: int = 100_000,
         docid_range: tuple[int, int] | None = None,
         banned_docids=None,
+        warm_prefiltered: bool = False,
     ):
         self.store = SegmentStore(
             index_dir, cache_terms=cache_terms, warm_refs=warm_refs,
             docid_range=docid_range, banned_docids=banned_docids,
+            warm_prefiltered=warm_prefiltered,
         )
         self.k = k
         self.method = method
@@ -1367,7 +1379,9 @@ def search_pipeline(
     one ``ray.put`` broadcast; banned docs vanish from results of every
     method with pruning still exact (filtered at posting decode; bounds
     bound a superset). Serves deletes IMMEDIATELY between upsert merges;
-    collection stats stay index-time until the merge, as in Lucene.
+    collection stats stay index-time until the merge, as in Lucene. The
+    warm decode broadcast applies the same filter inside its tasks, so
+    tombstoned serving keeps the once-per-cluster decode.
 
     ``doc_shards=S``: doc-sharded execution for corpora whose hot posting
     lists exceed a worker's heap — S executor pools each own a docid RANGE
@@ -1387,7 +1401,6 @@ def search_pipeline(
         b = np.unique(np.asarray(banned_docids, dtype=np.uint64))
         if len(b):
             banned_ref = ray.put(b)  # one put; zero-copy read per actor
-            warm = False  # warm entries are unfiltered decodes
     warm_refs = None
     n_queries = None
     if warm and method in ("taat", "maxscore"):
@@ -1399,7 +1412,11 @@ def search_pipeline(
             terms = sorted(
                 {t for q in qtbl["question"] for t in analyzer.tokenize(q)}
             )
-            warm_refs = warm_posting_refs(index_dir, terms, chunks=total)
+            # tombstones are applied INSIDE the warm tasks, keeping the
+            # once-per-cluster decode under banned serving (3.2× at 5M)
+            warm_refs = warm_posting_refs(
+                index_dir, terms, chunks=total, banned=banned_ref
+            )
         except Exception:
             warm_refs = None
     if concurrency is None:
@@ -1418,6 +1435,7 @@ def search_pipeline(
     exec_kwargs = {
         "index_dir": index_dir, "k": k, "method": method,
         "warm_refs": warm_refs, "banned_docids": banned_ref,
+        "warm_prefiltered": banned_ref is not None,
     }
     if doc_shards and doc_shards > 1:
         stats = seg.read_stats(index_dir)
