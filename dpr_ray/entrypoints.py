@@ -289,7 +289,17 @@ def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
         )
         res = search_pipeline(qds, index_dir, k=depth, method=method).to_pandas()
         if res.empty:
-            return pd.DataFrame({"qid": [], "docid": [], "rank": [], "score_i6": []})
+            # dtype-correct empty frame INCLUDING "score": q_bm25_topk's
+            # three-method bitwise compare reads it even on empty results
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=str),
+                    "docid": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                    "score_i6": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
         res["docid"] = res["docid"].astype("int64")
         res["score_i6"] = _i6(res["score"])
         res, safe = _i6_snap_rank(res, "docid", depth)

@@ -444,25 +444,22 @@ def merge_indexes(
 
     from .io import write_partitioned
 
-    write_partitioned(
+    # sum_cols folds (slice count, Σdf) into the write pass — a separate
+    # read_parquet+aggregate costs seconds of fixed dispatch per merge
+    # (CLAUDE.md: fold side computations into the pass touching the data)
+    wres = write_partitioned(
         _read_union("segments", with_rank=upsert)
         .groupby("tbucket")
         .map_groups(remerge_bucket, batch_format="pyarrow"),
-        out_segments, "tbucket",
-    )
-
-    from ray.data.aggregate import Count, Sum
-
-    seg_agg = ray.data.read_parquet(out_segments, columns=["df"]).aggregate(
-        Count(), Sum("df")
+        out_segments, "tbucket", sum_cols=["df"],
     )
     stats = {
         "N": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,
         "max_docid": max_docid,
-        "postings": int(seg_agg["sum(df)"] or 0),
-        "segment_slices": int(seg_agg["count()"]),
+        "postings": int(wres["sum_df"]),
+        "segment_slices": int(wres["rows"]),
         "k1": params.k1,
         "b": params.b,
         "num_tbuckets": num_tbuckets,

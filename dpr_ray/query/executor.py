@@ -1249,7 +1249,22 @@ class DocJoin:
         docs = self._ds.to_table(columns=["docid"] + self.columns, filter=filt)
         d_ids = docs["docid"].to_numpy(zero_copy_only=False)
         order = np.argsort(d_ids)
-        pos = order[np.searchsorted(d_ids[order], docids)]
+        sorted_ids = d_ids[order]
+        ins = np.searchsorted(sorted_ids, docids)
+        hit = (ins < len(sorted_ids)) & (
+            sorted_ids[np.minimum(ins, max(len(sorted_ids) - 1, 0))]
+            == docids
+        ) if len(sorted_ids) else np.zeros(len(docids), bool)
+        if not hit.all():
+            # loud failure over silent mis-join (same contract as the
+            # co-partitioned path): a docid the docstore doesn't hold
+            # would otherwise take a neighboring row's content
+            missing = docids[~hit]
+            raise ValueError(
+                f"{len(missing)} result docid(s) not in docstore "
+                f"(first: {int(missing[0])})"
+            )
+        pos = order[ins]
         out = {name: batch[name] for name in batch.column_names}
         for c in self.columns:
             out[c] = docs[c].take(pa.array(pos, pa.int64()))
@@ -1281,12 +1296,27 @@ def doc_join_copartitioned(results_ds, index_dir: str, columns=None):
     ensure_shippable()
     import ray
 
+    import re as _re
+
     cols = columns or ["ext_id", "title", "content"]
     store_dir = os.path.join(index_dir, "docstore")
+    # ONLY range-named parts participate: an empty-corpus build or a
+    # fully-deleted upsert merge writes a schema-only "empty.parquet"
+    # (build.py:359, merge.py empty path) that must not be range-parsed
     names = sorted(
-        fn for fn in os.listdir(store_dir) if fn.endswith(".parquet")
+        fn for fn in os.listdir(store_dir)
+        if _re.fullmatch(r"part-\d+-\d+\.parquet", fn)
     )
     if not names:
+        if any(
+            fn.endswith(".parquet") for fn in os.listdir(store_dir)
+        ):  # schema-only empty docstore: a join against it is empty
+            if results_ds.count() == 0:
+                return results_ds
+            raise ValueError(
+                f"docstore under {store_dir} is empty but the result set "
+                "is not — result docids cannot be joined"
+            )
         raise FileNotFoundError(f"no docstore parts under {store_dir}")
     # part-<lo>-<hi>.parquet; zero-padded so lexical sort == numeric sort
     lo = np.array([int(fn.split("-")[1]) for fn in names], np.uint64)
@@ -1327,6 +1357,18 @@ def doc_join_copartitioned(results_ds, index_dir: str, columns=None):
         d_ids = docs["docid"].to_numpy(zero_copy_only=False)
         # the part is docid-sorted on disk; one searchsorted merges
         pos = np.searchsorted(d_ids, docids)
+        hit = (pos < len(d_ids)) & (
+            d_ids[np.minimum(pos, max(len(d_ids) - 1, 0))] == docids
+        ) if len(d_ids) else np.zeros(len(docids), bool)
+        if not hit.all():
+            # silent mis-joins are worse than a loud failure: a docid the
+            # docstore doesn't hold (stale results vs a refreshed index)
+            # would otherwise take SOME row's content
+            missing = docids[~hit]
+            raise ValueError(
+                f"{len(missing)} result docid(s) not in docstore part "
+                f"{fname} (first: {int(missing[0])})"
+            )
         out = {
             name: group[name]
             for name in group.column_names

@@ -954,7 +954,9 @@ def semdedup(
     corpus into one cluster — an unguarded in-group ``nmat @ nmat.T`` is
     then O(c²) memory and OOMs at scale. Clusters larger than
     ``cluster_row_budget`` rows (default ``$DPR_SEMDEDUP_CLUSTER_BUDGET``
-    or 65536) are deterministically SUBSPLIT into contiguous id-order
+    or 8192 — the in-segment sims matrix is budget² × 8 B, ~537 MB at
+    the default; 65536 would be 34 GB) are deterministically SUBSPLIT
+    into contiguous id-order
     segments of at most that many rows, and pairs are only compared within
     a segment (a logged approximation — cross-segment duplicates in an
     over-budget cluster are missed, exactly the ``shingle_df_cap``

@@ -412,6 +412,46 @@ def test_merge_docstore_phase_resume(ray_session, tmp_path):
     assert len(_docstore_rows(dm)) == 67  # 60 - 3 deleted + 10 added
 
 
+def test_doc_join_on_fully_deleted_index_and_missing_docids(
+    ray_session, tmp_path
+):
+    """A fully-deleted upsert merge leaves a schema-only empty.parquet
+    docstore: the co-partitioned join must handle it (empty results →
+    empty; non-empty → loud error, not a filename-parse crash). And a
+    result docid absent from ANY docstore must raise, not silently take
+    a neighboring document's content — both join paths."""
+    import ray.data
+
+    from dpr_ray.query.executor import DocJoin, doc_join_copartitioned
+
+    base = corpus_mod.synth_corpus_table(20, seed=61)
+    dbase, dm = str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    merge_indexes([dbase], dm, mode="upsert",
+                  delete_ext_ids=_ext_ids(base))  # delete EVERYTHING
+    empty_rs = ray.data.from_arrow(pa.table(
+        {"qid": pa.array([], pa.string()),
+         "docid": pa.array([], pa.uint64())}))
+    assert doc_join_copartitioned(empty_rs, dm).count() == 0
+    one_rs = ray.data.from_arrow(pa.table(
+        {"qid": ["q"], "docid": pa.array([123], pa.uint64())}))
+    with pytest.raises(ValueError, match="empty"):
+        doc_join_copartitioned(one_rs, dm)
+    # missing docid against a NORMAL docstore: both paths raise
+    bogus = ray.data.from_arrow(pa.table(
+        {"qid": ["q"], "docid": pa.array([42], pa.uint64())}))
+    with pytest.raises((ValueError, Exception)):
+        doc_join_copartitioned(bogus, dbase).materialize()
+    import ray.exceptions
+
+    with pytest.raises(Exception):
+        bogus.map_batches(
+            DocJoin, fn_constructor_args=(dbase,), batch_format="pyarrow",
+            concurrency=1,
+        ).materialize()
+
+
 def test_upsert_mode_validation(ray_session, tmp_path):
     import ray.data
 
