@@ -139,11 +139,22 @@ def _merge_signature(
     params, num_tbuckets, block_size,
 ) -> str:
     """Content signature of everything the merged docstore depends on —
-    keys the docstore-phase resume marker."""
+    keys the docstore-phase resume marker. Besides stats, it fingerprints
+    each input docstore's part files (name, size, mtime): an input rebuilt
+    in place with coincidentally identical stats but different document
+    text must NOT falsely resume a stale merged docstore (false
+    invalidation is harmless — the pass just recomputes)."""
     h = hashlib.blake2b(digest_size=16)
     for d, s in zip(index_dirs, stats_list):
         h.update(os.path.abspath(d).encode())
         h.update(json.dumps(s, sort_keys=True).encode())
+        doc_dir = os.path.join(d, "docstore")
+        if os.path.isdir(doc_dir):
+            for name in sorted(os.listdir(doc_dir)):
+                p = os.path.join(doc_dir, name)
+                if name.endswith(".parquet") and os.path.isfile(p):
+                    st = os.stat(p)
+                    h.update(f"{name}|{st.st_size}|{int(st.st_mtime)}".encode())
     h.update(f"{mode}|{params.k1}|{params.b}|{num_tbuckets}|{block_size}".encode())
     for e in sorted(delete_ext_ids or []):
         h.update(e.encode())
@@ -187,6 +198,8 @@ def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
     agg = ds_sorted.map_batches(write_block, batch_format="pyarrow").aggregate(
         Sum("rows"), Sum("sum_dl"), Max("max_docid")
     )
+    if agg is None:  # zero-block dataset: aggregate returns None, not zeros
+        return {"rows": 0, "sum_dl": 0, "max_docid": 0}
     return {
         "rows": int(agg["sum(rows)"] or 0),
         "sum_dl": int(agg["sum(sum_dl)"] or 0),
@@ -444,12 +457,35 @@ def merge_indexes(
 
     from .io import write_partitioned
 
+    # The groupby key is the inputs' precomputed tbucket column
+    # (crc32(term) % num_tbuckets). If any input was built with a DIFFERENT
+    # num_tbuckets than this merge's, one term would land in two groups —
+    # duplicate slice sets with colliding slice_ids whose concatenated
+    # block ranges are non-monotonic, silently breaking BMW's
+    # searchsorted-over-block_last exactness. Recompute a uniform tbucket
+    # from term in that case (cheap: one crc32 per SLICE row, not posting).
+    seg_ds = _read_union("segments", with_rank=upsert)
+    if any(int(s.get("num_tbuckets", num_tbuckets)) != num_tbuckets
+           for s in stats_list):
+        import zlib as _zlib
+
+        def _rebucket(batch: pa.Table, _n: int = num_tbuckets) -> pa.Table:
+            crc = _zlib.crc32
+            tb = pa.array(
+                [crc(t.encode()) % _n for t in batch["term"].to_pylist()],
+                pa.int32(),
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("tbucket"), "tbucket", tb
+            )
+
+        seg_ds = seg_ds.map_batches(_rebucket, batch_format="pyarrow")
+
     # sum_cols folds (slice count, Σdf) into the write pass — a separate
     # read_parquet+aggregate costs seconds of fixed dispatch per merge
     # (CLAUDE.md: fold side computations into the pass touching the data)
     wres = write_partitioned(
-        _read_union("segments", with_rank=upsert)
-        .groupby("tbucket")
+        seg_ds.groupby("tbucket")
         .map_groups(remerge_bucket, batch_format="pyarrow"),
         out_segments, "tbucket", sum_cols=["df"],
     )

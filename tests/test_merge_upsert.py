@@ -452,6 +452,124 @@ def test_doc_join_on_fully_deleted_index_and_missing_docids(
         ).materialize()
 
 
+def test_merge_mismatched_num_tbuckets(ray_session, tmp_path):
+    """Inputs built with DIFFERENT num_tbuckets: the precomputed tbucket
+    columns disagree (crc32(term) % n), so the remerge must recompute a
+    uniform bucketing before the groupby — otherwise one term splits into
+    two groups with colliding slice_ids and BMW's searchsorted over
+    block_last breaks. The merged result must byte-equal a rebuild at the
+    merge's num_tbuckets, in BOTH modes."""
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    tbl = corpus_mod.synth_corpus_table(80, seed=71)
+    a, b = tbl.slice(0, 50), tbl.slice(50)
+    da, db, dm, dlatest = (
+        str(tmp_path / x) for x in ["a", "b", "m", "latest"]
+    )
+    build_index(ray.data.from_arrow(a).repartition(2), da,
+                docid_strategy="hash64", num_tbuckets=16)
+    build_index(ray.data.from_arrow(b).repartition(2), db,
+                docid_strategy="hash64", num_tbuckets=7)
+    build_index(ray.data.from_arrow(tbl).repartition(3), dlatest,
+                docid_strategy="hash64", num_tbuckets=16)
+    merge_indexes([da, db], dm)  # disjoint; target tbuckets = base's 16
+    assert _segment_rows(dm) == _segment_rows(dlatest)
+    assert _docstore_rows(dm) == _docstore_rows(dlatest)
+    qb = pa.table({"qid": ["q0"], "question": ["def return import value"]})
+    for method in ("taat", "maxscore", "bmw"):
+        assert (
+            QueryExecutor(dm, k=10, method=method)(qb).to_pylist()
+            == QueryExecutor(dlatest, k=10, method=method)(qb).to_pylist()
+        ), method
+    # upsert across mismatched bucketing too (update 5 docs of `a` via a
+    # delta built at yet another num_tbuckets)
+    upd = a.slice(0, 5)
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"), "content",
+        pa.array([c + " rebkt" for c in upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    ddelta, dm2, dl2 = (str(tmp_path / x) for x in ["delta", "m2", "l2"])
+    build_index(ray.data.from_arrow(upd).repartition(1), ddelta,
+                docid_strategy="hash64", num_tbuckets=5)
+    build_index(
+        ray.data.from_arrow(pa.concat_tables([a.slice(5), upd]))
+        .repartition(2),
+        dl2, docid_strategy="hash64", num_tbuckets=16,
+    )
+    merge_indexes([da, ddelta], dm2, mode="upsert")
+    assert _segment_rows(dm2) == _segment_rows(dl2)
+    assert _docstore_rows(dm2) == _docstore_rows(dl2)
+
+
+def test_write_docstore_ranged_zero_blocks(ray_session, tmp_path):
+    """Dataset.aggregate returns None on a zero-row/zero-block dataset —
+    the ranged writer must return zero stats, not TypeError."""
+    import ray.data
+
+    from dpr_ray.index.merge import _write_docstore_ranged
+
+    schema = pa.schema(
+        [("docid", pa.uint64()), ("doclen", pa.int64()),
+         ("ext_id", pa.string())]
+    )
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    empty = ray.data.from_arrow(schema.empty_table())
+    assert _write_docstore_ranged(empty, out) == {
+        "rows": 0, "sum_dl": 0, "max_docid": 0,
+    }
+
+
+def test_merge_job_signature_deletes_flag(tmp_path):
+    """The resume signature must distinguish --deletes-are-docids: the
+    same deletes file means different tombstones under the flag."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from merge_job import _signature
+    finally:
+        sys.path.pop(0)
+    d = str(tmp_path / "i")
+    os.makedirs(d)
+    with open(os.path.join(d, "stats.json"), "w") as f:
+        f.write("{}")
+    s_ext = _signature([d], "upsert", ["123"], False)
+    s_doc = _signature([d], "upsert", ["123"], True)
+    assert s_ext != s_doc
+    assert _signature([d], "upsert", ["123"], True) == s_doc
+
+
+def test_merge_docstore_signature_content_fingerprint(
+    ray_session, tmp_path
+):
+    """An input rebuilt in place with identical stats but different text
+    must invalidate the docstore-phase resume marker (the signature now
+    fingerprints docstore part files, not just stats.json)."""
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(30, seed=83)
+    dbase, dm = str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    merge_indexes([dbase], dm, mode="upsert",
+                  delete_ext_ids=_ext_ids(base.slice(0, 2)))
+    store = os.path.join(dbase, "docstore")
+    part = sorted(f for f in os.listdir(store) if f.endswith(".parquet"))[0]
+    # touch one input docstore part (content change proxy: mtime bump)
+    p = os.path.join(store, part)
+    os.utime(p, (os.path.getatime(p), os.path.getmtime(p) + 10))
+    merge_indexes([dbase], dm, mode="upsert",
+                  delete_ext_ids=_ext_ids(base.slice(0, 2)))
+    import json
+
+    with open(os.path.join(dm, "manifest.json")) as f:
+        assert json.load(f)["timings"]["docstore_resumed"] is False
+
+
 def test_upsert_mode_validation(ray_session, tmp_path):
     import ray.data
 

@@ -31,7 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _signature(index_dirs, mode, dels) -> str:
+def _signature(index_dirs, mode, dels, deletes_are_docids) -> str:
     h = hashlib.blake2b(digest_size=16)
     for d in index_dirs:
         h.update(os.path.abspath(d).encode())
@@ -39,6 +39,9 @@ def _signature(index_dirs, mode, dels) -> str:
         with open(stats_p, "rb") as f:
             h.update(f.read())
     h.update(mode.encode())
+    # the SAME deletes file means different tombstones under the flag
+    # (ext_id hashing vs raw docids) — it must invalidate the marker
+    h.update(b"docids" if deletes_are_docids else b"ext_ids")
     for x in sorted(str(v) for v in dels):
         h.update(x.encode())
     return h.hexdigest()
@@ -109,7 +112,7 @@ def main() -> None:
         out["delta_docs"] = stats_d["N"]
 
     index_dirs = [args.base_index] + ([delta_dir] if delta_dir else [])
-    sig = _signature(index_dirs, args.mode, dels)
+    sig = _signature(index_dirs, args.mode, dels, args.deletes_are_docids)
     marker = os.path.join(args.out_index, "merge_done.json")
     if not args.no_resume and os.path.exists(marker):
         with open(marker) as f:
