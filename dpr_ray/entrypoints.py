@@ -332,7 +332,57 @@ def q_bm25_topk(sf_dir: str):
                 f"executor method {method!r} diverged from TAAT "
                 "(bitwise top-k mismatch)"
             )
+    _assert_banned_serving(sf_dir)
     return base[["qid", "docid", "rank", "score_i6"]]
+
+
+def _assert_banned_serving(sf_dir: str) -> None:
+    """In-query gate on the query-time tombstone path (``banned_docids``,
+    the Lucene live-docs analog — live-docs filtering semantics of
+    ``reference/dpr/indexer/faiss_indexers.py:107-112``'s exact-search
+    contract): ban each query's rank-1 docid, re-run ALL THREE executor
+    methods with the ban set, and assert each is bitwise-identical to the
+    unbanned deeper fetch minus the banned docids. The decode-filter
+    (executor.py SegmentStore/warm path) is the code most likely to drift
+    under executor changes; this keeps it inside the driver-checked entry
+    rather than only behind tests/test_tombstones.py."""
+    from .query.executor import search_pipeline
+
+    index_dir = ensure_index(sf_dir)
+
+    def _run(k: int, method: str, banned=None) -> pd.DataFrame:
+        qds = ray.data.from_items(
+            [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
+        )
+        res = search_pipeline(
+            qds, index_dir, k=k, method=method, banned_docids=banned
+        ).to_pandas()
+        return res.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    deep = _run(TOP_K + len(BM25_QUERIES), "taat")
+    if deep.empty:
+        return
+    banned = np.unique(
+        deep.loc[deep["rank"] == 1, "docid"].to_numpy().astype(np.uint64)
+    )
+    expected = deep[~deep["docid"].isin(banned)].copy()
+    expected = expected.groupby("qid", sort=True).head(TOP_K)
+    expected["rank"] = expected.groupby("qid").cumcount() + 1
+    expected = expected.reset_index(drop=True)
+    for method in ("taat", "maxscore", "bmw"):
+        got = _run(TOP_K, method, banned=banned)
+        same = (
+            len(got) == len(expected)
+            and (got["qid"].to_numpy() == expected["qid"].to_numpy()).all()
+            and (got["docid"].to_numpy() == expected["docid"].to_numpy()).all()
+            and (got["rank"].to_numpy() == expected["rank"].to_numpy()).all()
+            and (got["score"].to_numpy() == expected["score"].to_numpy()).all()
+        )
+        if not same:
+            raise AssertionError(
+                f"banned_docids serving diverged for method {method!r}: "
+                "tombstone decode-filter is not exact vs unbanned-minus-banned"
+            )
 
 
 def q_bm25_topk_bmw(sf_dir: str):

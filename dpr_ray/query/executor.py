@@ -1447,13 +1447,33 @@ def search_pipeline(
     n_queries = None
     if warm and method in ("taat", "maxscore"):
         try:
-            qtbl = queries_ds.limit(max_warm_queries).select_columns(
-                ["question"]
-            ).to_pandas()
-            n_queries = len(qtbl)
-            terms = sorted(
-                {t for q in qtbl["question"] for t in analyzer.tokenize(q)}
+            # distributed distinct-terms pass: each block reduces to ONE
+            # row (its unique term list + row count), so the driver pulls
+            # per-block term summaries — never the question strings
+            # themselves (at a 100×-scale query log the old
+            # limit().to_pandas() was the one driver materialization in a
+            # hot pipeline). The term union must reach the driver anyway:
+            # warm_posting_refs takes the term list.
+            tokenize_batch = analyzer.tokenize_batch
+
+            def _warm_summary(batch: pa.Table) -> pa.Table:
+                toks = tokenize_batch(batch["question"].to_pylist())
+                uniq = sorted({t for ts in toks for t in ts})
+                return pa.table(
+                    {
+                        "terms": pa.array([uniq], pa.list_(pa.string())),
+                        "n": pa.array([batch.num_rows], pa.int64()),
+                    }
+                )
+
+            summ = (
+                queries_ds.limit(max_warm_queries)
+                .select_columns(["question"])
+                .map_batches(_warm_summary, batch_format="pyarrow")
+                .take_all()
             )
+            n_queries = sum(int(r["n"]) for r in summ)
+            terms = sorted({t for r in summ for t in r["terms"]})
             # tombstones are applied INSIDE the warm tasks, keeping the
             # once-per-cluster decode under banned serving (3.2× at 5M)
             warm_refs = warm_posting_refs(
