@@ -969,12 +969,20 @@ def bmw_topk(
     params: BM25Params,
     k: int,
     banned: np.ndarray | None = None,
+    docid_range: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact block-max WAND with a bounded min-heap. Rank-identical to TAAT.
 
     ``banned`` (sorted uint64): tombstoned docids never enter the heap —
     they may still be evaluated as pivots (bounds unchanged, pruning
-    stays exact for every surviving doc), they just can't win."""
+    stays exact for every surviving doc), they just can't win.
+
+    ``docid_range=(lo, hi)``: doc-sharded execution — only docs in the
+    range can win. Cursors fast-forward to ``lo`` (block-skip, no decode)
+    and the loop ends once every cursor passes ``hi``; out-of-range
+    pivots are treated like banned ones. Per-doc scores are full-cursor
+    sums in term-sorted order, so shard results are bitwise-equal to the
+    unsharded engine's rows for that range."""
     cursors = []
     for term in sorted(t for t, rows in term_rows.items() if rows):
         rows = term_rows[term]
@@ -982,6 +990,12 @@ def bmw_topk(
         cursors.append(_PostingCursor(rows, scorer.idf(df, n_docs), avgdl, params))
     if not cursors:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
+    hi = None
+    if docid_range is not None:
+        lo, hi = int(docid_range[0]), int(docid_range[1])
+        if lo > 0:
+            for c in cursors:
+                c.advance_to(lo)
     heap: list[tuple[float, int]] = []  # (score, -docid): heap[0] = weakest
 
     def theta() -> float:
@@ -992,6 +1006,8 @@ def bmw_topk(
         if not active:
             break
         active.sort(key=lambda c: c.cur_docid())
+        if hi is not None and active[0].cur_docid() >= hi:
+            break  # every remaining doc is past the shard range
         # WAND pivot: first doc where the running term-level UB sum beats θ
         th = theta()
         ub_sum = 0.0
@@ -1017,8 +1033,8 @@ def bmw_topk(
                 elif not c.exhausted():
                     # cursor moved past pivot inside advance; no contribution
                     pass
-            is_banned = False
-            if banned is not None:
+            is_banned = hi is not None and pivot >= hi
+            if banned is not None and not is_banned:
                 p_ = int(np.searchsorted(banned, np.uint64(pivot)))
                 is_banned = p_ < len(banned) and int(banned[p_]) == pivot
             if block_sum > th and not is_banned:
@@ -1166,6 +1182,7 @@ class QueryExecutor:
                 docids, scores = bmw_topk(
                     rows, self.n_docs, self.avgdl, self.store.params, self.k,
                     banned=self.store.banned,
+                    docid_range=self.store.docid_range,
                 )
             results[i] = (docids, scores)
             if ckey is not None:

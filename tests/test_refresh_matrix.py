@@ -1,0 +1,193 @@
+"""Adversarial sweep over the FULL refresh-serving lattice: an index
+produced by an upsert merge (updates + adds + merge-time tombstones) is
+then served under every query-time dimension at once — banned_docids ×
+method × k × result-cache × duplicate queries (hypothesis), and
+warm × doc_shards × method × bans (deterministic combos) — each draw
+compared bitwise to the brute-force oracle over the latest corpus minus
+the banned docs. Extends the pairwise gates in tests/test_tombstones.py
+and tests/test_merge_upsert.py to the combination lattice (round-4
+VERDICT next-round item #6)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dpr_ray import corpus as corpus_mod
+from dpr_ray.config import BM25Params
+from dpr_ray.index.build import build_index
+from dpr_ray.index.merge import merge_indexes
+from dpr_ray.query import scorer
+from dpr_ray.query.executor import QueryExecutor
+from dpr_ray.query.oracle import BruteForceBM25
+
+QUESTIONS = [
+    "def return import value",
+    "freshrev added",
+    "key class while",
+    "no such tokens xyzzy",
+]
+
+
+def _oracle_topk_banned(o: BruteForceBM25, question: str, k: int, banned):
+    scores = o.score_all(question).copy()
+    if len(banned):
+        scores[np.isin(o.docids, np.asarray(banned, np.uint64))] = 0.0
+    nz = np.flatnonzero(scores > 0.0)
+    order = scorer.topk_order(scores[nz], o.docids[nz], k)
+    sel = nz[order]
+    return [(int(o.docids[i]), float(scores[i])) for i in sel]
+
+
+@pytest.fixture(scope="module")
+def refresh_index(ray_session, tmp_path_factory):
+    """One refreshed index shared by every draw: base(50) upsert-merged
+    with 10 updates + 5 adds and 5 merge-time tombstones."""
+    import ray.data
+
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    base = corpus_mod.synth_corpus_table(50, seed=91)
+    upd = base.slice(0, 10)
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"), "content",
+        pa.array([c + " freshrev" for c in upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    adds = pa.table(
+        {
+            "repo": pa.array(["neworg/np"] * 5, pa.string()),
+            "path": pa.array([f"a/{i}.py" for i in range(5)], pa.string()),
+            "commit": pa.array(["beef"] * 5, pa.string()),
+            "lang": pa.array(["py"] * 5, pa.string()),
+            "content": pa.array(
+                [f"freshrev added doc {i} return value" for i in range(5)],
+                pa.large_string(),
+            ),
+        }
+    )
+    delta = pa.concat_tables([upd, adds])
+    dels = [
+        f"{r}/{p}"
+        for r, p in zip(
+            base.slice(40, 5)["repo"].to_pylist(),
+            base.slice(40, 5)["path"].to_pylist(),
+        )
+    ]
+    latest = pa.concat_tables([base.slice(10, 30), base.slice(45), upd, adds])
+
+    root = tmp_path_factory.mktemp("refreshmx")
+    dbase, ddelta, dm = (str(root / x) for x in ["base", "delta", "m"])
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64", block_size=8)
+    build_index(ray.data.from_arrow(delta).repartition(1), ddelta,
+                docid_strategy="hash64", block_size=8)
+    merge_indexes([dbase, ddelta], dm, mode="upsert", delete_ext_ids=dels,
+                  block_size=8)
+    docids = np.array(
+        [
+            docid_from_ext_id(f"{r}/{p}")
+            for r, p in zip(
+                latest["repo"].to_pylist(), latest["path"].to_pylist()
+            )
+        ],
+        np.uint64,
+    )
+    oracle = BruteForceBM25(docids, latest["content"].to_pylist(), BM25Params())
+    return dm, docids, oracle
+
+
+def test_refresh_matrix_hypothesis(refresh_index):
+    """banned × method × k × result-cache × duplicated-queries on the
+    merged index, every draw vs oracle-minus-banned; each executor runs
+    its batch TWICE so the second pass is served from the result cache
+    (when enabled) and must stay bitwise identical under bans."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    dm, docids, oracle = refresh_index
+
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        banned_idx=st.lists(st.integers(0, len(QUESTIONS) * 9), max_size=30),
+        method=st.sampled_from(["taat", "maxscore", "bmw"]),
+        k=st.integers(1, 12),
+        rcache=st.booleans(),
+        dup=st.booleans(),
+    )
+    def inner(banned_idx, method, k, rcache, dup):
+        banned = (
+            np.unique(docids[np.asarray(banned_idx) % len(docids)])
+            if banned_idx
+            else np.empty(0, np.uint64)
+        )
+        qs = QUESTIONS * 2 if dup else QUESTIONS
+        qb = pa.table(
+            {"qid": [f"q{i}" for i in range(len(qs))], "question": qs}
+        )
+        ex = QueryExecutor(
+            dm, k=k, method=method, banned_docids=banned,
+            result_cache=100_000 if rcache else 0,
+        )
+        for _pass in range(2):  # second pass hits the result cache
+            out = ex(qb).to_pylist()
+            got: dict[str, list] = {q: [] for q in qs}
+            for r in out:
+                got[r["question"]].append((r["docid"], r["score"]))
+            for q in set(qs):
+                want = _oracle_topk_banned(oracle, q, k, banned)
+                if dup:
+                    want = want * 2  # grouped per question over dup qids
+                    got_q = sorted(got[q])
+                    want = sorted(want)
+                else:
+                    got_q = got[q]
+                assert got_q == want, (method, k, rcache, dup, _pass, q)
+
+    inner()
+
+
+def test_refresh_pipeline_warm_shards_banned(refresh_index):
+    """search_pipeline over the merged index: warm × doc_shards × method
+    with a rank-shifting banned set — the triple compose (warm broadcast
+    prefilter + shard range mask + tombstone decode filter) vs oracle."""
+    import ray.data
+
+    from dpr_ray.query.executor import search_pipeline
+
+    dm, docids, oracle = refresh_index
+    banned = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [d for d, _ in _oracle_topk_banned(oracle, q, 2, [])],
+                    np.uint64,
+                )
+                for q in QUESTIONS[:3]
+            ]
+        )
+    )
+    qb = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(QUESTIONS))],
+            "question": QUESTIONS,
+        }
+    )
+    for warm in (True, False):
+        for shards in (None, 2):
+            for method in ("taat", "bmw"):
+                res = search_pipeline(
+                    ray.data.from_arrow(qb), dm, k=8, method=method,
+                    warm=warm, doc_shards=shards, banned_docids=banned,
+                    concurrency=(1, 2),
+                ).to_pandas().sort_values(["qid", "rank"])
+                got: dict[str, list] = {q: [] for q in QUESTIONS}
+                for _, r in res.iterrows():
+                    got[r["question"]].append(
+                        (int(r["docid"]), float(r["score"]))
+                    )
+                for q in QUESTIONS:
+                    want = _oracle_topk_banned(oracle, q, 8, banned)
+                    assert got[q] == want, (warm, shards, method, q)
