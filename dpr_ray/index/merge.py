@@ -35,6 +35,32 @@ filter is map-only; the segments pass is the same single groupby(term)
 as disjoint mode. The 100-TB shape is therefore: base index any size,
 delta bounded by the cap per merge — chain merges for bigger backlogs.
 
+Tiered refresh policy (operational guidance; measured in BASELINE.md):
+every upsert merge is a FULL rewrite of the merged index — the merged
+avgdl changes every block-max bound, so cost ≈ one warm rebuild of
+N_total regardless of delta size (measured: 100k docs merge 10.7-11.0 s
+vs 6.0 s warm rebuild; 500k 24.5 s vs 16.9 s; 5M 128.8 s vs ~110-150 s
+— the ratio approaches 1 as tokenization dominates the rebuild).
+Therefore do NOT merge per small delta. Accumulate:
+
+- deletes serve IMMEDIATELY via query-time tombstones
+  (``QueryExecutor(banned_docids=...)``, overhead below host noise at
+  10% banned) — no merge needed;
+- adds/updates batch into a delta corpus; trigger the merge when the
+  backlog reaches ~5-10% of N (amortizes the fixed rewrite over a
+  meaningful refresh) or when the tombstone fraction approaches ~10%
+  (collection stats stay index-time until the merge, as in Lucene);
+- chain merges for multi-delta backlogs (v1+d1→v2, v2+d2→v3 —
+  byte-identical to replaying the log, property-tested in
+  tests/test_merge_upsert.py and measured as a 2-tier cycle in
+  BASELINE.md); the arbitration map stays delta-sized per run, so a
+  backlog larger than DPR_UPSERT_DRIVER_CAP splits into chained runs.
+
+Fewer, larger deltas strictly dominate: k merges cost k full rewrites.
+The merge's value is never beating a warm rebuild on one node — it is
+refreshing WITHOUT the raw corpus text (the base may be unmounted
+petabytes; the shuffle moves compressed varint postings, not tokens).
+
 Replaces the reference's index serialize/ingest cycle
 (``faiss_indexers.py:41-105``), which cannot merge two HNSW indexes at all
 (``faiss_indexers.py:148-151`` one-shot constraint) and has no
