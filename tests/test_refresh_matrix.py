@@ -191,3 +191,28 @@ def test_refresh_pipeline_warm_shards_banned(refresh_index):
                 for q in QUESTIONS:
                     want = _oracle_topk_banned(oracle, q, 8, banned)
                     assert got[q] == want, (warm, shards, method, q)
+
+    # dedup_queries × bans (dedup shares exec_kwargs, so the scored-once
+    # signature results must already be tombstone-filtered before the
+    # fan-out shuffle replicates them to duplicate qids)
+    qs_dup = QUESTIONS * 2
+    qb_dup = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(qs_dup))],
+            "question": qs_dup,
+        }
+    )
+    for method in ("taat", "bmw"):
+        res = search_pipeline(
+            ray.data.from_arrow(qb_dup), dm, k=8, method=method,
+            dedup_queries=True, banned_docids=banned, concurrency=(1, 2),
+        ).to_pandas().sort_values(["qid", "rank"])
+        for i, q in enumerate(qs_dup):
+            sub = res[res["qid"] == f"q{i}"]
+            got_q = [
+                (int(r["docid"]), float(r["score"]))
+                for _, r in sub.iterrows()
+            ]
+            assert got_q == _oracle_topk_banned(oracle, q, 8, banned), (
+                "dedup", method, i,
+            )
