@@ -216,3 +216,169 @@ def test_refresh_pipeline_warm_shards_banned(refresh_index):
             assert got_q == _oracle_topk_banned(oracle, q, 8, banned), (
                 "dedup", method, i,
             )
+
+
+def test_refresh_shard_rcache_banned(refresh_index):
+    """docid_range × result-cache × method × bans at the QueryExecutor
+    level on the merged index: range-sharded executors each keep their own
+    result LRU and run the batch TWICE (second pass served from the cache),
+    shard results merged with the exact (-score, docid) top-k — vs
+    oracle-minus-banned. Covers the cache-key/docid-range interaction the
+    round-5 lattice left out (the cache key is (terms, k) with the range
+    fixed per instance; a stale cross-shard hit would surface here)."""
+    from dpr_ray.index import segments as seg
+
+    dm, docids, oracle = refresh_index
+    k = 6
+    banned = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [d for d, _ in _oracle_topk_banned(oracle, q, 1, [])],
+                    np.uint64,
+                )
+                for q in QUESTIONS[:2]
+            ]
+        )
+    )
+    span = int(seg.read_stats(dm).get("max_docid", 0)) + 1
+    qb = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(QUESTIONS))],
+            "question": QUESTIONS,
+        }
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        for nshards in (2, 3):
+            edges = [span * s // nshards for s in range(nshards + 1)]
+            exs = [
+                QueryExecutor(
+                    dm, k=k, method=method,
+                    docid_range=(edges[s], edges[s + 1]),
+                    banned_docids=banned, result_cache=1000,
+                )
+                for s in range(nshards)
+            ]
+            for _pass in range(2):  # pass 2 = per-shard result-cache hits
+                per_q: dict[str, list] = {q: [] for q in QUESTIONS}
+                for ex in exs:
+                    for r in ex(qb).to_pylist():
+                        per_q[r["question"]].append(
+                            (r["docid"], r["score"])
+                        )
+                for q in QUESTIONS:
+                    cand = per_q[q]
+                    d = np.array([c[0] for c in cand], np.uint64)
+                    s_ = np.array([c[1] for c in cand], np.float64)
+                    order = np.lexsort((d, -s_))[:k]
+                    got = [(int(d[i]), float(s_[i])) for i in order]
+                    want = _oracle_topk_banned(oracle, q, k, banned)
+                    assert got == want, (method, nshards, _pass, q)
+
+
+@pytest.fixture(scope="module")
+def big_refresh_index(ray_session, tmp_path_factory):
+    """A larger merged index (1500 base + 120 updates + 80 adds, 60
+    tombstones) built with block_size=4 so hot posting lists span MANY
+    blocks — real BMW block traversal across shard-range edges (the
+    round-5 docid_range bug class lived exactly there)."""
+    import ray.data
+
+    from dpr_ray.stages.featurize import docid_from_ext_id
+
+    base = corpus_mod.synth_corpus_table(1500, seed=7)
+    upd = base.slice(0, 120)
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"), "content",
+        pa.array([c + " freshrev" for c in upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    adds = pa.table(
+        {
+            "repo": pa.array(["neworg/np"] * 80, pa.string()),
+            "path": pa.array([f"b/{i}.py" for i in range(80)], pa.string()),
+            "commit": pa.array(["beef"] * 80, pa.string()),
+            "lang": pa.array(["py"] * 80, pa.string()),
+            "content": pa.array(
+                [
+                    f"freshrev added doc {i} return value while class"
+                    for i in range(80)
+                ],
+                pa.large_string(),
+            ),
+        }
+    )
+    delta = pa.concat_tables([upd, adds])
+    dels = [
+        f"{r}/{p}"
+        for r, p in zip(
+            base.slice(1400, 60)["repo"].to_pylist(),
+            base.slice(1400, 60)["path"].to_pylist(),
+        )
+    ]
+    latest = pa.concat_tables(
+        [base.slice(120, 1280), base.slice(1460), upd, adds]
+    )
+
+    root = tmp_path_factory.mktemp("refreshbig")
+    dbase, ddelta, dm = (str(root / x) for x in ["base", "delta", "m"])
+    build_index(ray.data.from_arrow(base).repartition(4), dbase,
+                docid_strategy="hash64", block_size=4)
+    build_index(ray.data.from_arrow(delta).repartition(2), ddelta,
+                docid_strategy="hash64", block_size=4)
+    merge_indexes([dbase, ddelta], dm, mode="upsert", delete_ext_ids=dels,
+                  block_size=4)
+    docids = np.array(
+        [
+            docid_from_ext_id(f"{r}/{p}")
+            for r, p in zip(
+                latest["repo"].to_pylist(), latest["path"].to_pylist()
+            )
+        ],
+        np.uint64,
+    )
+    oracle = BruteForceBM25(docids, latest["content"].to_pylist(), BM25Params())
+    return dm, docids, oracle
+
+
+def test_merged_doc_shards_scale(big_refresh_index):
+    """search_pipeline doc_shards over the LARGE merged index — shard
+    edges fall mid-posting-list for every hot term, so each shard's BMW
+    must fast-forward into and break out of its range correctly; composed
+    with bans. Prior doc_shards gates ran on ≤60-doc corpora where most
+    terms fit one block."""
+    import ray.data
+
+    from dpr_ray.query.executor import search_pipeline
+
+    dm, docids, oracle = big_refresh_index
+    banned = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [d for d, _ in _oracle_topk_banned(oracle, q, 3, [])],
+                    np.uint64,
+                )
+                for q in QUESTIONS
+            ]
+        )
+    )
+    qb = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(QUESTIONS))],
+            "question": QUESTIONS,
+        }
+    )
+    for method in ("taat", "bmw"):
+        for shards in (3, 4):
+            res = search_pipeline(
+                ray.data.from_arrow(qb), dm, k=10, method=method,
+                doc_shards=shards, banned_docids=banned,
+                concurrency=(1, 2),
+            ).to_pandas().sort_values(["qid", "rank"])
+            got: dict[str, list] = {q: [] for q in QUESTIONS}
+            for _, r in res.iterrows():
+                got[r["question"]].append((int(r["docid"]), float(r["score"])))
+            for q in QUESTIONS:
+                want = _oracle_topk_banned(oracle, q, 10, banned)
+                assert got[q] == want, (method, shards, q)
