@@ -382,3 +382,70 @@ def test_merged_doc_shards_scale(big_refresh_index):
             for q in QUESTIONS:
                 want = _oracle_topk_banned(oracle, q, 10, banned)
                 assert got[q] == want, (method, shards, q)
+
+
+def test_refresh_starved_caches(refresh_index, monkeypatch):
+    """Cache-starvation cell: cache_terms=2 and DPR_CACHE_POSTINGS=1 force
+    the SegmentStore to evict and re-fetch/re-decode terms WITHIN every
+    batch (the eviction loops in fetch/scored/impact/posmap never fired in
+    the default-budget lattice). Re-decoded entries must reproduce the
+    banned/range filtering bitwise — composed with bans × method ×
+    docid_range over two passes."""
+    from dpr_ray.index import segments as seg
+
+    dm, docids, oracle = refresh_index
+    monkeypatch.setenv("DPR_CACHE_POSTINGS", "1")
+    k = 5
+    banned = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [d for d, _ in _oracle_topk_banned(oracle, q, 1, [])],
+                    np.uint64,
+                )
+                for q in QUESTIONS[:2]
+            ]
+        )
+    )
+    span = int(seg.read_stats(dm).get("max_docid", 0)) + 1
+    qb = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(QUESTIONS))],
+            "question": QUESTIONS,
+        }
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        # unsharded: starved caches, whole-corpus
+        ex = QueryExecutor(
+            dm, k=k, method=method, cache_terms=2, banned_docids=banned,
+            result_cache=0,
+        )
+        for _pass in range(2):
+            got: dict[str, list] = {q: [] for q in QUESTIONS}
+            for r in ex(qb).to_pylist():
+                got[r["question"]].append((r["docid"], r["score"]))
+            for q in QUESTIONS:
+                want = _oracle_topk_banned(oracle, q, k, banned)
+                assert got[q] == want, ("flat", method, _pass, q)
+        # sharded: starved caches inside each range
+        edges = [span * s // 2 for s in range(3)]
+        exs = [
+            QueryExecutor(
+                dm, k=k, method=method, cache_terms=2,
+                docid_range=(edges[s], edges[s + 1]),
+                banned_docids=banned, result_cache=0,
+            )
+            for s in range(2)
+        ]
+        per_q: dict[str, list] = {q: [] for q in QUESTIONS}
+        for ex in exs:
+            for r in ex(qb).to_pylist():
+                per_q[r["question"]].append((r["docid"], r["score"]))
+        for q in QUESTIONS:
+            d = np.array([c[0] for c in per_q[q]], np.uint64)
+            s_ = np.array([c[1] for c in per_q[q]], np.float64)
+            order = np.lexsort((d, -s_))[:k]
+            got_q = [(int(d[i]), float(s_[i])) for i in order]
+            assert got_q == _oracle_topk_banned(oracle, q, k, banned), (
+                "sharded", method, q,
+            )
