@@ -449,3 +449,64 @@ def test_refresh_starved_caches(refresh_index, monkeypatch):
             assert got_q == _oracle_topk_banned(oracle, q, k, banned), (
                 "sharded", method, q,
             )
+
+
+def test_refresh_warm_evicted_redecode(refresh_index, monkeypatch):
+    """warm × starved-cache × bans: warm entries enter the scored LRU at
+    init and the eviction loop only fires on INSERTION — so warming a
+    SUBSET of the workload's terms under a tiny DPR_CACHE_POSTINGS budget
+    makes the cold terms' insertions evict the warm entries, and the next
+    pass RE-DECODES the formerly-warm terms cold through the banned
+    filter. Re-decoded entries must reproduce the prefiltered warm
+    results bitwise."""
+    import ray
+
+    from dpr_ray import analyzer
+    from dpr_ray.query.executor import warm_posting_refs
+
+    dm, docids, oracle = refresh_index
+    monkeypatch.setenv("DPR_CACHE_POSTINGS", "1")
+    k = 5
+    banned = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [d for d, _ in _oracle_topk_banned(oracle, q, 1, [])],
+                    np.uint64,
+                )
+                for q in QUESTIONS[:2]
+            ]
+        )
+    )
+    banned_ref = ray.put(banned)
+    warm_terms = sorted(
+        {t for toks in analyzer.tokenize_batch(QUESTIONS[:2]) for t in toks}
+    )
+    refs = warm_posting_refs(dm, warm_terms, chunks=2, banned=banned_ref)
+    qb = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(QUESTIONS))],
+            "question": QUESTIONS,
+        }
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        ex = QueryExecutor(
+            dm, k=k, method=method, warm_refs=refs, banned_docids=banned,
+            warm_prefiltered=True, result_cache=0,
+        )
+        present = [t for t in warm_terms if t in ex.store._scored]
+        assert present, "warm set must pre-populate the scored LRU"
+        for _pass in range(2):
+            got: dict[str, list] = {q: [] for q in QUESTIONS}
+            for r in ex(qb).to_pylist():
+                got[r["question"]].append((r["docid"], r["score"]))
+            if _pass == 0 and method != "bmw":
+                # cold-term insertions under budget 1 must have evicted
+                # warm entries — pass 2 re-decodes them cold. (Sparse BMW
+                # never touches the scored LRU: it cursors over raw
+                # segment rows, so warm entries just sit unused there.)
+                evicted = [t for t in present if t not in ex.store._scored]
+                assert evicted, "starved budget failed to evict warm terms"
+            for q in QUESTIONS:
+                want = _oracle_topk_banned(oracle, q, k, banned)
+                assert got[q] == want, (method, _pass, q)
