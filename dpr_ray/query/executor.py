@@ -979,10 +979,12 @@ def bmw_topk(
 
     ``docid_range=(lo, hi)``: doc-sharded execution — only docs in the
     range can win. Cursors fast-forward to ``lo`` (block-skip, no decode)
-    and the loop ends once every cursor passes ``hi``; out-of-range
-    pivots are treated like banned ones. Per-doc scores are full-cursor
-    sums in term-sorted order, so shard results are bitwise-equal to the
-    unsharded engine's rows for that range."""
+    and the loop ends once every cursor passes ``hi``, so the evaluation
+    branch only ever sees in-range pivots (a pivot ≥ hi can be selected
+    from a laggard cursor, but then only drives laggard advancement).
+    Per-doc scores are full-cursor sums in term-sorted order, so shard
+    results are bitwise-equal to the unsharded engine's rows for that
+    range."""
     cursors = []
     for term in sorted(t for t, rows in term_rows.items() if rows):
         rows = term_rows[term]
@@ -1033,8 +1035,11 @@ def bmw_topk(
                 elif not c.exhausted():
                     # cursor moved past pivot inside advance; no contribution
                     pass
-            is_banned = hi is not None and pivot >= hi
-            if banned is not None and not is_banned:
+            # pivot == active[0].cur_docid() < hi here (the loop breaks
+            # above otherwise), so no range check is needed: out-of-range
+            # docs can never reach this heap-push path
+            is_banned = False
+            if banned is not None:
                 p_ = int(np.searchsorted(banned, np.uint64(pivot)))
                 is_banned = p_ < len(banned) and int(banned[p_]) == pivot
             if block_sum > th and not is_banned:
@@ -1423,7 +1428,9 @@ def search_pipeline(
     ``warm=True``: the query set's distinct terms are decoded+scored ONCE in
     parallel tasks and broadcast (object-store refs, zero-copy) to every
     executor actor — per-actor warmup otherwise repeats the decode per
-    actor. Skipped when the query set is too large to scan up front.
+    actor. Skipped when the query set is too large to scan up front, and
+    under ``doc_shards`` (warm entries are unsharded decodes a ranged
+    shard can't use).
 
     ``dedup_queries=True``: queries are grouped by their distinct-term-set
     SIGNATURE before scoring — scores depend only on the term set, so each
@@ -1462,7 +1469,12 @@ def search_pipeline(
             banned_ref = ray.put(b)  # one put; zero-copy read per actor
     warm_refs = None
     n_queries = None
-    if warm and method in ("taat", "maxscore"):
+    sharded = bool(doc_shards and doc_shards > 1)
+    # sharded pools can't consume warm refs (warm entries are UNSHARDED
+    # decodes; each shard must decode only blocks intersecting its range)
+    # — skip the warm-up entirely rather than paying the cluster-wide
+    # decode + a Dataset execution and then dropping the refs per shard
+    if warm and not sharded and method in ("taat", "maxscore"):
         try:
             # distributed distinct-terms pass: each block reduces to ONE
             # row (its unique term list + row count), so the driver pulls
@@ -1516,7 +1528,7 @@ def search_pipeline(
         "warm_refs": warm_refs, "banned_docids": banned_ref,
         "warm_prefiltered": banned_ref is not None,
     }
-    if doc_shards and doc_shards > 1:
+    if sharded:
         stats = seg.read_stats(index_dir)
         span = int(stats.get("max_docid", 0)) + 1
         # integer edge math: hash64 docids approach 2^63, where float64
@@ -1527,7 +1539,6 @@ def search_pipeline(
         for s in range(doc_shards):
             kw = dict(exec_kwargs)
             kw["docid_range"] = (edges[s], edges[s + 1])
-            kw["warm_refs"] = None  # warm entries are unsharded decodes
             shard_res.append(
                 queries_ds.map_batches(
                     QueryExecutor,

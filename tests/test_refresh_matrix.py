@@ -111,7 +111,7 @@ def test_refresh_matrix_hypothesis(refresh_index):
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
-        banned_idx=st.lists(st.integers(0, len(QUESTIONS) * 9), max_size=30),
+        banned_idx=st.lists(st.integers(0, 199), max_size=30),
         method=st.sampled_from(["taat", "maxscore", "bmw"]),
         k=st.integers(1, 12),
         rcache=st.booleans(),
