@@ -581,3 +581,56 @@ def test_upsert_mode_validation(ray_session, tmp_path):
         merge_indexes([d], str(tmp_path / "o"), delete_ext_ids=["x/y"])
     with pytest.raises(ValueError, match="mode"):
         merge_indexes([d], str(tmp_path / "o2"), mode="bogus")
+
+
+def test_upsert_merge_mixed_block_sizes(ray_session, tmp_path):
+    """Inputs built with DIFFERENT block_size (3 vs 11) merged at a third
+    (5): remerge fully decodes input blobs and re-encodes at the merge's
+    block_size, so the result must byte-equal a from-scratch rebuild of
+    the latest corpus at block_size=5 — and answer identically across all
+    three methods. Pins the re-blocking contract the num_tbuckets
+    mismatch test pins for term bucketing."""
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    base = corpus_mod.synth_corpus_table(80, seed=17)
+    upd = base.slice(0, 15)
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"), "content",
+        pa.array([c + " mixedbs freshterm" for c in upd["content"].to_pylist()],
+                 pa.large_string()),
+    )
+    adds = _adds_table(10)
+    delta = pa.concat_tables([upd, adds])
+    dels = _ext_ids(base.slice(70, 5))
+    latest = pa.concat_tables([base.slice(15, 55), base.slice(75), upd, adds])
+
+    dbase, ddelta, dlatest, dm = (
+        str(tmp_path / x) for x in ["base", "delta", "latest", "m"]
+    )
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64", block_size=3)
+    build_index(ray.data.from_arrow(delta).repartition(2), ddelta,
+                docid_strategy="hash64", block_size=11)
+    build_index(ray.data.from_arrow(latest).repartition(3), dlatest,
+                docid_strategy="hash64", block_size=5)
+    merge_indexes([dbase, ddelta], dm, mode="upsert", delete_ext_ids=dels,
+                  block_size=5)
+
+    rm, rl = _segment_rows(dm), _segment_rows(dlatest)
+    assert len(rm) == len(rl)
+    for x, y in zip(rm, rl):
+        assert x == y, x["term"]
+    assert _docstore_rows(dm) == _docstore_rows(dlatest)
+
+    qb = pa.table(
+        {
+            "qid": ["q0", "q1"],
+            "question": ["def return import value", "mixedbs freshterm"],
+        }
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        out_m = QueryExecutor(dm, k=10, method=method)(qb).to_pylist()
+        out_l = QueryExecutor(dlatest, k=10, method=method)(qb).to_pylist()
+        assert out_m == out_l, method
