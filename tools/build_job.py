@@ -57,6 +57,19 @@ def main() -> None:
 
     from dpr_ray.index.build import build_index
 
+    # fail loudly on a wrong-shape input before any cluster work
+    import pyarrow.dataset as pads
+
+    in_schema = pads.dataset(args.corpus).schema
+    required = ["repo", "path", "content"]
+    missing = [c for c in required if c not in in_schema.names]
+    if missing:
+        raise SystemExit(
+            f"--corpus {args.corpus} is missing column(s) {missing}; "
+            f"found {in_schema.names}. Expected an input_hint corpus "
+            "(repo, path, commit, lang, content)."
+        )
+
     t0 = time.time()
     corpus = ray.data.read_parquet(args.corpus)
     stats = build_index(

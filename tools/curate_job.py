@@ -91,6 +91,20 @@ def main() -> None:
     # round-2 shipping trap #4, hit again here in round 3)
     ensure_shippable()
 
+    # fail loudly on a wrong-shape input before any cluster work (a raw
+    # KeyError from deep inside a map_batches UDF is much harder to read)
+    import pyarrow.dataset as pads
+
+    in_schema = pads.dataset(args.docs).schema
+    missing = [c for c in (args.id_col, args.text_col)
+               if c not in in_schema.names]
+    if missing:
+        raise SystemExit(
+            f"--docs {args.docs} is missing column(s) {missing}; "
+            f"found {in_schema.names}. Pass --id-col/--text-col to map "
+            "your schema (expected a documents-style table)."
+        )
+
     import shutil
 
     def phase_dir(name: str) -> tuple[str, bool]:
