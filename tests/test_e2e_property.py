@@ -1,0 +1,169 @@
+"""End-to-end build→query property sweep over ADVERSARIAL corpora.
+
+Hypothesis generates corpora from a unicode-hostile token pool (NFC/NFD
+twins that must merge into one term, CJK runs, curly apostrophes,
+punctuation tokens, empty documents → dl=0, a high-tf repeat → multi-byte
+varints, whole-corpus duplication → exact score ties across block edges),
+builds a REAL on-disk index at a randomized block_size — optionally as an
+upsert merge of two half-corpus indexes — and serves the query through all
+three methods, each compared BITWISE to the brute-force oracle.
+
+The analyzer's unicode semantics are unit-tested in test_analyzer.py; this
+closes the loop over everything downstream of tokenize — featurize → salted
+groupby → delta+varint codec → block-max bounds → TAAT/MaxScore/BMW — where
+a dl=0 document, a tf≈200 posting, or a tie straddling a block boundary
+could diverge without any unit test noticing. Reference analog: the exact
+search contract of faiss_indexers.py:107-112 under arbitrary passage text.
+"""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dpr_ray.config import BM25Params
+from dpr_ray.index.build import build_index
+from dpr_ray.index.merge import merge_indexes
+from dpr_ray.query.executor import QueryExecutor
+from dpr_ray.query.oracle import BruteForceBM25
+from dpr_ray.stages.featurize import docid_from_ext_id
+
+# NFC "café" and NFD "café" must normalize to the SAME term (shared
+# df, merged posting list); "…" and "’" tokenize as single-char punctuation
+# tokens; "東京" is one CJK-run token; "" yields a dl=0 document.
+POOL = [
+    "def", "return", "café", "café", "naïve", "東京", "don’t",
+    "x9y", "…", "a", "value7",
+]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(POOL), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=docs_strategy,
+    hot=st.integers(0, 200),  # extra repeats of POOL[0] in doc 0: tf stress
+    dup=st.booleans(),  # duplicate every doc under a new path: exact ties
+    merged=st.booleans(),  # serve from an upsert merge of two half-indexes
+    block_size=st.integers(1, 5),
+    k=st.integers(1, 8),
+    qterms=st.lists(
+        st.sampled_from(POOL + ["xyzzy"]), min_size=1, max_size=4
+    ),
+)
+def test_e2e_adversarial_corpus(
+    ray_session, docs, hot, dup, merged, block_size, k, qterms
+):
+    import ray.data
+
+    texts = [" ".join(d) for d in docs]
+    texts[0] = " ".join([texts[0]] + [POOL[0]] * hot)
+    if dup:
+        texts = texts + texts
+    n = len(texts)
+
+    def table_for(lo, hi):
+        return pa.table(
+            {
+                "repo": pa.array(["org/r"] * (hi - lo), pa.string()),
+                "path": pa.array(
+                    [f"f/{i}.py" for i in range(lo, hi)], pa.string()
+                ),
+                "commit": pa.array(["c"] * (hi - lo), pa.string()),
+                "lang": pa.array(["py"] * (hi - lo), pa.string()),
+                "content": pa.array(texts[lo:hi], pa.large_string()),
+            }
+        )
+
+    docids = np.array(
+        [docid_from_ext_id(f"org/r/f/{i}.py") for i in range(n)], np.uint64
+    )
+    oracle = BruteForceBM25(docids, texts, BM25Params())
+    q = " ".join(qterms)
+    want = oracle.top_k(q, k)
+
+    root = tempfile.mkdtemp(prefix="e2eprop", dir="/tmp")
+    try:
+        if merged and n >= 2:
+            serve_dir = f"{root}/m"
+            half = n // 2
+            build_index(
+                ray.data.from_arrow(table_for(0, half)).repartition(2),
+                f"{root}/h0", docid_strategy="hash64", block_size=block_size,
+            )
+            build_index(
+                ray.data.from_arrow(table_for(half, n)).repartition(1),
+                f"{root}/h1", docid_strategy="hash64", block_size=block_size,
+            )
+            merge_indexes(
+                [f"{root}/h0", f"{root}/h1"], serve_dir, mode="upsert",
+                block_size=block_size,
+            )
+        else:
+            serve_dir = f"{root}/a"
+            build_index(
+                ray.data.from_arrow(table_for(0, n)).repartition(2),
+                serve_dir, docid_strategy="hash64", block_size=block_size,
+            )
+        qb = pa.table({"qid": ["q0"], "question": [q]})
+        for method in ("taat", "maxscore", "bmw"):
+            ex = QueryExecutor(serve_dir, k=k, method=method)
+            got = [(r["docid"], r["score"]) for r in ex(qb).to_pylist()]
+            assert got == want, (method, merged, block_size, k, q)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_e2e_degenerate_corpus(ray_session, tmp_path):
+    """Deterministic pin of the edges hypothesis only sometimes draws:
+    every document tokenizes to ZERO tokens (dl=0 everywhere, avgdl=0 —
+    the BM25 denominator's dl/avgdl ratio is never evaluated because no
+    posting exists), the build must still produce a servable index, and a
+    zero-term (empty / whitespace-only) question must return empty on a
+    normal index rather than tripping any method's term loop."""
+    import ray.data
+
+    def corpus(contents):
+        n = len(contents)
+        return pa.table(
+            {
+                "repo": pa.array(["org/r"] * n, pa.string()),
+                "path": pa.array([f"g/{i}.py" for i in range(n)], pa.string()),
+                "commit": pa.array(["c"] * n, pa.string()),
+                "lang": pa.array(["py"] * n, pa.string()),
+                "content": pa.array(contents, pa.large_string()),
+            }
+        )
+
+    d_empty = str(tmp_path / "empty")
+    stats = build_index(
+        ray.data.from_arrow(corpus(["", "   ", " \t\n"])).repartition(2),
+        d_empty, docid_strategy="hash64", block_size=4,
+    )
+    assert stats["avgdl"] == 0.0
+    qb = pa.table({"qid": ["q0"], "question": ["def return"]})
+    qb_blank = pa.table(
+        {"qid": ["q0", "q1"], "question": ["", " \t "]}
+    )
+    d_norm = str(tmp_path / "norm")
+    build_index(
+        ray.data.from_arrow(corpus(["def return value", "return a"]))
+        .repartition(1),
+        d_norm, docid_strategy="hash64", block_size=4,
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        assert QueryExecutor(d_empty, k=5, method=method)(qb).to_pylist() == []
+        assert (
+            QueryExecutor(d_norm, k=5, method=method)(qb_blank).to_pylist()
+            == []
+        )
