@@ -56,13 +56,14 @@ docs_strategy = st.lists(
     dup=st.booleans(),  # duplicate every doc under a new path: exact ties
     merged=st.booleans(),  # serve from an upsert merge of two half-indexes
     block_size=st.integers(1, 5),
+    half_bs=st.tuples(st.integers(1, 5), st.integers(1, 5)),  # per-half bs
     k=st.integers(1, 8),
     qterms=st.lists(
         st.sampled_from(POOL + ["xyzzy"]), min_size=1, max_size=4
     ),
 )
 def test_e2e_adversarial_corpus(
-    ray_session, docs, hot, dup, merged, block_size, k, qterms
+    ray_session, docs, hot, dup, merged, block_size, half_bs, k, qterms
 ):
     import ray.data
 
@@ -97,13 +98,16 @@ def test_e2e_adversarial_corpus(
         if merged and n >= 2:
             serve_dir = f"{root}/m"
             half = n // 2
+            # halves built at independent block sizes: the merge must
+            # re-block both to its own block_size (mixed-bs merge under
+            # adversarial text, not just the deterministic 3/11→5 pin)
             build_index(
                 ray.data.from_arrow(table_for(0, half)).repartition(2),
-                f"{root}/h0", docid_strategy="hash64", block_size=block_size,
+                f"{root}/h0", docid_strategy="hash64", block_size=half_bs[0],
             )
             build_index(
                 ray.data.from_arrow(table_for(half, n)).repartition(1),
-                f"{root}/h1", docid_strategy="hash64", block_size=block_size,
+                f"{root}/h1", docid_strategy="hash64", block_size=half_bs[1],
             )
             merge_indexes(
                 [f"{root}/h0", f"{root}/h1"], serve_dir, mode="upsert",
