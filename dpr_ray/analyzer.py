@@ -43,24 +43,38 @@ def nfd(text: str) -> str:
     return unicodedata.normalize("NFD", text)
 
 
-def tokenize(text: str) -> list[str]:
-    """NFD-normalize then tokenize; lowercase (uncased) token texts."""
+def tokenize(text: str | None) -> list[str]:
+    """NFD-normalize then tokenize; lowercase (uncased) token texts.
+
+    ``None`` yields zero tokens (SQL null-text semantics): a null question
+    in a parquet query log must return no results, not kill the serving
+    actor deep in ``unicodedata.normalize``. The index build still REJECTS
+    null content loudly (``stages/featurize.py`` — a null document has no
+    sha256, so silently indexing it would hide corpus corruption)."""
+    if text is None:
+        return []
     return [m.group().lower() for m in _PATTERN.finditer(nfd(text))]
 
 
-def tokenize_cased(text: str) -> list[str]:
+def tokenize_cased(text: str | None) -> list[str]:
     """Tokenize without lowercasing (reference ``Tokens.words(uncased=False)``)."""
+    if text is None:
+        return []
     return [m.group() for m in _PATTERN.finditer(nfd(text))]
 
 
 def tokenize_batch(texts) -> list[list[str]]:
-    """Tokenize a batch (any iterable of str). Python loop over rows is
-    unavoidable for a regex tokenizer, but the regex engine itself is C-speed;
-    this is called from inside ``map_batches`` so the loop stays off the driver.
+    """Tokenize a batch (any iterable of str | None; None → no tokens).
+    Python loop over rows is unavoidable for a regex tokenizer, but the
+    regex engine itself is C-speed; this is called from inside
+    ``map_batches`` so the loop stays off the driver.
     """
     fi = _PATTERN.finditer
     norm = unicodedata.normalize
-    return [[m.group().lower() for m in fi(norm("NFD", t))] for t in texts]
+    return [
+        [] if t is None else [m.group().lower() for m in fi(norm("NFD", t))]
+        for t in texts
+    ]
 
 
 def term_counts(text: str) -> Counter:

@@ -98,3 +98,12 @@ def test_space_token_counts_duckdb_parity():
         for c in cases
     ]
     assert got == want
+
+
+def test_none_text_yields_no_tokens():
+    """None (a parquet null) tokenizes to zero tokens in every variant —
+    SQL null-text semantics; a null question must not kill a serving
+    actor (end-to-end gate in test_e2e_property.py)."""
+    assert analyzer.tokenize(None) == []
+    assert analyzer.tokenize_cased(None) == []
+    assert analyzer.tokenize_batch(["a b", None, ""]) == [["a", "b"], [], []]

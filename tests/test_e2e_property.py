@@ -21,6 +21,7 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -171,3 +172,82 @@ def test_e2e_degenerate_corpus(ray_session, tmp_path):
             QueryExecutor(d_norm, k=5, method=method)(qb_blank).to_pylist()
             == []
         )
+
+
+def test_null_question_serves_empty(ray_session, tmp_path):
+    """A parquet NULL question must yield zero result rows for that qid
+    while the other questions in the same batch stay bitwise-exact — both
+    at the QueryExecutor level and through search_pipeline's
+    dedup_queries fan-out (nulls share the empty token signature)."""
+    import ray.data
+
+    from dpr_ray.query.executor import search_pipeline
+
+    texts = ["def return value", "return a"]
+    tbl = pa.table(
+        {
+            "repo": pa.array(["org/r"] * 2, pa.string()),
+            "path": pa.array(["f/0.py", "f/1.py"], pa.string()),
+            "commit": pa.array(["c"] * 2, pa.string()),
+            "lang": pa.array(["py"] * 2, pa.string()),
+            "content": pa.array(texts, pa.large_string()),
+        }
+    )
+    d = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl).repartition(1), d,
+                docid_strategy="hash64", block_size=4)
+    docids = np.array(
+        [docid_from_ext_id(f"org/r/f/{i}.py") for i in range(2)], np.uint64
+    )
+    oracle = BruteForceBM25(docids, texts, BM25Params())
+    want = oracle.top_k("def return", 5)
+    qb = pa.table(
+        {
+            "qid": ["q0", "q1", "q2"],
+            "question": pa.array(["def return", None, None], pa.string()),
+        }
+    )
+    for method in ("taat", "maxscore", "bmw"):
+        out = QueryExecutor(d, k=5, method=method)(qb).to_pylist()
+        assert [(r["docid"], r["score"]) for r in out] == want
+        assert {r["qid"] for r in out} == {"q0"}
+    for dedup in (False, True):
+        res = search_pipeline(
+            ray.data.from_arrow(qb), d, k=5, method="bmw",
+            dedup_queries=dedup, concurrency=(1, 2),
+        ).to_pandas().sort_values("rank")
+        assert set(res["qid"]) == {"q0"}
+        assert (
+            list(zip(res["docid"].astype("uint64"), res["score"])) == want
+        )
+
+
+def test_build_rejects_null_corpus_rows(ray_session, tmp_path):
+    """Null content/repo/path at build time is corpus corruption, not
+    data: the per-row sha256-equality invariant has no value for a null
+    document, so featurize must fail LOUDLY naming the column — not die
+    as an AttributeError in hashlib."""
+    import ray.data
+
+    for col in ("content", "path"):
+        tbl = pa.table(
+            {
+                "repo": pa.array(["org/r"] * 2, pa.string()),
+                "path": pa.array(
+                    ["f/0.py", None if col == "path" else "f/1.py"],
+                    pa.string(),
+                ),
+                "commit": pa.array(["c"] * 2, pa.string()),
+                "lang": pa.array(["py"] * 2, pa.string()),
+                "content": pa.array(
+                    ["def a", None if col == "content" else "def b"],
+                    pa.large_string(),
+                ),
+            }
+        )
+        with pytest.raises(Exception, match=col):
+            build_index(
+                ray.data.from_arrow(tbl).repartition(1),
+                str(tmp_path / f"idx_{col}"),
+                docid_strategy="hash64", block_size=4,
+            )
