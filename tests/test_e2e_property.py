@@ -60,7 +60,7 @@ docs_strategy = st.lists(
     half_bs=st.tuples(st.integers(1, 5), st.integers(1, 5)),  # per-half bs
     k=st.integers(1, 8),
     qterms=st.lists(
-        st.sampled_from(POOL + ["xyzzy"]), min_size=1, max_size=4
+        st.sampled_from(POOL + ["xyzzy"]), min_size=1, max_size=10
     ),
 )
 def test_e2e_adversarial_corpus(
