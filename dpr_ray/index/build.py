@@ -34,6 +34,7 @@ design removes).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -210,6 +211,43 @@ class DocstoreWriter:
         )
 
 
+def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
+    """Best-effort identity of the input corpus for resume safety: blake2b
+    over the sorted input-file list with per-file (size, mtime) where the
+    path is locally stat-able. Returns None when the dataset has no file
+    lineage (in-memory corpora) — the resume check is then skipped. A
+    false REFUSAL (mtime touched, identical bytes) is safe — rerun without
+    resume; a false pass would silently serve the old corpus."""
+    try:
+        files = corpus_ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(len(files)).encode())
+    for p in sorted(files)[:65536]:
+        h.update(b"\0")
+        h.update(p.encode())
+        try:
+            st = os.stat(p)
+            h.update(f":{st.st_size}:{int(st.st_mtime)}".encode())
+        except OSError:
+            pass
+    return h.hexdigest()
+
+
+def _check_resume_fp(recorded, current, index_dir: str, source: str) -> None:
+    if recorded and current and recorded != current:
+        raise ValueError(
+            f"resume=True but the input corpus does not match the one the "
+            f"{source} in {index_dir!r} was built from (fingerprint "
+            f"{current} != recorded {recorded}): resuming would silently "
+            "serve the OLD corpus. Rebuild without resume (or into a fresh "
+            "index dir) if the corpus really changed."
+        )
+
+
 def build_index(
     corpus_ds: ray.data.Dataset,
     index_dir: str,
@@ -234,7 +272,11 @@ def build_index(
     docstore stage marker skips featurize+write and rebuilds only the
     segments. Partially-written stage outputs are wiped before rewrite, so
     a killed run restarted with resume=True converges to the clean-run
-    bytes (property-tested)."""
+    bytes (property-tested). Both resume points record and verify a
+    best-effort corpus fingerprint (``corpus_fingerprint``) so resuming
+    against a CHANGED input corpus fails loudly instead of silently
+    serving the old one; in-memory corpora have no file lineage and skip
+    the check."""
     import shutil
 
     from .._shipping import ensure_shippable
@@ -244,7 +286,12 @@ def build_index(
     docstore_dir = os.path.join(index_dir, "docstore")
     segments_dir = os.path.join(index_dir, "segments")
     docstore_marker = os.path.join(index_dir, "docstore_done.json")
+    corpus_fp = corpus_fingerprint(corpus_ds)
     if resume and man.is_complete(index_dir):
+        _check_resume_fp(
+            (man.read_manifest(index_dir) or {}).get("corpus_fp"),
+            corpus_fp, index_dir, "complete index",
+        )
         return seg.read_stats(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     # Invalidate any prior completeness claim BEFORE mutating outputs: a
@@ -276,6 +323,9 @@ def build_index(
     if resume and os.path.exists(docstore_marker):
         with open(docstore_marker) as f:
             dmark = json.load(f)
+        _check_resume_fp(
+            dmark.get("corpus_fp"), corpus_fp, index_dir, "docstore"
+        )
         n_docs = int(dmark["n_docs"])
         sum_dl = int(dmark["sum_dl"])
         max_docid = int(dmark["max_docid"])
@@ -361,6 +411,7 @@ def build_index(
             json.dump(
                 {
                     "complete": True,
+                    "corpus_fp": corpus_fp,
                     "n_docs": n_docs,
                     "sum_dl": sum_dl,
                     "max_docid": max_docid,
@@ -569,6 +620,7 @@ def build_index(
     seg.write_stats(index_dir, stats)
     write_manifest(
         index_dir,
+        corpus_fp=corpus_fp,
         stats=stats,
         timings={
             "docstore_sec": t_docstore - t0,

@@ -6,8 +6,10 @@ checkpoints (``dpr/utils/model_utils.py:21-31``). Here every build writes a
 ``manifest.json`` recording global stats, per-stage wall times, the skew
 plan (salted head terms), and a per-partition table (file, rows, bytes) for
 both docstore and segments. ``is_complete()`` gates resume: a rerun that
-finds a complete manifest with the same build fingerprint skips the build
-(segments are byte-deterministic, so skip == rebuild).
+finds a complete manifest skips the build (segments are byte-deterministic,
+so skip == rebuild) — and ``build_index`` refuses the skip when the
+manifest's recorded ``corpus_fp`` (input-file fingerprint, see
+``build.corpus_fingerprint``) doesn't match the corpus it was handed.
 """
 
 from __future__ import annotations
@@ -39,9 +41,13 @@ def _partition_table(root: str) -> list[dict]:
     return out
 
 
-def write_manifest(index_dir: str, *, stats: dict, timings: dict, salt_map: dict) -> dict:
+def write_manifest(
+    index_dir: str, *, stats: dict, timings: dict, salt_map: dict,
+    corpus_fp: str | None = None,
+) -> dict:
     manifest = {
         "complete": True,
+        "corpus_fp": corpus_fp,
         "stats": stats,
         "timings": timings,
         "skew_plan": {"salted_terms": len(salt_map), "salt_map": dict(sorted(salt_map.items())[:1000])},

@@ -72,3 +72,45 @@ def test_partition_resume_equals_single_pass(ray_session, tmp_path):
                 docid_strategy="hash64", partition_resume=False,
                 group_budget=20, sample_mod=1)
     assert _segment_rows(a) == _segment_rows(b)
+
+
+def test_resume_refuses_changed_corpus(ray_session, tmp_path):
+    """resume=True must not silently serve a DIFFERENT corpus: the
+    docstore marker and the manifest record a best-effort corpus
+    fingerprint (input file list + size + mtime); a resume whose input
+    files don't match fails loudly instead of building segments over the
+    stale docstore. tools/build_job.py defaults to resume=True, so an
+    operator re-pointing --corpus at a new table hits exactly this path.
+    In-memory corpora carry no file lineage — the check is skipped and
+    old semantics apply."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    a = corpus_mod.synth_corpus_table(30, seed=1)
+    b = corpus_mod.synth_corpus_table(40, seed=2)
+    cdir = tmp_path / "corp"
+    cdir.mkdir()
+    pq.write_table(a, str(cdir / "part.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.read_parquet(str(cdir)), idx,
+                docid_strategy="hash64", resume=True)
+    # unchanged corpus: complete-manifest resume skips cleanly
+    stats = build_index(ray.data.read_parquet(str(cdir)), idx,
+                        docid_strategy="hash64", resume=True)
+    assert stats["N"] == 30
+    # changed corpus under a complete manifest: loud refusal
+    pq.write_table(b, str(cdir / "part.parquet"))
+    with pytest.raises(ValueError, match="fingerprint"):
+        build_index(ray.data.read_parquet(str(cdir)), idx,
+                    docid_strategy="hash64", resume=True)
+    # killed-after-docstore shape (no manifest, marker survives): the
+    # docstore marker's fingerprint also refuses
+    os.remove(os.path.join(idx, "manifest.json"))
+    with pytest.raises(ValueError, match="fingerprint"):
+        build_index(ray.data.read_parquet(str(cdir)), idx,
+                    docid_strategy="hash64", resume=True)
+    # in-memory corpus: no lineage → no refusal; plain rebuild clears state
+    stats = build_index(ray.data.from_arrow(b).repartition(1), idx,
+                        docid_strategy="hash64")
+    assert stats["N"] == 40
