@@ -183,6 +183,21 @@ class DocstoreWriter:
         if batch.num_rows == 0:
             return pa.Table.from_pylist([], schema=_PARTIAL_SCHEMA)
         docids = batch["docid"].to_numpy(zero_copy_only=False)
+        # Blocks arrive docid-sorted, so a duplicate docid (a provided-id
+        # corpus with colliding ids, or an ext_id double-ingested without
+        # dedup_ids=True) is adjacent — it would silently double-count
+        # postings at query time, so fail loudly here. Boundary-straddling
+        # duplicates are caught by the part-range overlap check after the
+        # write (_check_docstore_ranges).
+        if docids.size > 1:
+            dup_at = np.flatnonzero(docids[1:] == docids[:-1])
+            if dup_at.size:
+                raise ValueError(
+                    f"duplicate docid {int(docids[dup_at[0]])} in the corpus "
+                    "(same provided id on two rows, or the same repo/path "
+                    "ingested twice): duplicate ids would double-count "
+                    "postings — deduplicate upstream or pass dedup_ids=True"
+                )
         name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
         pq_.write_table(batch, os.path.join(self.out_dir, name))
         terms: list[str] = []
@@ -209,6 +224,26 @@ class DocstoreWriter:
                 "max_docid": pa.array([int(docids.max())] + z, pa.int64()),
             }
         )
+
+
+def _check_docstore_ranges(docstore_dir: str) -> None:
+    """Driver-side complement of DocstoreWriter's in-block duplicate check:
+    part filenames carry each block's [lo, hi] docid range, and the global
+    sort makes ranges of distinct docids strictly increasing — so a
+    boundary-straddling duplicate (the sort split equal keys across blocks)
+    shows up as hi_i >= lo_{i+1}. O(#files) driver work, no data read."""
+    ranges = sorted(
+        (int(f[5:25]), int(f[26:46]))
+        for f in os.listdir(docstore_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        if hi >= lo:
+            raise ValueError(
+                f"docstore part docid ranges overlap at {lo} (block ends at "
+                f"{hi}): a duplicate docid straddles a block boundary — "
+                "deduplicate the corpus upstream or pass dedup_ids=True"
+            )
 
 
 def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
@@ -367,6 +402,7 @@ def build_index(
         partials = sorted_feat.map_batches(
             DocstoreWriter(docstore_dir, sample_mod), batch_format="pyarrow"
         ).materialize()  # executes the write ONCE; keeps only the tiny rows
+        _check_docstore_ranges(docstore_dir)
         agg = partials.aggregate(
             Sum("cnt"), Sum("sum_dl"), Max("max_docid")
         )

@@ -46,9 +46,12 @@ class Featurize:
         self.num_dbuckets = num_dbuckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        check = ["repo", "path", "content"]
+        if "docid" in batch.column_names and self.docid_strategy == "provided":
+            check.append("docid")
         null_cols = {
             name: pc.sum(pc.cast(pc.is_null(batch[name]), pa.int64())).as_py()
-            for name in ("repo", "path", "content")
+            for name in check
         }
         if any(null_cols.values()):
             raise ValueError(
@@ -56,8 +59,9 @@ class Featurize:
                 f"{sorted(k for k, v in null_cols.items() if v)} "
                 f"(null counts {null_cols}): every row needs repo/path (they "
                 "form ext_id) and content (the per-row sha256-equality "
-                "invariant has no value for a null document) — filter or "
-                "repair the corpus upstream"
+                "invariant has no value for a null document), and a provided "
+                "docid column must be non-null — filter or repair the corpus "
+                "upstream"
             )
         ext_id = pc.binary_join_element_wise(batch["repo"], batch["path"], "/")
         content = batch["content"]

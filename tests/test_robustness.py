@@ -161,3 +161,78 @@ def test_dedup_ids_on_duplicate_ext_ids(ray_session, tmp_path):
     # the kept row is the greater commit ("b"*40) → "toktwo" hits, "tokone" doesn't
     assert ex(pa.table({"qid": ["q"], "question": ["toktwo"]})).num_rows == 1
     assert ex(pa.table({"qid": ["q"], "question": ["tokone"]})).num_rows == 0
+
+
+def test_duplicate_docids_fail_loudly(ray_session, tmp_path):
+    """A provided-id corpus with a colliding docid (or the same ext_id
+    ingested twice without dedup_ids=True) would silently double-count
+    postings at query time: the docid-sorted DocstoreWriter must catch the
+    adjacent duplicate and fail naming the id; a NULL provided docid must
+    fail in Featurize naming the column; and the driver-side part-range
+    overlap check must catch duplicates the sort split across blocks."""
+    import pytest
+    import ray.data
+
+    from dpr_ray.index.build import _check_docstore_ranges, build_index
+
+    def corpus(docids):
+        n = len(docids)
+        return pa.table(
+            {
+                "docid": pa.array(docids, pa.uint64()),
+                "repo": pa.array(["r/x"] * n, pa.string()),
+                "path": pa.array([f"f{i}.py" for i in range(n)], pa.string()),
+                "commit": pa.array(["c" * 40] * n, pa.string()),
+                "lang": pa.array(["py"] * n, pa.string()),
+                "content": pa.array(
+                    [f"tok{i} shared" for i in range(n)], pa.large_string()
+                ),
+            }
+        )
+
+    with pytest.raises(Exception, match="duplicate docid 7"):
+        build_index(
+            ray.data.from_arrow(corpus([3, 7, 7, 9])).repartition(1),
+            str(tmp_path / "dup"), docid_strategy="provided",
+        )
+    # same ext_id twice under hash64 → same docid, same loud failure
+    tbl = corpus([1, 2])
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("path"), "path",
+        pa.array(["same.py", "same.py"], pa.string()),
+    ).drop_columns(["docid"])
+    with pytest.raises(Exception, match="duplicate docid"):
+        build_index(
+            ray.data.from_arrow(tbl).repartition(1),
+            str(tmp_path / "dup2"), docid_strategy="hash64",
+        )
+    # null provided docid → Featurize names the column
+    null_tbl = pa.table(
+        {
+            "docid": pa.array([1, None], pa.uint64()),
+            "repo": pa.array(["r/x"] * 2, pa.string()),
+            "path": pa.array(["a.py", "b.py"], pa.string()),
+            "commit": pa.array(["c" * 40] * 2, pa.string()),
+            "lang": pa.array(["py"] * 2, pa.string()),
+            "content": pa.array(["tok a", "tok b"], pa.large_string()),
+        }
+    )
+    with pytest.raises(Exception, match="docid"):
+        build_index(
+            ray.data.from_arrow(null_tbl).repartition(1),
+            str(tmp_path / "nulldoc"), docid_strategy="provided",
+        )
+    # boundary-straddling duplicate: unit-test the range check directly
+    # (the executor rarely splits equal keys across blocks at test scale)
+    d = tmp_path / "ranges"
+    d.mkdir()
+    for lo, hi in [(0, 5), (5, 9)]:  # hi of part 1 == lo of part 2
+        (d / f"part-{lo:020d}-{hi:020d}.parquet").touch()
+    with pytest.raises(ValueError, match="overlap"):
+        _check_docstore_ranges(str(d))
+    # distinct strictly-increasing ranges pass
+    d2 = tmp_path / "ranges_ok"
+    d2.mkdir()
+    for lo, hi in [(0, 5), (6, 9)]:
+        (d2 / f"part-{lo:020d}-{hi:020d}.parquet").touch()
+    _check_docstore_ranges(str(d2))
