@@ -5,8 +5,10 @@ twins that must merge into one term, CJK runs, curly apostrophes,
 punctuation tokens, empty documents → dl=0, a high-tf repeat → multi-byte
 varints, whole-corpus duplication → exact score ties across block edges),
 builds a REAL on-disk index at a randomized block_size — optionally as an
-upsert merge of two half-corpus indexes — and serves the query through all
-three methods, each compared BITWISE to the brute-force oracle.
+upsert merge of two half-corpus indexes, with drawn merge-time tombstones
+(delete_ext_ids, possibly deleting EVERY doc) — and serves drawn
+banned_docids through all three methods, each compared BITWISE to the
+brute-force oracle over the surviving corpus minus the banned set.
 
 The analyzer's unicode semantics are unit-tested in test_analyzer.py; this
 closes the loop over everything downstream of tokenize — featurize → salted
@@ -28,9 +30,22 @@ from hypothesis import strategies as st
 from dpr_ray.config import BM25Params
 from dpr_ray.index.build import build_index
 from dpr_ray.index.merge import merge_indexes
+from dpr_ray.query import scorer
 from dpr_ray.query.executor import QueryExecutor
 from dpr_ray.query.oracle import BruteForceBM25
 from dpr_ray.stages.featurize import docid_from_ext_id
+
+
+def _topk_banned(oracle: BruteForceBM25, question: str, k: int, banned):
+    if oracle.n_docs == 0:
+        return []
+    scores = oracle.score_all(question).copy()
+    if len(banned):
+        scores[np.isin(oracle.docids, np.asarray(banned, np.uint64))] = 0.0
+    nz = np.flatnonzero(scores > 0.0)
+    order = scorer.topk_order(scores[nz], oracle.docids[nz], k)
+    sel = nz[order]
+    return [(int(oracle.docids[i]), float(scores[i])) for i in sel]
 
 # NFC "café" and NFD "café" must normalize to the SAME term (shared
 # df, merged posting list); "…" and "’" tokenize as single-char punctuation
@@ -62,9 +77,12 @@ docs_strategy = st.lists(
     qterms=st.lists(
         st.sampled_from(POOL + ["xyzzy"]), min_size=1, max_size=10
     ),
+    del_idx=st.lists(st.integers(0, 99), max_size=3),  # merge tombstones
+    ban_idx=st.lists(st.integers(0, 199), max_size=3),  # query-time bans
 )
 def test_e2e_adversarial_corpus(
-    ray_session, docs, hot, dup, merged, block_size, half_bs, k, qterms
+    ray_session, docs, hot, dup, merged, block_size, half_bs, k, qterms,
+    del_idx, ban_idx,
 ):
     import ray.data
 
@@ -87,16 +105,26 @@ def test_e2e_adversarial_corpus(
             }
         )
 
+    is_merged = merged and n >= 2
+    # merge-time tombstones (merged path only; may delete EVERY doc)
+    del_ids = sorted({i % n for i in del_idx}) if is_merged else []
+    dels = [f"org/r/f/{i}.py" for i in del_ids]
+    keep = [i for i in range(n) if i not in set(del_ids)]
     docids = np.array(
-        [docid_from_ext_id(f"org/r/f/{i}.py") for i in range(n)], np.uint64
+        [docid_from_ext_id(f"org/r/f/{i}.py") for i in keep], np.uint64
     )
-    oracle = BruteForceBM25(docids, texts, BM25Params())
+    oracle = BruteForceBM25(docids, [texts[i] for i in keep], BM25Params())
+    banned = (
+        np.unique(docids[np.asarray(ban_idx) % len(keep)])
+        if (ban_idx and keep)
+        else np.empty(0, np.uint64)
+    )
     q = " ".join(qterms)
-    want = oracle.top_k(q, k)
+    want = _topk_banned(oracle, q, k, banned)
 
     root = tempfile.mkdtemp(prefix="e2eprop", dir="/tmp")
     try:
-        if merged and n >= 2:
+        if is_merged:
             serve_dir = f"{root}/m"
             half = n // 2
             # halves built at independent block sizes: the merge must
@@ -112,7 +140,7 @@ def test_e2e_adversarial_corpus(
             )
             merge_indexes(
                 [f"{root}/h0", f"{root}/h1"], serve_dir, mode="upsert",
-                block_size=block_size,
+                delete_ext_ids=dels, block_size=block_size,
             )
         else:
             serve_dir = f"{root}/a"
@@ -122,9 +150,13 @@ def test_e2e_adversarial_corpus(
             )
         qb = pa.table({"qid": ["q0"], "question": [q]})
         for method in ("taat", "maxscore", "bmw"):
-            ex = QueryExecutor(serve_dir, k=k, method=method)
+            ex = QueryExecutor(
+                serve_dir, k=k, method=method, banned_docids=banned
+            )
             got = [(r["docid"], r["score"]) for r in ex(qb).to_pylist()]
-            assert got == want, (method, merged, block_size, k, q)
+            assert got == want, (
+                method, is_merged, block_size, k, q, del_ids, banned,
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
