@@ -208,6 +208,22 @@ def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
                 }
             )
         docids = batch["docid"].to_numpy(zero_copy_only=False)
+        # disjoint mode REQUIRES disjoint docids across inputs but nothing
+        # upstream enforces it (upsert arbitrates collisions away before
+        # this point, so there it is a free invariant assertion): a
+        # violated precondition would silently double-count postings.
+        # Blocks are docid-sorted, so collisions are adjacent here or
+        # straddle block boundaries (caught by _check_docstore_ranges
+        # after the write).
+        if docids.size > 1:
+            dup_at = np.flatnonzero(docids[1:] == docids[:-1])
+            if dup_at.size:
+                raise ValueError(
+                    f"duplicate docid {int(docids[dup_at[0]])} in the merged "
+                    "docstore: mode='disjoint' requires disjoint docids "
+                    "across inputs — use mode='upsert' to arbitrate "
+                    "collisions newest-wins"
+                )
         name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
         pq_.write_table(batch, os.path.join(out_dir, name))
         dl = int(batch["doclen"].to_numpy(zero_copy_only=False).sum())
@@ -224,6 +240,9 @@ def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
     agg = ds_sorted.map_batches(write_block, batch_format="pyarrow").aggregate(
         Sum("rows"), Sum("sum_dl"), Max("max_docid")
     )
+    from .build import _check_docstore_ranges
+
+    _check_docstore_ranges(out_dir)
     if agg is None:  # zero-block dataset: aggregate returns None, not zeros
         return {"rows": 0, "sum_dl": 0, "max_docid": 0}
     return {

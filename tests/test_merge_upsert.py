@@ -634,3 +634,32 @@ def test_upsert_merge_mixed_block_sizes(ray_session, tmp_path):
         out_m = QueryExecutor(dm, k=10, method=method)(qb).to_pylist()
         out_l = QueryExecutor(dlatest, k=10, method=method)(qb).to_pylist()
         assert out_m == out_l, method
+
+
+def test_disjoint_merge_rejects_colliding_docids(ray_session, tmp_path):
+    """mode='disjoint' documents that docids must be disjoint across inputs
+    but used to trust the caller: a collision silently double-counted
+    postings. The ranged docstore writer now rejects the adjacent duplicate
+    loudly; the same inputs merge fine under mode='upsert'."""
+    import pytest
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(12, seed=3)
+    a = base.slice(0, 8).append_column(
+        "docid", pa.array(np.arange(8, dtype=np.uint64), pa.uint64())
+    )
+    # input b overlaps input a at docid 7
+    b = base.slice(8, 4).append_column(
+        "docid", pa.array(np.arange(7, 11, dtype=np.uint64), pa.uint64())
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(ray.data.from_arrow(a).repartition(1), da,
+                docid_strategy="provided")
+    build_index(ray.data.from_arrow(b).repartition(1), db,
+                docid_strategy="provided")
+    with pytest.raises(Exception, match="duplicate docid 7"):
+        merge_indexes([da, db], str(tmp_path / "bad"), mode="disjoint",
+                      resume=False)
+    stats = merge_indexes([da, db], str(tmp_path / "ok"), mode="upsert",
+                          resume=False)
+    assert stats["N"] == 11  # newest-wins arbitration collapses docid 7
