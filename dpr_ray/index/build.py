@@ -153,7 +153,10 @@ _PARTIAL_SCHEMA = pa.schema(
         ("df_part", pa.int64()),
         ("cnt", pa.int64()),
         ("sum_dl", pa.int64()),
-        ("max_docid", pa.int64()),
+        # uint64, not int64: provided docids may use the full 64-bit space
+        # (hash64 ids are 63-bit, but a provided-id corpus isn't) — int64
+        # overflowed at 2^63 with an opaque OverflowError in the writer
+        ("max_docid", pa.uint64()),
     ]
 )
 
@@ -221,7 +224,7 @@ class DocstoreWriter:
                 "df_part": pa.array([0] + dfp, pa.int64()),
                 "cnt": pa.array([n] + z, pa.int64()),
                 "sum_dl": pa.array([dl_sum] + z, pa.int64()),
-                "max_docid": pa.array([int(docids.max())] + z, pa.int64()),
+                "max_docid": pa.array([int(docids.max())] + z, pa.uint64()),
             }
         )
 

@@ -306,9 +306,12 @@ class SegmentStore:
                     vals_per_blob = csum[ends0] - csum[ends0 - vals_per_blob]
                     docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
             if self.docid_range is not None:
-                # boundary blocks may carry out-of-range postings
+                # boundary blocks may carry out-of-range postings. hi is
+                # half-open and may be 2^64 (full-span shard over a
+                # provided-id corpus), which overflows np.uint64 — compare
+                # inclusively against hi-1 instead (identical for ints).
                 lo, hi = self.docid_range
-                m = (docids >= np.uint64(lo)) & (docids < np.uint64(hi))
+                m = (docids >= np.uint64(lo)) & (docids <= np.uint64(hi - 1))
                 docids, tfs, dls = docids[m], tfs[m], dls[m]
             if self.dense_size:
                 # int64 indices: numpy fancy-index scatter is ~2.3x faster

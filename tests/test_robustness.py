@@ -236,3 +236,81 @@ def test_duplicate_docids_fail_loudly(ray_session, tmp_path):
     for lo, hi in [(0, 5), (6, 9)]:
         (d2 / f"part-{lo:020d}-{hi:020d}.parquet").touch()
     _check_docstore_ranges(str(d2))
+
+
+def test_extreme_provided_docids(ray_session, tmp_path):
+    """Provided docids may use the FULL uint64 space (hash64 ids are 63-bit,
+    a provided-id corpus isn't): docid 2^64-1 used to overflow the int64
+    stats partial at build time, and a full-span docid_range shard has
+    hi = 2^64 which overflowed np.uint64 in the scored-decode range mask.
+    Build, all three methods, 2-shard range serving, and an upsert merge
+    updating the extreme doc must all stay bitwise-exact vs the oracle."""
+    import ray.data
+
+    from dpr_ray.config import BM25Params
+    from dpr_ray.index.build import build_index
+    from dpr_ray.index.merge import merge_indexes
+    from dpr_ray.query import scorer
+    from dpr_ray.query.executor import QueryExecutor
+    from dpr_ray.query.oracle import BruteForceBM25
+
+    ids = np.array([0, 1, (1 << 63) + 5, (1 << 64) - 1], np.uint64)
+
+    def corpus(texts, ids_):
+        n = len(texts)
+        return pa.table(
+            {
+                "docid": pa.array(ids_, pa.uint64()),
+                "repo": pa.array(["org/r"] * n, pa.string()),
+                "path": pa.array([f"f/{i}.py" for i in range(n)], pa.string()),
+                "commit": pa.array(["c" * 40] * n, pa.string()),
+                "lang": pa.array(["py"] * n, pa.string()),
+                "content": pa.array(texts, pa.large_string()),
+            }
+        )
+
+    texts = [f"def fn{i} return value" for i in range(len(ids))]
+    d = str(tmp_path / "idx")
+    stats = build_index(
+        ray.data.from_arrow(corpus(texts, ids)).repartition(2), d,
+        docid_strategy="provided", sample_mod=1, group_budget=2, block_size=2,
+    )
+    assert stats["max_docid"] == (1 << 64) - 1
+    oracle = BruteForceBM25(ids, texts, BM25Params())
+    q = "def return value fn1"
+    want = oracle.top_k(q, 4)
+    qb = pa.table({"qid": ["q"], "question": [q]})
+    for method in ("taat", "maxscore", "bmw"):
+        got = [
+            (r["docid"], r["score"])
+            for r in QueryExecutor(d, k=4, method=method)(qb).to_pylist()
+        ]
+        assert got == want, method
+        # 2-shard range serving across the full 2^64 span (hi of the last
+        # shard is 2^64 itself)
+        cand = []
+        for lo, hi in [(0, 1 << 63), (1 << 63, 1 << 64)]:
+            ex = QueryExecutor(d, k=4, method=method, docid_range=(lo, hi))
+            cand += [(r["docid"], r["score"]) for r in ex(qb).to_pylist()]
+        da = np.array([c[0] for c in cand], np.uint64)
+        sa = np.array([c[1] for c in cand], np.float64)
+        order = np.lexsort((da, -sa))[:4]
+        assert [(int(da[i]), float(sa[i])) for i in order] == want, method
+    # upsert merge updating the extreme doc
+    new_texts = ["def fnX updated return"]
+    ddelta, dm = str(tmp_path / "delta"), str(tmp_path / "m")
+    build_index(
+        ray.data.from_arrow(corpus(new_texts, ids[-1:])).repartition(1),
+        ddelta, docid_strategy="provided", sample_mod=1, block_size=2,
+    )
+    merge_indexes([d, ddelta], dm, mode="upsert", block_size=2)
+    latest = texts[:-1] + new_texts
+    oracle2 = BruteForceBM25(ids, latest, BM25Params())
+    want2 = oracle2.top_k("updated fn0", 4)
+    qb2 = pa.table({"qid": ["q"], "question": ["updated fn0"]})
+    for method in ("taat", "maxscore", "bmw"):
+        got = [
+            (r["docid"], r["score"])
+            for r in QueryExecutor(dm, k=4, method=method)(qb2).to_pylist()
+        ]
+        assert got == want2, method
