@@ -619,20 +619,7 @@ def build_index(
             os.replace(tmp, done_path)
     # empty corpus / empty buckets: guarantee at least one (0-row) segment
     # file so readers always see the canonical schema
-    has_seg_files = any(
-        f.endswith(".parquet")
-        for _d, _s, fs in os.walk(segments_dir)
-        for f in fs
-    )
-    if not has_seg_files:
-        import pyarrow.parquet as pq_
-
-        d0 = os.path.join(segments_dir, "tbucket=0")
-        os.makedirs(d0, exist_ok=True)
-        empty_seg = seg.rows_to_table([]).remove_column(
-            seg.SEGMENT_SCHEMA.get_field_index("tbucket")
-        )
-        pq_.write_table(empty_seg, os.path.join(d0, "empty.parquet"))
+    seg.ensure_nonempty_segments(segments_dir)
     t_segments = time.time()
 
     # ---- stage 5: stats + manifest (write-pass partials when available) ---

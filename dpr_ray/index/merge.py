@@ -534,6 +534,10 @@ def merge_indexes(
         .map_groups(remerge_bucket, batch_format="pyarrow"),
         out_segments, "tbucket", sum_cols=["df"],
     )
+    # fully-tombstoned merge: no segment rows survive, but readers still
+    # need one canonical-schema file (mirrors build_index's empty-corpus
+    # guard; the docstore side already writes empty.parquet above)
+    seg.ensure_nonempty_segments(out_segments)
     stats = {
         "N": n_docs,
         "sum_dl": sum_dl,

@@ -262,6 +262,28 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
     )
 
 
+def ensure_nonempty_segments(segments_dir: str) -> None:
+    """Guarantee at least one (0-row) canonical-schema segment file: an
+    empty corpus (build) or a fully-tombstoned merge would otherwise leave
+    a segments dir with no parquet files, and every hive read of it fails
+    with an opaque ``No match for FieldRef.Name(tbucket)``."""
+    import pyarrow.parquet as pq_
+
+    has_files = any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(segments_dir)
+        for f in fs
+    )
+    if has_files:
+        return
+    d0 = os.path.join(segments_dir, "tbucket=0")
+    os.makedirs(d0, exist_ok=True)
+    empty_seg = rows_to_table([]).remove_column(
+        SEGMENT_SCHEMA.get_field_index("tbucket")
+    )
+    pq_.write_table(empty_seg, os.path.join(d0, "empty.parquet"))
+
+
 def write_stats(index_dir: str, stats: dict) -> None:
     os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "stats.json"), "w") as f:

@@ -6,9 +6,13 @@ punctuation tokens, empty documents → dl=0, a high-tf repeat → multi-byte
 varints, whole-corpus duplication → exact score ties across block edges),
 builds a REAL on-disk index at a randomized block_size — optionally as an
 upsert merge of two half-corpus indexes, with drawn merge-time tombstones
-(delete_ext_ids, possibly deleting EVERY doc) — and serves drawn
-banned_docids through all three methods, each compared BITWISE to the
-brute-force oracle over the surviving corpus minus the banned set.
+(possibly deleting EVERY doc) — and serves drawn banned_docids through all
+three methods, each compared BITWISE to the brute-force oracle over the
+surviving corpus minus the banned set. A drawn ``provided`` mode swaps
+hash64 docids for pathologically spaced provided ids (a cluster at 0..4,
+then jumps to 2^31 / 2^63 / 2^64-1 — 1-byte and 10-byte varint deltas in
+the same posting list, full-uint64 block bounds), with tombstones via
+delete_docids (the provided-id path) instead of delete_ext_ids.
 
 The analyzer's unicode semantics are unit-tested in test_analyzer.py; this
 closes the loop over everything downstream of tokenize — featurize → salted
@@ -61,6 +65,16 @@ docs_strategy = st.lists(
     max_size=10,
 )
 
+# provided-id mode: first docs get a dense cluster (deltas of 1), later docs
+# huge jumps (10-byte varint deltas, block bounds at the uint64 extremes);
+# 20 unique values covers the max corpus (10 docs × dup)
+EXTREME_IDS = [
+    0, 1, 2, 3, 4, 12345, (1 << 31) - 1, 1 << 31, (1 << 31) + 1,
+    1 << 40, (1 << 48) + 7, (1 << 63) - 2, (1 << 63) - 1, 1 << 63,
+    (1 << 63) + 1, (1 << 63) + 5, (1 << 64) - 4, (1 << 64) - 3,
+    (1 << 64) - 2, (1 << 64) - 1,
+]
+
 
 @settings(
     max_examples=8, deadline=None,
@@ -79,10 +93,11 @@ docs_strategy = st.lists(
     ),
     del_idx=st.lists(st.integers(0, 99), max_size=3),  # merge tombstones
     ban_idx=st.lists(st.integers(0, 199), max_size=3),  # query-time bans
+    provided=st.booleans(),  # extreme provided docids vs hash64
 )
 def test_e2e_adversarial_corpus(
     ray_session, docs, hot, dup, merged, block_size, half_bs, k, qterms,
-    del_idx, ban_idx,
+    del_idx, ban_idx, provided,
 ):
     import ray.data
 
@@ -91,9 +106,10 @@ def test_e2e_adversarial_corpus(
     if dup:
         texts = texts + texts
     n = len(texts)
+    ids = EXTREME_IDS[:n] if provided else None
 
     def table_for(lo, hi):
-        return pa.table(
+        t = pa.table(
             {
                 "repo": pa.array(["org/r"] * (hi - lo), pa.string()),
                 "path": pa.array(
@@ -104,14 +120,32 @@ def test_e2e_adversarial_corpus(
                 "content": pa.array(texts[lo:hi], pa.large_string()),
             }
         )
+        if provided:
+            t = t.append_column(
+                "docid",
+                pa.array(np.array(ids[lo:hi], np.uint64), pa.uint64()),
+            )
+        return t
 
+    strategy = "provided" if provided else "hash64"
     is_merged = merged and n >= 2
-    # merge-time tombstones (merged path only; may delete EVERY doc)
+    # merge-time tombstones (merged path only; may delete EVERY doc) —
+    # by ext_id for hash64 corpora, by raw docid for provided ones
     del_ids = sorted({i % n for i in del_idx}) if is_merged else []
-    dels = [f"org/r/f/{i}.py" for i in del_ids]
+    del_kwargs: dict = {}
+    if provided:
+        del_kwargs["delete_docids"] = np.array(
+            [ids[i] for i in del_ids], np.uint64
+        )
+    else:
+        del_kwargs["delete_ext_ids"] = [f"org/r/f/{i}.py" for i in del_ids]
     keep = [i for i in range(n) if i not in set(del_ids)]
     docids = np.array(
-        [docid_from_ext_id(f"org/r/f/{i}.py") for i in keep], np.uint64
+        [
+            ids[i] if provided else docid_from_ext_id(f"org/r/f/{i}.py")
+            for i in keep
+        ],
+        np.uint64,
     )
     oracle = BruteForceBM25(docids, [texts[i] for i in keep], BM25Params())
     banned = (
@@ -132,21 +166,21 @@ def test_e2e_adversarial_corpus(
             # adversarial text, not just the deterministic 3/11→5 pin)
             build_index(
                 ray.data.from_arrow(table_for(0, half)).repartition(2),
-                f"{root}/h0", docid_strategy="hash64", block_size=half_bs[0],
+                f"{root}/h0", docid_strategy=strategy, block_size=half_bs[0],
             )
             build_index(
                 ray.data.from_arrow(table_for(half, n)).repartition(1),
-                f"{root}/h1", docid_strategy="hash64", block_size=half_bs[1],
+                f"{root}/h1", docid_strategy=strategy, block_size=half_bs[1],
             )
             merge_indexes(
                 [f"{root}/h0", f"{root}/h1"], serve_dir, mode="upsert",
-                delete_ext_ids=dels, block_size=block_size,
+                block_size=block_size, **del_kwargs,
             )
         else:
             serve_dir = f"{root}/a"
             build_index(
                 ray.data.from_arrow(table_for(0, n)).repartition(2),
-                serve_dir, docid_strategy="hash64", block_size=block_size,
+                serve_dir, docid_strategy=strategy, block_size=block_size,
             )
         qb = pa.table({"qid": ["q0"], "question": [q]})
         for method in ("taat", "maxscore", "bmw"):
@@ -155,7 +189,8 @@ def test_e2e_adversarial_corpus(
             )
             got = [(r["docid"], r["score"]) for r in ex(qb).to_pylist()]
             assert got == want, (
-                method, is_merged, block_size, k, q, del_ids, banned,
+                method, is_merged, provided, block_size, k, q, del_ids,
+                banned,
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -663,3 +663,32 @@ def test_disjoint_merge_rejects_colliding_docids(ray_session, tmp_path):
     stats = merge_indexes([da, db], str(tmp_path / "ok"), mode="upsert",
                           resume=False)
     assert stats["N"] == 11  # newest-wins arbitration collapses docid 7
+
+
+def test_fully_deleted_merge_serves_empty(ray_session, tmp_path):
+    """An upsert merge whose tombstones delete EVERY doc used to leave a
+    segments dir with no parquet files — every subsequent hive read died
+    with 'No match for FieldRef.Name(tbucket)'. The merged index must
+    carry a canonical-schema empty segment and serve zero rows through
+    every method and through search_pipeline."""
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor, search_pipeline
+
+    base = corpus_mod.synth_corpus_table(6, seed=5)
+    dels = [
+        f"{r}/{p}"
+        for r, p in zip(base["repo"].to_pylist(), base["path"].to_pylist())
+    ]
+    dbase, dm = str(tmp_path / "base"), str(tmp_path / "m")
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64", block_size=4)
+    stats = merge_indexes([dbase], dm, mode="upsert", delete_ext_ids=dels)
+    assert stats["N"] == 0 and stats["postings"] == 0
+    qb = pa.table({"qid": ["q"], "question": ["def return value"]})
+    for method in ("taat", "maxscore", "bmw"):
+        assert QueryExecutor(dm, k=5, method=method)(qb).to_pylist() == []
+    res = search_pipeline(
+        ray.data.from_arrow(qb), dm, k=5, method="bmw", concurrency=(1, 2)
+    ).to_pandas()
+    assert len(res) == 0
