@@ -94,10 +94,11 @@ EXTREME_IDS = [
     del_idx=st.lists(st.integers(0, 99), max_size=3),  # merge tombstones
     ban_idx=st.lists(st.integers(0, 199), max_size=3),  # query-time bans
     provided=st.booleans(),  # extreme provided docids vs hash64
+    nshards=st.integers(1, 3),  # docid_range-sharded serving
 )
 def test_e2e_adversarial_corpus(
     ray_session, docs, hot, dup, merged, block_size, half_bs, k, qterms,
-    del_idx, ban_idx, provided,
+    del_idx, ban_idx, provided, nshards,
 ):
     import ray.data
 
@@ -192,6 +193,30 @@ def test_e2e_adversarial_corpus(
                 method, is_merged, provided, block_size, k, q, del_ids,
                 banned,
             )
+            if nshards > 1:
+                # range-sharded serving over the FULL uint64 span (hash64
+                # corpora just leave the high shards empty); per-shard
+                # top-k merged with the exact (-score, docid) order
+                span = 1 << 64
+                edges = [span * s // nshards for s in range(nshards + 1)]
+                cand: list[tuple[int, float]] = []
+                for s in range(nshards):
+                    exs = QueryExecutor(
+                        serve_dir, k=k, method=method,
+                        docid_range=(edges[s], edges[s + 1]),
+                        banned_docids=banned,
+                    )
+                    cand += [
+                        (r["docid"], r["score"])
+                        for r in exs(qb).to_pylist()
+                    ]
+                da = np.array([c[0] for c in cand], np.uint64)
+                sa = np.array([c[1] for c in cand], np.float64)
+                order = np.lexsort((da, -sa))[:k]
+                got_sh = [(int(da[i]), float(sa[i])) for i in order]
+                assert got_sh == want, (
+                    "sharded", method, nshards, provided, block_size, k, q,
+                )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
