@@ -692,3 +692,30 @@ def test_fully_deleted_merge_serves_empty(ray_session, tmp_path):
         ray.data.from_arrow(qb), dm, k=5, method="bmw", concurrency=(1, 2)
     ).to_pandas()
     assert len(res) == 0
+
+
+def test_merge_with_empty_base_index(ray_session, tmp_path):
+    """Bootstrap shape: the first refresh cycle merges a (schema-only)
+    EMPTY base index with a real delta — both modes must produce an index
+    identical in content to the delta alone."""
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    base = corpus_mod.synth_corpus_table(0, seed=1)
+    delta = corpus_mod.synth_corpus_table(8, seed=2)
+    dbase, ddelta = str(tmp_path / "base"), str(tmp_path / "delta")
+    build_index(ray.data.from_arrow(base), dbase,
+                docid_strategy="hash64", block_size=4)
+    build_index(ray.data.from_arrow(delta).repartition(2), ddelta,
+                docid_strategy="hash64", block_size=4)
+    qb = pa.table({"qid": ["q"], "question": ["def return value"]})
+    want = QueryExecutor(ddelta, k=5, method="taat")(qb).to_pylist()
+    assert want  # the probe question must actually hit
+    for mode in ("disjoint", "upsert"):
+        dm = str(tmp_path / f"m_{mode}")
+        stats = merge_indexes([dbase, ddelta], dm, mode=mode, resume=False)
+        assert stats["N"] == 8, (mode, stats)
+        for method in ("taat", "bmw"):
+            got = QueryExecutor(dm, k=5, method=method)(qb).to_pylist()
+            assert got == want, (mode, method)
