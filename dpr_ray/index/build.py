@@ -37,6 +37,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import logging
 import os
 import time
 from collections import Counter
@@ -58,6 +59,8 @@ from ..stages.featurize import Featurize
 from . import manifest as man
 from . import segments as seg
 from .manifest import write_manifest
+
+log = logging.getLogger(__name__)
 
 
 class EmitEncodedPostings:
@@ -157,8 +160,29 @@ _PARTIAL_SCHEMA = pa.schema(
         # (hash64 ids are 63-bit, but a provided-id corpus isn't) — int64
         # overflowed at 2^63 with an opaque OverflowError in the writer
         ("max_docid", pa.uint64()),
+        # 1 on the per-block stats row, 0 on term rows: Sum("blocks") is the
+        # number of blocks WRITTEN, checked against the number of part files
+        # on disk (two blocks with an identical docid range — a duplicated
+        # docid split into two singleton blocks by the sort — would write
+        # the same filename, silently dropping a row)
+        ("blocks", pa.int64()),
     ]
 )
+
+
+def check_block_duplicates(docids: np.ndarray, advice: str) -> None:
+    """Blocks arrive docid-sorted, so a duplicate docid within a block is
+    adjacent — it would silently double-count postings at query time, so
+    fail loudly with caller-specific remediation ``advice``.
+    Boundary-straddling duplicates are caught after the write by
+    ``_check_docstore_ranges`` (range overlap, or the part-count mismatch
+    when both straddling blocks are singletons with the same range)."""
+    if docids.size > 1:
+        dup_at = np.flatnonzero(docids[1:] == docids[:-1])
+        if dup_at.size:
+            raise ValueError(
+                f"duplicate docid {int(docids[dup_at[0]])} {advice}"
+            )
 
 
 class DocstoreWriter:
@@ -186,21 +210,12 @@ class DocstoreWriter:
         if batch.num_rows == 0:
             return pa.Table.from_pylist([], schema=_PARTIAL_SCHEMA)
         docids = batch["docid"].to_numpy(zero_copy_only=False)
-        # Blocks arrive docid-sorted, so a duplicate docid (a provided-id
-        # corpus with colliding ids, or an ext_id double-ingested without
-        # dedup_ids=True) is adjacent — it would silently double-count
-        # postings at query time, so fail loudly here. Boundary-straddling
-        # duplicates are caught by the part-range overlap check after the
-        # write (_check_docstore_ranges).
-        if docids.size > 1:
-            dup_at = np.flatnonzero(docids[1:] == docids[:-1])
-            if dup_at.size:
-                raise ValueError(
-                    f"duplicate docid {int(docids[dup_at[0]])} in the corpus "
-                    "(same provided id on two rows, or the same repo/path "
-                    "ingested twice): duplicate ids would double-count "
-                    "postings — deduplicate upstream or pass dedup_ids=True"
-                )
+        check_block_duplicates(
+            docids,
+            "in the corpus (same provided id on two rows, or the same "
+            "repo/path ingested twice): duplicate ids would double-count "
+            "postings — deduplicate upstream or pass dedup_ids=True",
+        )
         name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
         pq_.write_table(batch, os.path.join(self.out_dir, name))
         terms: list[str] = []
@@ -225,21 +240,37 @@ class DocstoreWriter:
                 "cnt": pa.array([n] + z, pa.int64()),
                 "sum_dl": pa.array([dl_sum] + z, pa.int64()),
                 "max_docid": pa.array([int(docids.max())] + z, pa.uint64()),
+                "blocks": pa.array([1] + z, pa.int64()),
             }
         )
 
 
-def _check_docstore_ranges(docstore_dir: str) -> None:
-    """Driver-side complement of DocstoreWriter's in-block duplicate check:
-    part filenames carry each block's [lo, hi] docid range, and the global
-    sort makes ranges of distinct docids strictly increasing — so a
-    boundary-straddling duplicate (the sort split equal keys across blocks)
-    shows up as hi_i >= lo_{i+1}. O(#files) driver work, no data read."""
+def _check_docstore_ranges(
+    docstore_dir: str, expected_parts: int | None = None
+) -> None:
+    """Driver-side complement of the in-block duplicate check
+    (``check_block_duplicates``): part filenames carry each block's
+    [lo, hi] docid range, and the global sort makes ranges of distinct
+    docids strictly increasing — so a boundary-straddling duplicate (the
+    sort split equal keys across blocks) shows up as hi_i >= lo_{i+1}.
+    ``expected_parts`` (the number of blocks the writer actually wrote,
+    folded into the write pass) closes the one hole range order can't see:
+    two singleton blocks of the SAME duplicated docid share a filename, so
+    the second write silently overwrites the first — on disk that is one
+    part file for two written blocks. O(#files) driver work, no data
+    read."""
     ranges = sorted(
         (int(f[5:25]), int(f[26:46]))
         for f in os.listdir(docstore_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
+    if expected_parts is not None and len(ranges) != expected_parts:
+        raise ValueError(
+            f"docstore wrote {expected_parts} blocks but {len(ranges)} part "
+            "files exist: two blocks shared a docid range (a duplicate "
+            "docid split into identical singleton blocks) — deduplicate "
+            "the corpus upstream or pass dedup_ids=True"
+        )
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         if hi >= lo:
             raise ValueError(
@@ -249,13 +280,21 @@ def _check_docstore_ranges(docstore_dir: str) -> None:
             )
 
 
+_FINGERPRINT_STAT_CAP = 1 << 16
+
+
 def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
     """Best-effort identity of the input corpus for resume safety: blake2b
-    over the sorted input-file list with per-file (size, mtime) where the
-    path is locally stat-able. Returns None when the dataset has no file
-    lineage (in-memory corpora) — the resume check is then skipped. A
-    false REFUSAL (mtime touched, identical bytes) is safe — rerun without
-    resume; a false pass would silently serve the old corpus."""
+    over the sorted input-file list with per-file (size, mtime_ns) where
+    the path is locally stat-able. Returns None when the dataset has no
+    file lineage (in-memory corpora) — the resume check is then skipped.
+    A false REFUSAL (mtime touched, identical bytes) is safe — rerun
+    without resume; a false pass would silently serve the old corpus, so
+    mtime is hashed at ns granularity (second granularity passed a file
+    regenerated within the same second) and EVERY path is hashed. Only
+    the first 2^16 paths are stat'ed (bounded driver time); past the cap
+    a same-path same-count content change is invisible, so a warning is
+    logged — the resume check degrades to path-list identity there."""
     try:
         files = corpus_ds.input_files()
     except Exception:
@@ -264,12 +303,22 @@ def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
         return None
     h = hashlib.blake2b(digest_size=16)
     h.update(str(len(files)).encode())
-    for p in sorted(files)[:65536]:
+    ordered = sorted(files)
+    if len(ordered) > _FINGERPRINT_STAT_CAP:
+        log.warning(
+            "corpus_fingerprint: %d input files > stat cap %d — content "
+            "changes confined to files past the cap (same paths, same "
+            "count) will not invalidate resume",
+            len(ordered), _FINGERPRINT_STAT_CAP,
+        )
+    for i, p in enumerate(ordered):
         h.update(b"\0")
         h.update(p.encode())
+        if i >= _FINGERPRINT_STAT_CAP:
+            continue
         try:
             st = os.stat(p)
-            h.update(f":{st.st_size}:{int(st.st_mtime)}".encode())
+            h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
         except OSError:
             pass
     return h.hexdigest()
@@ -405,13 +454,15 @@ def build_index(
         partials = sorted_feat.map_batches(
             DocstoreWriter(docstore_dir, sample_mod), batch_format="pyarrow"
         ).materialize()  # executes the write ONCE; keeps only the tiny rows
-        _check_docstore_ranges(docstore_dir)
         agg = partials.aggregate(
-            Sum("cnt"), Sum("sum_dl"), Max("max_docid")
+            Sum("cnt"), Sum("sum_dl"), Max("max_docid"), Sum("blocks")
+        ) or {}  # zero-block dataset: aggregate returns None, not zeros
+        _check_docstore_ranges(
+            docstore_dir, expected_parts=int(agg.get("sum(blocks)") or 0)
         )
-        n_docs = int(agg["sum(cnt)"] or 0)
-        sum_dl = int(agg["sum(sum_dl)"] or 0)
-        max_docid = int(agg["max(max_docid)"] or 0)
+        n_docs = int(agg.get("sum(cnt)") or 0)
+        sum_dl = int(agg.get("sum(sum_dl)") or 0)
+        max_docid = int(agg.get("max(max_docid)") or 0)
         space_bits = max(1, max_docid.bit_length())
         if n_docs and sample_mod >= 1:
             # head terms get docid-RANGE salts: salt = docid >> shift, with

@@ -180,7 +180,10 @@ def _merge_signature(
                 p = os.path.join(doc_dir, name)
                 if name.endswith(".parquet") and os.path.isfile(p):
                     st = os.stat(p)
-                    h.update(f"{name}|{st.st_size}|{int(st.st_mtime)}".encode())
+                    # mtime at ns granularity: a part rewritten with the
+                    # same size within the same SECOND must not falsely
+                    # resume a stale merged docstore
+                    h.update(f"{name}|{st.st_size}|{st.st_mtime_ns}".encode())
     h.update(f"{mode}|{params.k1}|{params.b}|{num_tbuckets}|{block_size}".encode())
     for e in sorted(delete_ext_ids or []):
         h.update(e.encode())
@@ -190,13 +193,33 @@ def _merge_signature(
     return h.hexdigest()
 
 
-def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
+def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
     """Terminal docstore writer: one ``part-<lo>-<hi>.parquet`` per
     docid-sorted block (the layout ``build_index`` produces and
     ``doc_join_copartitioned`` / DocJoin range pruning require), with
-    (rows, sum_dl, max_docid) partials folded into the same pass — no
-    re-read execution for the merged stats."""
+    (rows, sum_dl, max_docid, blocks) partials folded into the same pass —
+    no re-read execution for the merged stats, and the written-block count
+    feeds the part-file collision check."""
     import pyarrow.parquet as pq_
+
+    from .build import check_block_duplicates
+
+    # disjoint mode REQUIRES disjoint docids across inputs but nothing
+    # upstream enforces it (upsert arbitrates cross-input collisions away
+    # before this point, so a duplicate there means an input index itself
+    # carries duplicate docids): a violated precondition would silently
+    # double-count postings. Blocks are docid-sorted, so collisions are
+    # adjacent here or straddle block boundaries (caught by
+    # _check_docstore_ranges after the write).
+    advice = (
+        "in the merged docstore: mode='disjoint' requires disjoint docids "
+        "across inputs — use mode='upsert' to arbitrate collisions "
+        "newest-wins"
+        if mode == "disjoint"
+        else "in the merged docstore under mode='upsert': an input index "
+        "itself contains duplicate docids (built before duplicate "
+        "validation) — rebuild that input from a deduplicated corpus"
+    )
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -205,25 +228,11 @@ def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
                     "rows": pa.array([0], pa.int64()),
                     "sum_dl": pa.array([0], pa.int64()),
                     "max_docid": pa.array([0], pa.uint64()),
+                    "blocks": pa.array([0], pa.int64()),
                 }
             )
         docids = batch["docid"].to_numpy(zero_copy_only=False)
-        # disjoint mode REQUIRES disjoint docids across inputs but nothing
-        # upstream enforces it (upsert arbitrates collisions away before
-        # this point, so there it is a free invariant assertion): a
-        # violated precondition would silently double-count postings.
-        # Blocks are docid-sorted, so collisions are adjacent here or
-        # straddle block boundaries (caught by _check_docstore_ranges
-        # after the write).
-        if docids.size > 1:
-            dup_at = np.flatnonzero(docids[1:] == docids[:-1])
-            if dup_at.size:
-                raise ValueError(
-                    f"duplicate docid {int(docids[dup_at[0]])} in the merged "
-                    "docstore: mode='disjoint' requires disjoint docids "
-                    "across inputs — use mode='upsert' to arbitrate "
-                    "collisions newest-wins"
-                )
+        check_block_duplicates(docids, advice)
         name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
         pq_.write_table(batch, os.path.join(out_dir, name))
         dl = int(batch["doclen"].to_numpy(zero_copy_only=False).sum())
@@ -232,19 +241,23 @@ def _write_docstore_ranged(ds_sorted, out_dir: str) -> dict:
                 "rows": pa.array([batch.num_rows], pa.int64()),
                 "sum_dl": pa.array([dl], pa.int64()),
                 "max_docid": pa.array([int(docids.max())], pa.uint64()),
+                "blocks": pa.array([1], pa.int64()),
             }
         )
 
     from ray.data.aggregate import Max, Sum
 
     agg = ds_sorted.map_batches(write_block, batch_format="pyarrow").aggregate(
-        Sum("rows"), Sum("sum_dl"), Max("max_docid")
+        Sum("rows"), Sum("sum_dl"), Max("max_docid"), Sum("blocks")
     )
     from .build import _check_docstore_ranges
 
-    _check_docstore_ranges(out_dir)
     if agg is None:  # zero-block dataset: aggregate returns None, not zeros
+        _check_docstore_ranges(out_dir, expected_parts=0)
         return {"rows": 0, "sum_dl": 0, "max_docid": 0}
+    _check_docstore_ranges(
+        out_dir, expected_parts=int(agg["sum(blocks)"] or 0)
+    )
     return {
         "rows": int(agg["sum(rows)"] or 0),
         "sum_dl": int(agg["sum(sum_dl)"] or 0),
@@ -379,7 +392,7 @@ def merge_indexes(
     else:
         doc_ds = _read_union("docstore").sort("docid")
     if not doc_resumed:
-        doc_stats = _write_docstore_ranged(doc_ds, out_docstore)
+        doc_stats = _write_docstore_ranged(doc_ds, out_docstore, mode)
         if doc_stats["rows"] == 0:
             # fully-deleted corpus: keep an empty docstore file so
             # downstream readers see the schema (mirrors build_index's

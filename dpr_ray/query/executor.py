@@ -315,10 +315,18 @@ class SegmentStore:
                 docids, tfs, dls = docids[m], tfs[m], dls[m]
             if self.dense_size:
                 # int64 indices: numpy fancy-index scatter is ~2.3x faster
-                # than with uint64 (measured); safe below the dense cutoff
-                docids = docids.astype(np.int64)
+                # than with uint64 (measured); safe below the dense cutoff.
+                # Ranged: rebase to buffer-local ids IN uint64 space first —
+                # docids >= lo is guaranteed by the range mask above, so the
+                # uint64 subtraction never wraps and the small offsets cast
+                # cleanly, whereas astype(int64)-then-subtract breaks for
+                # lo >= 2^63 (int64 wrap + numpy rejecting the python int).
                 if self.docid_range is not None:
-                    docids -= int(self.docid_range[0])  # buffer-local ids
+                    docids = (
+                        docids - np.uint64(self.docid_range[0])
+                    ).astype(np.int64)
+                else:
+                    docids = docids.astype(np.int64)
             # df stays GLOBAL in sharded mode: idf (and thus every score)
             # must equal the unsharded engine's bitwise
             df = sum(r["df"] for r in rows)
@@ -687,6 +695,12 @@ def _gather_exact(
             ne[hit] += e[1][pos[hit]]
         else:
             d = e[0]
+            if not len(d):
+                # a term can carry ZERO postings inside a narrow
+                # docid_range shard (scored() keeps the empty entry so df
+                # stays global) — the clamped searchsorted below would
+                # index d[-1] of an empty array
+                continue
             pos = np.searchsorted(d, new)
             pos_c = np.minimum(pos, len(d) - 1)
             hit = d[pos_c] == new

@@ -518,7 +518,7 @@ def test_write_docstore_ranged_zero_blocks(ray_session, tmp_path):
     out = str(tmp_path / "ds")
     os.makedirs(out)
     empty = ray.data.from_arrow(schema.empty_table())
-    assert _write_docstore_ranged(empty, out) == {
+    assert _write_docstore_ranged(empty, out, "upsert") == {
         "rows": 0, "sum_dl": 0, "max_docid": 0,
     }
 

@@ -236,6 +236,39 @@ def test_duplicate_docids_fail_loudly(ray_session, tmp_path):
     for lo, hi in [(0, 5), (6, 9)]:
         (d2 / f"part-{lo:020d}-{hi:020d}.parquet").touch()
     _check_docstore_ranges(str(d2))
+    # the sub-case range order can't see: two singleton blocks of the SAME
+    # duplicated docid write the same filename (the second overwrites the
+    # first) — one file on disk for two written blocks. The writer folds a
+    # blocks count into its partials; the count mismatch must fail loudly.
+    with pytest.raises(ValueError, match="2 part files"):
+        _check_docstore_ranges(str(d2), expected_parts=3)
+    _check_docstore_ranges(str(d2), expected_parts=2)
+
+
+def test_corpus_fingerprint_mtime_ns(ray_session, tmp_path):
+    """corpus_fingerprint must hash mtime at NANOSECOND granularity: a
+    corpus file regenerated with identical byte size within the same
+    second used to produce an identical fingerprint, letting resume=True
+    silently serve the OLD corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dpr_ray.index.build import corpus_fingerprint
+
+    p = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": pa.array(["def a"], pa.large_string())}), str(p)
+    )
+    ds = ray.data.read_parquet(str(p))
+    fp1 = corpus_fingerprint(ds)
+    assert fp1 is not None
+    st = os.stat(p)
+    # +1 ns: same integer second, same size — only ns granularity sees it
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    fp2 = corpus_fingerprint(ds)
+    assert fp1 != fp2
 
 
 def test_extreme_provided_docids(ray_session, tmp_path):
@@ -296,6 +329,28 @@ def test_extreme_provided_docids(ray_session, tmp_path):
         sa = np.array([c[1] for c in cand], np.float64)
         order = np.lexsort((da, -sa))[:4]
         assert [(int(da[i]), float(sa[i])) for i in order] == want, method
+        # NARROW shards over the upper half: span < 2^23 flips the executor
+        # into dense-accumulator mode, whose buffer-local rebase used to
+        # astype(int64) BEFORE subtracting lo — an int64 wrap that raised
+        # UFuncTypeError for any lo >= 2^63 (the full-span shards above
+        # never take the dense path)
+        scores = oracle.score_all(q)
+        for lo, hi in [
+            (1 << 63, (1 << 63) + 1000),
+            ((1 << 64) - 4096, 1 << 64),
+            (2, 1002),  # low-id narrow shard for symmetry
+        ]:
+            exn = QueryExecutor(d, k=4, method=method, docid_range=(lo, hi))
+            got_n = [(r["docid"], r["score"]) for r in exn(qb).to_pylist()]
+            in_rng = (ids >= np.uint64(lo)) & (ids <= np.uint64(hi - 1))
+            sub = scores[in_rng]
+            nz = np.flatnonzero(sub > 0.0)
+            sub_ids = ids[in_rng]
+            order_n = scorer.topk_order(sub[nz], sub_ids[nz], 4)
+            want_n = [
+                (int(sub_ids[nz][i]), float(sub[nz][i])) for i in order_n
+            ]
+            assert got_n == want_n, (method, lo, hi)
     # upsert merge updating the extreme doc
     new_texts = ["def fnX updated return"]
     ddelta, dm = str(tmp_path / "delta"), str(tmp_path / "m")
