@@ -95,10 +95,12 @@ EXTREME_IDS = [
     ban_idx=st.lists(st.integers(0, 199), max_size=3),  # query-time bans
     provided=st.booleans(),  # extreme provided docids vs hash64
     nshards=st.integers(1, 3),  # docid_range-sharded serving
+    win_idx=st.integers(0, 199),  # narrow dense-mode window anchor doc
+    win_w=st.integers(1, 4096),  # window half-width (span < 2^23 → dense)
 )
 def test_e2e_adversarial_corpus(
     ray_session, docs, hot, dup, merged, block_size, half_bs, k, qterms,
-    del_idx, ban_idx, provided, nshards,
+    del_idx, ban_idx, provided, nshards, win_idx, win_w,
 ):
     import ray.data
 
@@ -216,6 +218,42 @@ def test_e2e_adversarial_corpus(
                 got_sh = [(int(da[i]), float(sa[i])) for i in order]
                 assert got_sh == want, (
                     "sharded", method, nshards, provided, block_size, k, q,
+                )
+            if keep:
+                # NARROW window around a drawn surviving docid: span
+                # < 2^23 flips the executor into dense-accumulator mode
+                # (the full-span shards above never do), and a provided-id
+                # corpus puts the window's lo above 2^63 — the rebase-
+                # before-cast crash class, composed with bans
+                anchor = int(docids[win_idx % len(docids)])
+                lo_w = max(0, anchor - win_w)
+                hi_w = min(1 << 64, anchor + win_w + 1)
+                exw = QueryExecutor(
+                    serve_dir, k=k, method=method,
+                    docid_range=(lo_w, hi_w), banned_docids=banned,
+                )
+                got_w = [
+                    (r["docid"], r["score"]) for r in exw(qb).to_pylist()
+                ]
+                # oracle top-k restricted to the window is NOT just a
+                # filter of the global top-k — recompute over the window.
+                # score_all aligns with oracle.docids (sorted), not the
+                # insertion-order `docids` array.
+                in_w = (oracle.docids >= np.uint64(lo_w)) & (
+                    oracle.docids <= np.uint64(hi_w - 1)
+                )
+                sc = oracle.score_all(q).copy()
+                if len(banned):
+                    sc[np.isin(oracle.docids, banned)] = 0.0
+                sc = sc[in_w]
+                dw = oracle.docids[in_w]
+                nzw = np.flatnonzero(sc > 0.0)
+                ow = scorer.topk_order(sc[nzw], dw[nzw], k)
+                want_w = [
+                    (int(dw[nzw][i]), float(sc[nzw][i])) for i in ow
+                ]
+                assert got_w == want_w, (
+                    "window", method, lo_w, hi_w, provided, k, q,
                 )
     finally:
         shutil.rmtree(root, ignore_errors=True)
