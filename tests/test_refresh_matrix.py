@@ -28,10 +28,16 @@ QUESTIONS = [
 ]
 
 
-def _oracle_topk_banned(o: BruteForceBM25, question: str, k: int, banned):
+def _oracle_topk_banned(
+    o: BruteForceBM25, question: str, k: int, banned, rng=None
+):
     scores = o.score_all(question).copy()
     if len(banned):
         scores[np.isin(o.docids, np.asarray(banned, np.uint64))] = 0.0
+    if rng is not None:  # half-open [lo, hi) docid window
+        lo, hi = rng
+        out = (o.docids < np.uint64(lo)) | (o.docids > np.uint64(hi - 1))
+        scores[out] = 0.0
     nz = np.flatnonzero(scores > 0.0)
     order = scorer.topk_order(scores[nz], o.docids[nz], k)
     sel = nz[order]
@@ -274,6 +280,55 @@ def test_refresh_shard_rcache_banned(refresh_index):
                     got = [(int(d[i]), float(s_[i])) for i in order]
                     want = _oracle_topk_banned(oracle, q, k, banned)
                     assert got == want, (method, nshards, _pass, q)
+
+
+def test_refresh_window_rcache_banned(refresh_index):
+    """NARROW docid_range windows (span < 2^23 → the dense-accumulator
+    decode path, which the wide shards above never take in a hash64
+    docid space) × result-cache × method × bans on the merged index,
+    two passes each. The dense path rebases docids to buffer-local
+    offsets at decode time and keeps the rebased entry in the scored
+    LRU — a pass-2 cache hit must reproduce the same rebased scatter,
+    and the result LRU must serve the window's results bitwise."""
+    dm, docids, oracle = refresh_index
+    k = 5
+    banned = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [d for d, _ in _oracle_topk_banned(oracle, q, 1, [])],
+                    np.uint64,
+                )
+                for q in QUESTIONS[:2]
+            ]
+        )
+    )
+    qb = pa.table(
+        {
+            "qid": [f"q{i}" for i in range(len(QUESTIONS))],
+            "question": QUESTIONS,
+        }
+    )
+    anchors = np.sort(docids)[[0, len(docids) // 2, len(docids) - 1]]
+    for method in ("taat", "maxscore", "bmw"):
+        for anchor in anchors:
+            lo = max(0, int(anchor) - 2048)
+            hi = min(1 << 64, int(anchor) + 2049)
+            ex = QueryExecutor(
+                dm, k=k, method=method, docid_range=(lo, hi),
+                banned_docids=banned, result_cache=1000,
+            )
+            for _pass in range(2):  # pass 2 = result-cache hits
+                per_q: dict[str, list] = {q: [] for q in QUESTIONS}
+                for r in ex(qb).to_pylist():
+                    per_q[r["question"]].append((r["docid"], r["score"]))
+                for q in QUESTIONS:
+                    want = _oracle_topk_banned(
+                        oracle, q, k, banned, rng=(lo, hi)
+                    )
+                    assert per_q[q] == want, (
+                        method, int(anchor), _pass, q,
+                    )
 
 
 @pytest.fixture(scope="module")
