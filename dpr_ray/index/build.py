@@ -214,7 +214,9 @@ class DocstoreWriter:
             docids,
             "in the corpus (same provided id on two rows, or the same "
             "repo/path ingested twice): duplicate ids would double-count "
-            "postings — deduplicate upstream or pass dedup_ids=True",
+            "postings — deduplicate upstream, or pass dedup_ids=True IF "
+            "the duplicates are the same document (dedup_ids fails loudly "
+            "on distinct documents colliding on one docid)",
         )
         name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
         pq_.write_table(batch, os.path.join(self.out_dir, name))
@@ -283,18 +285,45 @@ def _check_docstore_ranges(
 _FINGERPRINT_STAT_CAP = 1 << 16
 
 
+def _stat_sig(path: str) -> str | None:
+    """``size:mtime_ns`` for a corpus input path, or None when neither the
+    local filesystem nor pyarrow.fs can stat it. os.stat first (the common
+    case, and ns mtime for free); object-store / URI paths
+    (s3://, file://, hdfs://, ...) resolve through
+    ``pyarrow.fs.FileSystem.from_uri`` — without this, a remote corpus
+    regenerated in place (same keys, new content) fingerprinted identically
+    and resume silently served the OLD corpus."""
+    try:
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        pass
+    try:
+        from pyarrow import fs as pafs
+
+        f, rel = pafs.FileSystem.from_uri(path)
+        info = f.get_file_info([rel])[0]
+        if info.type == pafs.FileType.File:
+            return f"{info.size}:{info.mtime_ns}"
+    except Exception:
+        pass
+    return None
+
+
 def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
     """Best-effort identity of the input corpus for resume safety: blake2b
     over the sorted input-file list with per-file (size, mtime_ns) where
-    the path is locally stat-able. Returns None when the dataset has no
-    file lineage (in-memory corpora) — the resume check is then skipped.
+    the path is stat-able (locally or via pyarrow.fs for URI paths).
+    Returns None when the dataset has no file lineage (in-memory corpora)
+    — the resume check is then skipped.
     A false REFUSAL (mtime touched, identical bytes) is safe — rerun
     without resume; a false pass would silently serve the old corpus, so
     mtime is hashed at ns granularity (second granularity passed a file
     regenerated within the same second) and EVERY path is hashed. Only
     the first 2^16 paths are stat'ed (bounded driver time); past the cap
-    a same-path same-count content change is invisible, so a warning is
-    logged — the resume check degrades to path-list identity there."""
+    — and for any path neither stat route can see — a same-path content
+    change is invisible, so a warning is logged: the resume check
+    degrades to path-list identity there."""
     try:
         files = corpus_ds.input_files()
     except Exception:
@@ -311,16 +340,25 @@ def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
             "count) will not invalidate resume",
             len(ordered), _FINGERPRINT_STAT_CAP,
         )
+    unstatable = 0
     for i, p in enumerate(ordered):
         h.update(b"\0")
         h.update(p.encode())
         if i >= _FINGERPRINT_STAT_CAP:
             continue
-        try:
-            st = os.stat(p)
-            h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
-        except OSError:
-            pass
+        sig = _stat_sig(p)
+        if sig is None:
+            unstatable += 1
+        else:
+            h.update(b":")
+            h.update(sig.encode())
+    if unstatable:
+        log.warning(
+            "corpus_fingerprint: %d/%d input files had no stat-able "
+            "size/mtime — the changed-corpus resume check degrades to "
+            "path-list identity for them",
+            unstatable, len(ordered),
+        )
     return h.hexdigest()
 
 
@@ -332,6 +370,37 @@ def _check_resume_fp(recorded, current, index_dir: str, source: str) -> None:
             f"{current} != recorded {recorded}): resuming would silently "
             "serve the OLD corpus. Rebuild without resume (or into a fresh "
             "index dir) if the corpus really changed."
+        )
+
+
+def _resume_sig(scope: str, **kv) -> str:
+    """Signature over the build PARAMETERS that determine a stage's output
+    bytes. The corpus fingerprint alone is not enough for resume safety:
+    rerunning into an existing index dir with the same corpus but a
+    different docid_strategy / block_size / num_tbuckets / k1 / ... would
+    otherwise silently serve (or rebuild on top of) an index that does not
+    match the requested parameters — the same silent-staleness class as a
+    changed corpus. Checked independently of the fingerprint so in-memory
+    corpora (fp=None) still get the parameter guard."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(scope.encode())
+    for k in sorted(kv):
+        h.update(f"|{k}={kv[k]!r}".encode())
+    return h.hexdigest()
+
+
+def _check_resume_sig(recorded, current, index_dir: str, source: str) -> None:
+    # old markers (pre-signature) carry no 'resume_sig': best-effort skip,
+    # same policy as a fingerprint-less corpus
+    if recorded and recorded != current:
+        raise ValueError(
+            f"resume=True but the build parameters (docid_strategy / "
+            f"dedup_ids / block_size / num_tbuckets / k1 / b / ...) do not "
+            f"match the ones the {source} in {index_dir!r} was built with "
+            f"(signature {current} != recorded {recorded}): resuming would "
+            "silently serve an index built with DIFFERENT parameters. "
+            "Rebuild without resume (or into a fresh index dir) if the "
+            "parameters really changed."
         )
 
 
@@ -374,12 +443,29 @@ def build_index(
     segments_dir = os.path.join(index_dir, "segments")
     docstore_marker = os.path.join(index_dir, "docstore_done.json")
     corpus_fp = corpus_fingerprint(corpus_ds)
-    if resume and man.is_complete(index_dir):
-        _check_resume_fp(
-            (man.read_manifest(index_dir) or {}).get("corpus_fp"),
-            corpus_fp, index_dir, "complete index",
-        )
-        return seg.read_stats(index_dir)
+    # two resume scopes: the docstore marker's bytes + salt plan depend only
+    # on the featurize/salt parameters (segment params may legitimately
+    # change between a docstore resume and the segment rebuild it feeds);
+    # the complete manifest freezes everything.
+    doc_sig = _resume_sig(
+        "docstore", docid_strategy=docid_strategy, num_dbuckets=num_dbuckets,
+        dedup_ids=dedup_ids, sample_mod=sample_mod, group_budget=group_budget,
+    )
+    full_sig = _resume_sig(
+        "index", doc_sig=doc_sig, k1=params.k1, b=params.b,
+        num_tbuckets=num_tbuckets, block_size=block_size,
+        max_postings_per_slice=max_postings_per_slice,
+    )
+    if resume:
+        m = man.read_manifest(index_dir)
+        if m and m.get("complete"):
+            _check_resume_fp(
+                m.get("corpus_fp"), corpus_fp, index_dir, "complete index"
+            )
+            _check_resume_sig(
+                m.get("resume_sig"), full_sig, index_dir, "complete index"
+            )
+            return seg.read_stats(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     # Invalidate any prior completeness claim BEFORE mutating outputs: a
     # rebuild killed mid-way must not leave a dir whose stale manifest still
@@ -413,6 +499,9 @@ def build_index(
         _check_resume_fp(
             dmark.get("corpus_fp"), corpus_fp, index_dir, "docstore"
         )
+        _check_resume_sig(
+            dmark.get("resume_sig"), doc_sig, index_dir, "docstore"
+        )
         n_docs = int(dmark["n_docs"])
         sum_dl = int(dmark["sum_dl"])
         max_docid = int(dmark["max_docid"])
@@ -439,6 +528,23 @@ def build_index(
             import pyarrow.compute as pc_
 
             def first_wins(g: pa.Table) -> pa.Table:
+                # dedup is only correct when the group really is ONE
+                # document ingested twice. Distinct ext_ids sharing a docid
+                # are a hash64 collision between DIFFERENT documents
+                # (~n²/2^64 — a real risk near 10^8-10^9 docs): collapsing
+                # would silently drop a real document from the index.
+                if g.num_rows > 1 and pc_.count_distinct(
+                    g["ext_id"]
+                ).as_py() > 1:
+                    ids = sorted(set(g["ext_id"].to_pylist()))[:4]
+                    raise ValueError(
+                        f"docid {g['docid'][0].as_py()} is shared by "
+                        f"DISTINCT documents {ids}: a hash64 collision "
+                        "(or colliding provided ids) between different "
+                        "documents — dedup_ids would silently drop one. "
+                        "Use docid_strategy='provided' with unique ids "
+                        "(or rename one ext_id)."
+                    )
                 order = pc_.sort_indices(
                     g,
                     sort_keys=[("commit", "descending"),
@@ -502,6 +608,7 @@ def build_index(
                 {
                     "complete": True,
                     "corpus_fp": corpus_fp,
+                    "resume_sig": doc_sig,
                     "n_docs": n_docs,
                     "sum_dl": sum_dl,
                     "max_docid": max_docid,
@@ -698,6 +805,7 @@ def build_index(
     write_manifest(
         index_dir,
         corpus_fp=corpus_fp,
+        resume_sig=full_sig,
         stats=stats,
         timings={
             "docstore_sec": t_docstore - t0,

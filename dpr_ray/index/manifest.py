@@ -43,11 +43,12 @@ def _partition_table(root: str) -> list[dict]:
 
 def write_manifest(
     index_dir: str, *, stats: dict, timings: dict, salt_map: dict,
-    corpus_fp: str | None = None,
+    corpus_fp: str | None = None, resume_sig: str | None = None,
 ) -> dict:
     manifest = {
         "complete": True,
         "corpus_fp": corpus_fp,
+        "resume_sig": resume_sig,
         "stats": stats,
         "timings": timings,
         "skew_plan": {"salted_terms": len(salt_map), "salt_map": dict(sorted(salt_map.items())[:1000])},

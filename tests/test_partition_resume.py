@@ -114,3 +114,55 @@ def test_resume_refuses_changed_corpus(ray_session, tmp_path):
     stats = build_index(ray.data.from_arrow(b).repartition(1), idx,
                         docid_strategy="hash64")
     assert stats["N"] == 40
+
+
+def test_resume_refuses_changed_params(ray_session, tmp_path):
+    """The corpus fingerprint alone is not enough for resume safety:
+    rerunning into an existing index dir with the SAME corpus but different
+    build parameters must refuse instead of silently serving (complete
+    manifest) or building on top of (docstore marker) an index that does
+    not match the requested parameters. Segment-level params may
+    legitimately change across a docstore-marker resume — the docstore
+    bytes don't depend on them — so that combination rebuilds instead of
+    refusing. In-memory corpora (fp=None) get the parameter guard too."""
+    import pytest
+    import ray.data
+
+    from dpr_ray.config import BM25Params
+
+    tbl = corpus_mod.synth_corpus_table(25, seed=5)
+    idx = str(tmp_path / "idx")
+    ds = lambda: ray.data.from_arrow(tbl).repartition(1)  # noqa: E731
+
+    build_index(ds(), idx, docid_strategy="hash64", block_size=64)
+    # same params: complete-manifest resume skips cleanly
+    stats = build_index(ds(), idx, docid_strategy="hash64", block_size=64,
+                        resume=True)
+    assert stats["N"] == 25
+    # segment-level param changed under a complete manifest: loud refusal
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", block_size=32,
+                    resume=True)
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", block_size=64,
+                    params=BM25Params(k1=0.5), resume=True)
+    # featurize-level param changed under a complete manifest: loud refusal
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", block_size=64,
+                    dedup_ids=True, resume=True)
+    # killed-after-docstore shape (marker survives, no manifest): a
+    # featurize-level change refuses...
+    os.remove(os.path.join(idx, "manifest.json"))
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", block_size=64,
+                    dedup_ids=True, resume=True)
+    # ...but a segment-level change is FINE there: the docstore is still
+    # valid, only segments rebuild — with the new params, recorded in the
+    # new manifest
+    stats = build_index(ds(), idx, docid_strategy="hash64", block_size=32,
+                        resume=True)
+    assert stats["N"] == 25 and stats["block_size"] == 32
+    # and the new manifest now freezes block_size=32
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", block_size=64,
+                    resume=True)

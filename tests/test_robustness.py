@@ -369,3 +369,50 @@ def test_extreme_provided_docids(ray_session, tmp_path):
             for r in QueryExecutor(dm, k=4, method=method)(qb2).to_pylist()
         ]
         assert got == want2, method
+
+
+def test_dedup_ids_refuses_distinct_doc_collision(ray_session, tmp_path):
+    """dedup_ids collapses duplicates of the SAME document; two DISTINCT
+    ext_ids sharing one docid are a hash collision (or colliding provided
+    ids) between different documents — collapsing would silently drop a
+    real document, so the dedup group must fail loudly instead."""
+    import pytest
+    import ray.data
+
+    from dpr_ray.index.build import build_index
+
+    tbl = pa.table(
+        {
+            "docid": pa.array([7, 7, 9], pa.uint64()),
+            "repo": ["r/a", "r/b", "r/c"],
+            "path": ["f1.py", "f2.py", "f3.py"],
+            "commit": ["0" * 40, "1" * 40, "2" * 40],
+            "lang": ["py"] * 3,
+            "content": pa.array(
+                ["def alpha", "def beta", "def gamma"], pa.large_string()
+            ),
+        }
+    )
+    with pytest.raises(Exception, match="DISTINCT documents"):
+        build_index(
+            ray.data.from_arrow(tbl).repartition(1),
+            str(tmp_path / "idx"), docid_strategy="provided", dedup_ids=True,
+        )
+
+
+def test_stat_sig_uri_paths(tmp_path):
+    """corpus_fingerprint's per-file stat must also see URI paths (s3://,
+    file://, ...) via pyarrow.fs — os.stat alone silently degraded remote
+    corpora to path-list identity, letting resume serve a corpus
+    regenerated in place. file:// is the locally-testable proxy."""
+    import os
+
+    from dpr_ray.index.build import _stat_sig
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc")
+    st = os.stat(p)
+    assert _stat_sig(str(p)) == f"{st.st_size}:{st.st_mtime_ns}"
+    uri_sig = _stat_sig("file://" + str(p))
+    assert uri_sig is not None and uri_sig.startswith("3:")
+    assert _stat_sig("file://" + str(tmp_path / "missing.bin")) is None
