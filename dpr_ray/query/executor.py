@@ -1007,7 +1007,10 @@ def bmw_topk(
         rows = term_rows[term]
         df = sum(r["df"] for r in rows)
         cursors.append(_PostingCursor(rows, scorer.idf(df, n_docs), avgdl, params))
-    if not cursors:
+    if not cursors or k <= 0:
+        # k <= 0 must short-circuit like the other methods do: theta()'s
+        # `len(heap) >= k` is vacuously true at k=0, so it would index
+        # heap[0] of an empty heap
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     hi = None
     if docid_range is not None:

@@ -476,3 +476,32 @@ def test_taat_topk_dense_multi_unit(ray_session):
         assert np.array_equal(w[0], g[0])
         assert np.array_equal(w[1], g[1])  # bitwise
     assert not bufs.any()  # reset after extraction
+
+
+@pytest.mark.parametrize("method", ["taat", "maxscore", "bmw"])
+def test_degenerate_query_inputs(setup, method):
+    """Degenerate inputs must be consistent across all three methods:
+    a zero-row query batch and k=0 return 0 rows with the canonical
+    schema (BMW's theta() used to index heap[0] of an empty heap at
+    k=0), an empty docid window returns 0 rows, and k > N returns
+    every positive-scoring doc in oracle order."""
+    import pyarrow as pa
+
+    index_dir, oracle = setup
+    q = "def return import value"
+    qb = pa.table({"qid": ["a"], "question": [q]})
+    empty = pa.table(
+        {"qid": pa.array([], pa.string()), "question": pa.array([], pa.string())}
+    )
+    out0 = qe.QueryExecutor(index_dir, k=5, method=method)(empty)
+    assert out0.num_rows == 0
+    assert out0.schema.names == ["qid", "question", "rank", "docid", "score"]
+    assert qe.QueryExecutor(index_dir, k=0, method=method)(qb).num_rows == 0
+    lo = int(oracle.docids[len(oracle.docids) // 2])
+    assert qe.QueryExecutor(
+        index_dir, k=5, method=method, docid_range=(lo, lo)
+    )(qb).num_rows == 0
+    big = qe.QueryExecutor(index_dir, k=10 * N_DOCS, method=method)(qb)
+    want = oracle.top_k(q, 10 * N_DOCS)
+    got = [(int(r["docid"]), float(r["score"])) for r in big.to_pylist()]
+    assert got == want
