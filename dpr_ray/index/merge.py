@@ -286,6 +286,12 @@ def merge_indexes(
     (raw ids, for ``docid_strategy="provided"`` corpora)."""
     if mode not in ("disjoint", "upsert"):
         raise ValueError(f"unknown merge mode {mode!r}")
+    if not index_dirs:
+        raise ValueError(
+            "merge_indexes needs at least one input index (an empty-base "
+            "refresh should pass only the delta index — tools/merge_job.py "
+            "does this for a missing base)"
+        )
     has_dels = bool(delete_ext_ids) or (
         delete_docids is not None and len(delete_docids) > 0
     )

@@ -166,6 +166,15 @@ class SegmentStore:
         # [lo, hi) — a hot posting list costs df/n_shards heap per actor, the
         # lever for corpora whose head terms exceed a worker's memory. df for
         # idf stays GLOBAL (scores must match the unsharded engine bitwise).
+        if docid_range is not None:
+            lo_r, hi_r = int(docid_range[0]), int(docid_range[1])
+            if not (0 <= lo_r <= hi_r <= (1 << 64)):
+                # a reversed range used to surface as an opaque numpy
+                # "negative dimensions" error deep in the decode path
+                raise ValueError(
+                    f"docid_range must be half-open [lo, hi) with "
+                    f"0 <= lo <= hi <= 2^64, got ({lo_r}, {hi_r})"
+                )
         self.docid_range = docid_range
         # dense TAAT accumulator: when docids are dense (ordinal strategy),
         # score into a reusable float64 buffer indexed by docid — O(postings)

@@ -719,3 +719,12 @@ def test_merge_with_empty_base_index(ray_session, tmp_path):
         for method in ("taat", "bmw"):
             got = QueryExecutor(dm, k=5, method=method)(qb).to_pylist()
             assert got == want, (mode, method)
+
+
+def test_merge_zero_inputs_refuses(ray_session, tmp_path):
+    """Zero inputs used to die with an opaque IndexError reading
+    stats_list[0]; refuse loudly and point at the empty-base path."""
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one input"):
+        merge_indexes([], str(tmp_path / "m"))

@@ -505,3 +505,7 @@ def test_degenerate_query_inputs(setup, method):
     want = oracle.top_k(q, 10 * N_DOCS)
     got = [(int(r["docid"]), float(r["score"])) for r in big.to_pylist()]
     assert got == want
+    # reversed range: loud ValueError at construction, not an opaque numpy
+    # "negative dimensions" error deep in the decode path
+    with pytest.raises(ValueError, match="docid_range"):
+        qe.QueryExecutor(index_dir, k=5, method=method, docid_range=(lo, 5))
