@@ -728,3 +728,31 @@ def test_merge_zero_inputs_refuses(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="at least one input"):
         merge_indexes([], str(tmp_path / "m"))
+
+
+def test_merge_identities(ray_session, tmp_path):
+    """Identity edges of the merge surface: a single-input disjoint merge,
+    an upsert whose delete id matches nothing, and a self-upsert merge
+    ([a, a], newest-wins collapsing every docid to one copy) must all
+    serve bitwise-identically to the input index."""
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor
+
+    tbl = corpus_mod.synth_corpus_table(25, seed=7)
+    a = str(tmp_path / "a")
+    build_index(ray.data.from_arrow(tbl), a, docid_strategy="hash64")
+    qb = pa.table({"qid": ["q"], "question": ["def return import value"]})
+    base = QueryExecutor(a, k=8)(qb).to_pylist()
+    assert base
+    cases = [
+        ("m1", dict(mode="disjoint")),
+        ("m2", dict(mode="upsert", delete_ext_ids=["not/present/x"])),
+    ]
+    for name, kw in cases:
+        m = str(tmp_path / name)
+        merge_indexes([a], m, **kw)
+        assert QueryExecutor(m, k=8)(qb).to_pylist() == base, name
+    m3 = str(tmp_path / "m3")
+    merge_indexes([a, a], m3, mode="upsert")
+    assert QueryExecutor(m3, k=8)(qb).to_pylist() == base
