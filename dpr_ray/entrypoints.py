@@ -357,6 +357,18 @@ def _assert_banned_serving(sf_dir: str) -> None:
         res = search_pipeline(
             qds, index_dir, k=k, method=method, banned_docids=banned
         ).to_pandas()
+        if res.empty:
+            # empty Datasets drop their schema through to_pandas: give the
+            # sort below (and the caller's column reads) a typed frame
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=str),
+                    "question": pd.Series([], dtype=str),
+                    "rank": pd.Series([], dtype="int64"),
+                    "docid": pd.Series([], dtype="uint64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
         return res.sort_values(["qid", "rank"]).reset_index(drop=True)
 
     deep = _run(TOP_K + len(BM25_QUERIES), "taat")
@@ -422,6 +434,17 @@ def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
     from .query.executor import DocJoin, doc_join_copartitioned
 
     res = _bm25_results(sf_dir)
+    if res.empty:
+        # zero-row corpus retrieves nothing; empty Datasets drop their
+        # schema through to_pandas, so short-circuit with a typed frame
+        return pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype=str),
+                "rank": pd.Series([], dtype="int64"),
+                "docid": pd.Series([], dtype="int64"),
+                "has_answer": pd.Series([], dtype=bool),
+            }
+        )
     index_dir = ensure_index(sf_dir)
     ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
     joined = ray.data.from_pandas(res[["qid", "rank", "docid"]]).map_batches(
@@ -1708,6 +1731,16 @@ def q_chunk_hits(sf_dir: str):
         .select_columns(["qid", "rank", "has_answer", "parent_docid"])
     )
     out = chunk_level_hits(joined, parent_col="parent_docid").to_pandas()
+    if out.empty:
+        # empty Datasets drop their schema through to_pandas (zero-row
+        # corpus → zero retrieved chunks)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype=str),
+                "parent": pd.Series([], dtype="int64"),
+                "best_hit": pd.Series([], dtype="int64"),
+            }
+        )
     out["parent"] = out["parent"].astype("int64")
     out["best_hit"] = out["best_hit"].astype("int64")
     return out[["qid", "parent", "best_hit"]]

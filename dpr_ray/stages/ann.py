@@ -109,6 +109,25 @@ class _BatchTopK:
         )
 
 
+def _empty_knn_result():
+    """Schema-stable zero-row result (the `_final_topk_fn` schema) for the
+    zero-queries edge: np.asarray([]) is 1-D, so the 2-D query-matrix math
+    downstream would die with an opaque AxisError/IndexError otherwise.
+    Training-based indexers (IVF/PQ/SQ8) keep their loud no-sample
+    ValueError instead — an empty CORPUS can't train a quantizer and the
+    message names the actual problem."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
 def _final_topk_fn(k: int):
     def final_topk(group: pa.Table) -> pa.Table:
         sims = group["sim"].to_numpy(zero_copy_only=False)
@@ -142,6 +161,8 @@ def brute_force_knn(
     ROUND(sim, 9) instead — required when the input stream carries
     duplicate vectors, see _BatchTopK)."""
     ensure_shippable()
+    if len(query_ids) == 0:
+        return _empty_knn_result()
     q_ref = ray.put(
         {"qids": list(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
     )
@@ -496,6 +517,8 @@ def lsh_knn(
     """Approximate cosine top-k: score only vectors in the query's probed
     LSH buckets. Same output schema as brute_force_knn."""
     ensure_shippable()
+    if len(query_ids) == 0:
+        return _empty_knn_result()
     qm = np.asarray(query_matrix, dtype=np.float64)
     dim = qm.shape[1]
     plan = LSHIndexPlan(dim, n_bits=n_bits)

