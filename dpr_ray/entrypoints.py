@@ -10,6 +10,22 @@ documents' scores differ only by float-summation noise (< 1e-15).
 
 The embedded BM25 query set lives here so the Ray path, the SQL VALUES
 lists, the flagship entry() and bench.py all share one definition.
+
+Oracle text contract: the SQL oracles tokenize document text with a
+literal single-space split (``regexp_split_to_array(text, ' ')``), so
+they mirror the engine exactly over the input_hint corpus shape —
+non-empty docs of non-empty, single-space-separated, analyzer-normal
+(lowercase ASCII alnum) tokens, which the driver's testdata guarantees.
+Structurally extreme text INSIDE that contract (empty-adjacent docs,
+10k-char tokens, 500x-repeated tokens, 2000-distinct-token docs) is
+sweep-verified green across all 57 entries (tests/test_oracle_edge.py,
+DPR_RAY_SLOW). Outside the contract (unicode, empty tokens, divergent
+whitespace) the space-split oracle and the reference analyzer disagree
+BY CONSTRUCTION; engine exactness on arbitrary text is gated instead by
+the bitwise brute-force-oracle sweeps (tests/test_e2e_property.py,
+tests/test_refresh_matrix.py). All SQL fragments stay total on
+out-of-contract text (no crashes) — see the ``_ROLL131`` empty-token
+note.
 """
 
 from __future__ import annotations
@@ -551,14 +567,21 @@ FROM ks CROSS JOIN best GROUP BY ks.k
 # queries get FULL value oracles (not rows-only checks).
 _ROLL131 = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({s}, ''), c -> unicode(c))), "
+    "list_transform(string_split({s}, ''), c -> greatest(unicode(c), 0))), "
     "(a,c) -> (a*131+c) % 2147483647)"
 )
 _ROLL137 = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({s}, ''), c -> unicode(c))), "
+    "list_transform(string_split({s}, ''), c -> greatest(unicode(c), 0))), "
     "(a,c) -> (a*137+c) % 2147483647)"
 )
+# greatest(..., 0): DuckDB unicode('') is -1, so an EMPTY token (out-of-
+# contract text: double/leading spaces, empty docs) would fold a negative
+# into the Horner state and crash the later `<< 31` with "cannot
+# left-shift negative number". The python side folds an empty token to 0
+# (no characters to fold); string_split('', '') yields [''] on the SQL
+# side, and greatest maps it to the same 0 — keeping both hashes total
+# and equal on every token.
 
 
 # ------------------------------------------------------------ dedup family --
