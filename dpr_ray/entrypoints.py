@@ -146,10 +146,14 @@ def q_corpus_stats(sf_dir: str):
 
 
 CORPUS_STATS_SQL = f"""
-SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-       CAST(ROUND(avg(dl * 1.0) * 1000000) AS BIGINT) AS avgdl_i6
+SELECT count(*) AS n_docs,
+       CAST(COALESCE(sum(dl), 0) AS BIGINT) AS sum_dl,
+       CAST(COALESCE(ROUND(avg(dl * 1.0) * 1000000), 0) AS BIGINT) AS avgdl_i6
 FROM ({DL_SQL})
 """
+# COALESCE: over a ZERO-ROW corpus sum/avg are NULL (→ pandas float64 NaN,
+# a dtype mismatch against the engine's typed zeros); the engine's
+# convention for an empty corpus is sum_dl = 0, avgdl = 0.
 
 
 # -------------------------------------------------------------- term stats --
@@ -271,6 +275,16 @@ ranked AS (
 """
 
 
+def _typed_empty(**dtypes) -> pd.DataFrame:
+    """Schema-typed zero-row frame. Empty Datasets drop their schema
+    through ``to_pandas``, so every entry that can serve zero rows builds
+    its empty result explicitly — with the dtype spec AT the call site,
+    because the specs intentionally differ (``docid`` stays uint64 on the
+    raw serving surface but is int64 in driver-hashed frames, matching the
+    oracle's BIGINT)."""
+    return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in dtypes.items()})
+
+
 def _i6_snap_rank(res: pd.DataFrame, id_col: str, depth: int) -> tuple[pd.DataFrame, bool]:
     """Snap exact scores to i6, re-rank by (score_i6 desc, id). Returns
     (ranked df, boundary_safe): unsafe iff some query was truncated at
@@ -305,16 +319,11 @@ def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
         )
         res = search_pipeline(qds, index_dir, k=depth, method=method).to_pandas()
         if res.empty:
-            # dtype-correct empty frame INCLUDING "score": q_bm25_topk's
-            # three-method bitwise compare reads it even on empty results
-            return pd.DataFrame(
-                {
-                    "qid": pd.Series([], dtype=str),
-                    "docid": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                    "score_i6": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                }
+            # "score" included: q_bm25_topk's three-method bitwise compare
+            # reads it even on empty results
+            return _typed_empty(
+                qid=str, docid="int64", rank="int64",
+                score_i6="int64", score="float64",
             )
         res["docid"] = res["docid"].astype("int64")
         res["score_i6"] = _i6(res["score"])
@@ -374,16 +383,10 @@ def _assert_banned_serving(sf_dir: str) -> None:
             qds, index_dir, k=k, method=method, banned_docids=banned
         ).to_pandas()
         if res.empty:
-            # empty Datasets drop their schema through to_pandas: give the
-            # sort below (and the caller's column reads) a typed frame
-            return pd.DataFrame(
-                {
-                    "qid": pd.Series([], dtype=str),
-                    "question": pd.Series([], dtype=str),
-                    "rank": pd.Series([], dtype="int64"),
-                    "docid": pd.Series([], dtype="uint64"),
-                    "score": pd.Series([], dtype="float64"),
-                }
+            # raw serving surface: docid stays uint64
+            return _typed_empty(
+                qid=str, question=str, rank="int64",
+                docid="uint64", score="float64",
             )
         return res.sort_values(["qid", "rank"]).reset_index(drop=True)
 
@@ -451,15 +454,9 @@ def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
 
     res = _bm25_results(sf_dir)
     if res.empty:
-        # zero-row corpus retrieves nothing; empty Datasets drop their
-        # schema through to_pandas, so short-circuit with a typed frame
-        return pd.DataFrame(
-            {
-                "qid": pd.Series([], dtype=str),
-                "rank": pd.Series([], dtype="int64"),
-                "docid": pd.Series([], dtype="int64"),
-                "has_answer": pd.Series([], dtype=bool),
-            }
+        # zero-row corpus retrieves nothing
+        return _typed_empty(
+            qid=str, rank="int64", docid="int64", has_answer=bool,
         )
     index_dir = ensure_index(sf_dir)
     ans_ref = ray.put({qid: a for qid, _q, a in BM25_QUERIES})
@@ -1658,9 +1655,11 @@ def _chunked_results(sf_dir: str) -> pd.DataFrame:
         )
         res = search_pipeline(qds, index_dir, k=depth).to_pandas()
         if res.empty:
-            return pd.DataFrame(
-                {"qid": [], "chunk_docid": [], "parent_docid": [], "rank": [],
-                 "score_i6": []}
+            # typed (not bare []-lists, which land as float64): the oracle
+            # side is BIGINT and the driver's hash is dtype-sensitive
+            return _typed_empty(
+                qid=str, chunk_docid="int64", parent_docid="int64",
+                rank="int64", score_i6="int64",
             )
         res["chunk_docid"] = res["docid"].astype("int64")
         res["parent_docid"] = res["chunk_docid"] // 64
@@ -1755,15 +1754,8 @@ def q_chunk_hits(sf_dir: str):
     )
     out = chunk_level_hits(joined, parent_col="parent_docid").to_pandas()
     if out.empty:
-        # empty Datasets drop their schema through to_pandas (zero-row
-        # corpus → zero retrieved chunks)
-        return pd.DataFrame(
-            {
-                "qid": pd.Series([], dtype=str),
-                "parent": pd.Series([], dtype="int64"),
-                "best_hit": pd.Series([], dtype="int64"),
-            }
-        )
+        # zero-row corpus → zero retrieved chunks
+        return _typed_empty(qid=str, parent="int64", best_hit="int64")
     out["parent"] = out["parent"].astype("int64")
     out["best_hit"] = out["best_hit"].astype("int64")
     return out[["qid", "parent", "best_hit"]]

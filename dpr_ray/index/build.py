@@ -310,6 +310,48 @@ def _stat_sig(path: str) -> str | None:
     return None
 
 
+def _stat_sigs(paths: list[str]) -> list[str | None]:
+    """Per-path ``_stat_sig``, with remote paths batched: ONE filesystem
+    resolved from the first URI and ONE ``get_file_info`` list call —
+    per-path ``from_uri`` + single-file RPC would add up to
+    ``_FINGERPRINT_STAT_CAP`` sequential filesystem constructions and
+    metadata round-trips of fixed driver latency at every build/merge
+    start on an object-store corpus. The relative path of each sibling
+    URI is derived from the first URI's (uri, rel) suffix relationship
+    (s3/gs/hdfs/file URIs all satisfy ``uri.endswith(rel)``); any path
+    that doesn't share the first URI's prefix falls back to the
+    per-path route."""
+    out: list[str | None] = [None] * len(paths)
+    remote: list[int] = []
+    for i, p in enumerate(paths):
+        try:
+            st = os.stat(p)
+            out[i] = f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            remote.append(i)
+    if not remote:
+        return out
+    singles = remote
+    try:
+        from pyarrow import fs as pafs
+
+        uri0 = paths[remote[0]]
+        f, rel0 = pafs.FileSystem.from_uri(uri0)
+        if uri0.endswith(rel0):
+            prefix = uri0[: len(uri0) - len(rel0)]
+            batched = [i for i in remote if paths[i].startswith(prefix)]
+            singles = [i for i in remote if not paths[i].startswith(prefix)]
+            infos = f.get_file_info([paths[i][len(prefix):] for i in batched])
+            for i, info in zip(batched, infos):
+                if info.type == pafs.FileType.File:
+                    out[i] = f"{info.size}:{info.mtime_ns}"
+    except Exception:
+        singles = remote
+    for i in singles:
+        out[i] = _stat_sig(paths[i])
+    return out
+
+
 def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
     """Best-effort identity of the input corpus for resume safety: blake2b
     over the sorted input-file list with per-file (size, mtime_ns) where
@@ -340,13 +382,14 @@ def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
             "count) will not invalidate resume",
             len(ordered), _FINGERPRINT_STAT_CAP,
         )
+    sigs = _stat_sigs(ordered[:_FINGERPRINT_STAT_CAP])
     unstatable = 0
     for i, p in enumerate(ordered):
         h.update(b"\0")
         h.update(p.encode())
         if i >= _FINGERPRINT_STAT_CAP:
             continue
-        sig = _stat_sig(p)
+        sig = sigs[i]
         if sig is None:
             unstatable += 1
         else:

@@ -281,6 +281,12 @@ class SegmentStore:
         if self.docid_range is not None:
             lo, hi = self.docid_range
             d_blobs, t_blobs, l_blobs = [], [], []
+            # an empty window ([lo, lo), legal per the __init__ contract —
+            # e.g. a shard edge past max_docid) selects no blocks here,
+            # which also keeps the uint64 range mask below safe: d_blobs
+            # non-empty implies some block_first < hi, so hi >= 1 (hi - 1
+            # cannot wrap) and lo <= block_last < 2^64 (np.uint64(lo)
+            # cannot overflow).
             for row in rows_sorted:
                 for bf, bl, bd, bt, bdl in zip(
                     row["block_first"], row["block_last"],
@@ -1024,6 +1030,11 @@ def bmw_topk(
     hi = None
     if docid_range is not None:
         lo, hi = int(docid_range[0]), int(docid_range[1])
+        if lo >= hi:
+            # empty window ([lo, lo) is legal, e.g. a shard edge past
+            # max_docid — and the only way lo can reach 2^64, which would
+            # overflow the uint64 fast-forward below)
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
         if lo > 0:
             for c in cursors:
                 c.advance_to(lo)
@@ -1131,6 +1142,21 @@ class QueryExecutor:
         self._rcache_max = result_cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.k <= 0:
+            # k <= 0 is an empty top-k for EVERY query and method (LIMIT 0
+            # semantics). Guarded here, above the per-method scorers: the
+            # dense paths size np.partition's kth as len(x) - k, which
+            # indexes one past the end at k=0 (the sparse bmw_topk guard
+            # alone only covered hash64 indexes).
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.string()),
+                    "question": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int32()),
+                    "docid": pa.array([], pa.uint64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         qids = batch["qid"].to_pylist()
         questions = batch["question"].to_pylist()
         q_terms = [sorted(set(toks)) for toks in analyzer.tokenize_batch(questions)]

@@ -509,3 +509,57 @@ def test_degenerate_query_inputs(setup, method):
     # "negative dimensions" error deep in the decode path
     with pytest.raises(ValueError, match="docid_range"):
         qe.QueryExecutor(index_dir, k=5, method=method, docid_range=(lo, 5))
+
+
+@pytest.mark.parametrize("method", ["taat", "maxscore", "bmw"])
+def test_degenerate_query_inputs_dense(setup_dense, method):
+    """The same degenerate contract on a DENSE (provided-ordinal) index —
+    the dense np.partition paths sized kth as len(x) - k, which indexed
+    one past the end at k=0 (the original k=0 guard only covered the
+    sparse bmw_topk fallback, and the sparse fixture above never reaches
+    the dense twins). Also pins the boundary windows the validation
+    admits: [0, 0) and [2^64, 2^64) serve 0 rows on every method."""
+    import pyarrow as pa
+
+    index_dir, oracle = setup_dense
+    q = "def return import value"
+    qb = pa.table({"qid": ["a"], "question": [q]})
+    ex = qe.QueryExecutor(index_dir, k=0, method=method)
+    assert ex.store.dense_size > 0  # the dense path is actually in play
+    out = ex(qb)
+    assert out.num_rows == 0
+    assert out.schema.names == ["qid", "question", "rank", "docid", "score"]
+    for window in [(0, 0), (1 << 64, 1 << 64)]:
+        assert qe.QueryExecutor(
+            index_dir, k=5, method=method, docid_range=window
+        )(qb).num_rows == 0
+
+
+def test_doc_shards_past_corpus_size(ray_session, tmp_path):
+    """search_pipeline with doc_shards > max_docid + 1 hands some shards
+    empty [lo, lo) windows (a 3-doc corpus at doc_shards=4 computes edges
+    [0, 0, 1, 2, 3], giving shard 0 the window [0, 0)) — the merged top-k
+    must equal the unsharded result exactly, with no duplicated docids."""
+    import pyarrow as pa
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(3, seed=11)
+    tbl = tbl.append_column("docid", pa.array(range(3), pa.uint64()))
+    index_dir = str(tmp_path / "idx3")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(2), index_dir,
+        docid_strategy="provided", group_budget=4, sample_mod=1,
+    )
+    oracle = BruteForceBM25(
+        list(range(3)), tbl["content"].to_pylist(), BM25Params()
+    )
+    q = "def return import class"
+    qds = ray.data.from_arrow(pa.table({"qid": ["a"], "question": [q]}))
+    res = (
+        qe.search_pipeline(qds, index_dir, k=3, method="taat", doc_shards=4)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert res["docid"].is_unique
+    got = [(int(d), float(s)) for d, s in zip(res["docid"], res["score"])]
+    assert got == oracle.top_k(q, 3)

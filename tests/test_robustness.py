@@ -416,3 +416,30 @@ def test_stat_sig_uri_paths(tmp_path):
     uri_sig = _stat_sig("file://" + str(p))
     assert uri_sig is not None and uri_sig.startswith("3:")
     assert _stat_sig("file://" + str(tmp_path / "missing.bin")) is None
+
+
+def test_stat_sigs_batched_matches_per_path(tmp_path):
+    """_stat_sigs batches remote (URI) paths through ONE filesystem +
+    get_file_info list call — per-path from_uri added up to 2^16
+    sequential filesystem constructions and metadata RPCs of driver
+    latency at every build start on an object-store corpus. The batched
+    result must equal the per-path route exactly, including missing
+    files (None) and mixed local/URI inputs."""
+    from dpr_ray.index.build import _stat_sig, _stat_sigs
+
+    local, uris = [], []
+    for i in range(5):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(b"x" * (i + 1))
+        local.append(str(p))
+        uris.append("file://" + str(p))
+    mixed = (
+        local[:2]
+        + uris[2:]
+        + ["file://" + str(tmp_path / "missing.bin")]
+        + [str(tmp_path / "also_missing.bin") ]
+    )
+    got = _stat_sigs(mixed)
+    assert got == [_stat_sig(p) for p in mixed]
+    assert got[-1] is None and got[-2] is None
+    assert all(s is not None for s in got[:-2])
