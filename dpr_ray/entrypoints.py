@@ -46,7 +46,9 @@ from .index import manifest as man
 from .index.build import build_index
 from .index import segments as seg
 
-ENGINE_VERSION = "v4"  # v4: mod-sampled skew plan (fused docstore pass)
+ENGINE_VERSION = "v5"  # v5: length-framed corpus fingerprint (cached
+# manifests record corpus_fp; the framing change would otherwise make
+# resume against a pre-change /tmp cache refuse loudly — key them apart)
 K1, B = 0.9, 0.4
 
 # (qid, question, answers) — vocabulary of the documents tables
@@ -1571,7 +1573,7 @@ FINGERPRINT_SQL = f"""
 SELECT doc_id AS docid,
   list_reduce(list_prepend(CAST(0 AS BIGINT),
     list_transform(regexp_split_to_array(text, ' '),
-      t -> CASE WHEN t = '' THEN 0 ELSE {_ROLL131.format(s="t")} END)),
+      t -> {_ROLL131.format(s="t")})),
     (a,h) -> (a*137+h) % 2147483647) AS fingerprint
 FROM documents
 """

@@ -303,7 +303,11 @@ def _stat_sig(path: str) -> str | None:
 
         f, rel = pafs.FileSystem.from_uri(path)
         info = f.get_file_info([rel])[0]
-        if info.type == pafs.FileType.File:
+        # mtime is optional in pyarrow FileInfo: a None mtime would make the
+        # signature size-only, which passes a same-size content rewrite — the
+        # exact false-pass this function exists to prevent. Treat it as
+        # unstatable so the degradation warning fires instead.
+        if info.type == pafs.FileType.File and info.mtime_ns is not None:
             return f"{info.size}:{info.mtime_ns}"
     except Exception:
         pass
@@ -343,7 +347,8 @@ def _stat_sigs(paths: list[str]) -> list[str | None]:
             singles = [i for i in remote if not paths[i].startswith(prefix)]
             infos = f.get_file_info([paths[i][len(prefix):] for i in batched])
             for i, info in zip(batched, infos):
-                if info.type == pafs.FileType.File:
+                # None mtime → unstatable, same policy as _stat_sig
+                if info.type == pafs.FileType.File and info.mtime_ns is not None:
                     out[i] = f"{info.size}:{info.mtime_ns}"
     except Exception:
         singles = remote
@@ -385,8 +390,14 @@ def corpus_fingerprint(corpus_ds: ray.data.Dataset) -> str | None:
     sigs = _stat_sigs(ordered[:_FINGERPRINT_STAT_CAP])
     unstatable = 0
     for i, p in enumerate(ordered):
+        pb = p.encode()
+        # length-framed path: without it, a stat-able path 'a' with sig
+        # '1:2' and a single unstat-able path literally named 'a:1:2'
+        # hash identical bytes — two distinct corpora, one fingerprint
         h.update(b"\0")
-        h.update(p.encode())
+        h.update(str(len(pb)).encode())
+        h.update(b":")
+        h.update(pb)
         if i >= _FINGERPRINT_STAT_CAP:
             continue
         sig = sigs[i]
@@ -790,11 +801,32 @@ def build_index(
         spill_dir = os.path.join(index_dir, "postings_spill")
         spill_marker = os.path.join(index_dir, "spill_done.json")
         done_path = os.path.join(index_dir, "segments_done.json")
-        if not (resume and os.path.exists(spill_marker)):
+        # The spill holds pre-ENCODED postings: its bytes depend on the
+        # segment params (k1/b/num_tbuckets/block_size via
+        # EmitEncodedPostings) AND the corpus — so the marker records and
+        # verifies full_sig + corpus_fp like the docstore/manifest markers.
+        # Without this, rerunning with e.g. a changed num_tbuckets reused a
+        # spill whose tbucket assignment no longer matches query-time term
+        # hashing: terms silently missing. done_path needs no separate check:
+        # it is removed whenever the spill is rewritten, so it can only
+        # coexist with a spill marker that already passed these checks.
+        if resume and os.path.exists(spill_marker):
+            with open(spill_marker) as f:
+                smark = json.load(f)
+            _check_resume_fp(
+                smark.get("corpus_fp"), corpus_fp, index_dir, "postings spill"
+            )
+            _check_resume_sig(
+                smark.get("resume_sig"), full_sig, index_dir, "postings spill"
+            )
+        else:
             _sh.rmtree(spill_dir, ignore_errors=True)
             write_partitioned(posts, spill_dir, "tbucket")
             with open(spill_marker, "w") as f:
-                json.dump({"complete": True}, f)
+                json.dump({
+                    "complete": True, "corpus_fp": corpus_fp,
+                    "resume_sig": full_sig,
+                }, f)
             for p in (done_path,):
                 if os.path.exists(p):
                     os.remove(p)

@@ -34,22 +34,12 @@ from hypothesis import strategies as st
 from dpr_ray.config import BM25Params
 from dpr_ray.index.build import build_index
 from dpr_ray.index.merge import merge_indexes
-from dpr_ray.query import scorer
 from dpr_ray.query.executor import QueryExecutor
 from dpr_ray.query.oracle import BruteForceBM25
 from dpr_ray.stages.featurize import docid_from_ext_id
 
 
-def _topk_banned(oracle: BruteForceBM25, question: str, k: int, banned):
-    if oracle.n_docs == 0:
-        return []
-    scores = oracle.score_all(question).copy()
-    if len(banned):
-        scores[np.isin(oracle.docids, np.asarray(banned, np.uint64))] = 0.0
-    nz = np.flatnonzero(scores > 0.0)
-    order = scorer.topk_order(scores[nz], oracle.docids[nz], k)
-    sel = nz[order]
-    return [(int(oracle.docids[i]), float(scores[i])) for i in sel]
+from bm25_oracle import oracle_topk as _topk_banned  # noqa: E402
 
 # NFC "café" and NFD "café" must normalize to the SAME term (shared
 # df, merged posting list); "…" and "’" tokenize as single-char punctuation
@@ -236,22 +226,8 @@ def test_e2e_adversarial_corpus(
                     (r["docid"], r["score"]) for r in exw(qb).to_pylist()
                 ]
                 # oracle top-k restricted to the window is NOT just a
-                # filter of the global top-k — recompute over the window.
-                # score_all aligns with oracle.docids (sorted), not the
-                # insertion-order `docids` array.
-                in_w = (oracle.docids >= np.uint64(lo_w)) & (
-                    oracle.docids <= np.uint64(hi_w - 1)
-                )
-                sc = oracle.score_all(q).copy()
-                if len(banned):
-                    sc[np.isin(oracle.docids, banned)] = 0.0
-                sc = sc[in_w]
-                dw = oracle.docids[in_w]
-                nzw = np.flatnonzero(sc > 0.0)
-                ow = scorer.topk_order(sc[nzw], dw[nzw], k)
-                want_w = [
-                    (int(dw[nzw][i]), float(sc[nzw][i])) for i in ow
-                ]
+                # filter of the global top-k — recompute over the window
+                want_w = _topk_banned(oracle, q, k, banned, rng=(lo_w, hi_w))
                 assert got_w == want_w, (
                     "window", method, lo_w, hi_w, provided, k, q,
                 )

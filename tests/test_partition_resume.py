@@ -74,6 +74,61 @@ def test_partition_resume_equals_single_pass(ray_session, tmp_path):
     assert _segment_rows(a) == _segment_rows(b)
 
 
+def test_partition_resume_refuses_stale_spill(ray_session, tmp_path):
+    """The postings spill holds pre-ENCODED postings: its bytes depend on
+    the segment params (k1/b/num_tbuckets/block_size) and the corpus, so
+    spill_done.json records resume_sig + corpus_fp and a resumed run whose
+    params or corpus changed must refuse. Without this, a changed
+    num_tbuckets reused a spill whose tbucket assignment no longer matches
+    query-time term hashing — terms silently missing from results."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(30, seed=9)
+    cdir = tmp_path / "corp"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part.parquet"))
+    idx = str(tmp_path / "idx")
+    ds = lambda: ray.data.read_parquet(str(cdir))  # noqa: E731
+
+    build_index(ds(), idx, docid_strategy="hash64", partition_resume=True,
+                block_size=64, group_budget=20, sample_mod=1)
+    # simulate a kill after the spill, mid-segments
+    os.remove(os.path.join(idx, "manifest.json"))
+    with open(os.path.join(idx, "segments_done.json"), "w") as f:
+        json.dump({"buckets": list(range(4))}, f)
+    # segment-level param changed: the docstore marker passes by design
+    # (doc bytes don't depend on it) — the SPILL marker must refuse
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", partition_resume=True,
+                    block_size=32, group_budget=20, sample_mod=1, resume=True)
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(ds(), idx, docid_strategy="hash64", partition_resume=True,
+                    block_size=64, num_tbuckets=8, group_budget=20,
+                    sample_mod=1, resume=True)
+    # refusals are non-destructive: same-params resume still completes the
+    # remaining buckets and converges to the clean-run bytes
+    stats = build_index(ds(), idx, docid_strategy="hash64",
+                        partition_resume=True, block_size=64,
+                        group_budget=20, sample_mod=1, resume=True)
+    assert stats["N"] == 30
+    clean = str(tmp_path / "clean")
+    build_index(ds(), clean, docid_strategy="hash64", partition_resume=True,
+                block_size=64, group_budget=20, sample_mod=1)
+    assert _segment_rows(idx) == _segment_rows(clean)
+    # changed corpus with only the spill marker surviving (manifest AND
+    # docstore marker gone): the docstore would rebuild from the new corpus,
+    # so the SPILL marker's own fingerprint must refuse the stale spill
+    pq.write_table(corpus_mod.synth_corpus_table(35, seed=10),
+                   str(cdir / "part.parquet"))
+    os.remove(os.path.join(idx, "manifest.json"))
+    os.remove(os.path.join(idx, "docstore_done.json"))
+    with pytest.raises(ValueError, match="fingerprint"):
+        build_index(ds(), idx, docid_strategy="hash64", partition_resume=True,
+                    block_size=64, group_budget=20, sample_mod=1, resume=True)
+
+
 def test_resume_refuses_changed_corpus(ray_session, tmp_path):
     """resume=True must not silently serve a DIFFERENT corpus: the
     docstore marker and the manifest record a best-effort corpus

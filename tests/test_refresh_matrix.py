@@ -16,7 +16,6 @@ from dpr_ray import corpus as corpus_mod
 from dpr_ray.config import BM25Params
 from dpr_ray.index.build import build_index
 from dpr_ray.index.merge import merge_indexes
-from dpr_ray.query import scorer
 from dpr_ray.query.executor import QueryExecutor
 from dpr_ray.query.oracle import BruteForceBM25
 
@@ -28,20 +27,7 @@ QUESTIONS = [
 ]
 
 
-def _oracle_topk_banned(
-    o: BruteForceBM25, question: str, k: int, banned, rng=None
-):
-    scores = o.score_all(question).copy()
-    if len(banned):
-        scores[np.isin(o.docids, np.asarray(banned, np.uint64))] = 0.0
-    if rng is not None:  # half-open [lo, hi) docid window
-        lo, hi = rng
-        out = (o.docids < np.uint64(lo)) | (o.docids > np.uint64(hi - 1))
-        scores[out] = 0.0
-    nz = np.flatnonzero(scores > 0.0)
-    order = scorer.topk_order(scores[nz], o.docids[nz], k)
-    sel = nz[order]
-    return [(int(o.docids[i]), float(scores[i])) for i in sel]
+from bm25_oracle import oracle_topk as _oracle_topk_banned  # noqa: E402
 
 
 @pytest.fixture(scope="module")
