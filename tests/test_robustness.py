@@ -271,6 +271,31 @@ def test_corpus_fingerprint_mtime_ns(ray_session, tmp_path):
     assert fp1 != fp2
 
 
+def test_corpus_fingerprint_length_framing(monkeypatch):
+    """The path entry must be length-framed: a stat-able path 'a' with sig
+    '1:2' and a single unstat-able path literally named 'a:1:2' used to
+    feed identical bytes to the hash — two distinct corpora, one
+    fingerprint, so resume=True could silently serve the wrong one."""
+    from dpr_ray.index import build as build_mod
+    from dpr_ray.index.build import corpus_fingerprint
+
+    class _FakeDS:
+        def __init__(self, files):
+            self._files = files
+
+        def input_files(self):
+            return self._files
+
+    sigs = {"a": "1:2", "a:1:2": None}
+    monkeypatch.setattr(
+        build_mod, "_stat_sigs", lambda paths: [sigs[p] for p in paths]
+    )
+    fp_statable = corpus_fingerprint(_FakeDS(["a"]))
+    fp_colliding_name = corpus_fingerprint(_FakeDS(["a:1:2"]))
+    assert fp_statable is not None and fp_colliding_name is not None
+    assert fp_statable != fp_colliding_name
+
+
 def test_extreme_provided_docids(ray_session, tmp_path):
     """Provided docids may use the FULL uint64 space (hash64 ids are 63-bit,
     a provided-id corpus isn't): docid 2^64-1 used to overflow the int64
