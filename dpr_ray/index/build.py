@@ -810,9 +810,28 @@ def build_index(
         # hashing: terms silently missing. done_path needs no separate check:
         # it is removed whenever the spill is rewritten, so it can only
         # coexist with a spill marker that already passed these checks.
+        # Marker trust policy: an affirmative MISMATCH of a recorded
+        # signature/fingerprint is user error and refuses loudly; a marker
+        # that is unparseable (pre-atomic-write kill artifact) or predates
+        # signing entirely is treated as ABSENT — the spill is rebuilt from
+        # the current corpus+params, which is always safe: the (signed)
+        # docstore marker upstream already refused any corpus change, and
+        # removing done_path forces segments to rebuild from the new spill.
+        smark = None
         if resume and os.path.exists(spill_marker):
-            with open(spill_marker) as f:
-                smark = json.load(f)
+            try:
+                with open(spill_marker) as f:
+                    smark = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                smark = None
+            if not isinstance(smark, dict) or "resume_sig" not in smark:
+                smark = None
+                log.warning(
+                    "spill marker %s is unreadable or predates marker "
+                    "signing — rebuilding the postings spill",
+                    spill_marker,
+                )
+        if smark is not None:
             _check_resume_fp(
                 smark.get("corpus_fp"), corpus_fp, index_dir, "postings spill"
             )
@@ -820,16 +839,23 @@ def build_index(
                 smark.get("resume_sig"), full_sig, index_dir, "postings spill"
             )
         else:
+            # drop stale state FIRST (marker, bucket list, spill) so a kill
+            # anywhere inside the rewrite leaves no marker — the next resume
+            # rebuilds; writing the marker before removing done_path would
+            # open a window where a fresh signed marker coexists with a
+            # bucket list from the PREVIOUS spill
+            for p in (spill_marker, done_path):
+                if os.path.exists(p):
+                    os.remove(p)
             _sh.rmtree(spill_dir, ignore_errors=True)
             write_partitioned(posts, spill_dir, "tbucket")
-            with open(spill_marker, "w") as f:
+            tmp_m = spill_marker + ".tmp"
+            with open(tmp_m, "w") as f:
                 json.dump({
                     "complete": True, "corpus_fp": corpus_fp,
                     "resume_sig": full_sig,
                 }, f)
-            for p in (done_path,):
-                if os.path.exists(p):
-                    os.remove(p)
+            os.replace(tmp_m, spill_marker)
         done: set[int] = set()
         if resume and os.path.exists(done_path):
             with open(done_path) as f:

@@ -129,6 +129,41 @@ def test_partition_resume_refuses_stale_spill(ray_session, tmp_path):
                     block_size=64, group_budget=20, sample_mod=1, resume=True)
 
 
+def test_partition_resume_rebuilds_on_bad_spill_marker(ray_session, tmp_path):
+    """A spill marker that is unparseable (pre-atomic-write kill artifact)
+    or predates signing ({"complete": true} only) is NOT user error: it is
+    treated as absent — the spill is rebuilt from the current corpus+params
+    (safe: the signed docstore marker upstream refuses corpus changes) and
+    the resumed build converges to clean-run bytes instead of crashing with
+    JSONDecodeError or silently reusing an unverifiable spill."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(30, seed=9)
+    cdir = tmp_path / "corp"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part.parquet"))
+    idx = str(tmp_path / "idx")
+    kw = dict(docid_strategy="hash64", partition_resume=True, block_size=64,
+              group_budget=20, sample_mod=1)
+    build_index(ray.data.read_parquet(str(cdir)), idx, **kw)
+    clean = str(tmp_path / "clean")
+    build_index(ray.data.read_parquet(str(cdir)), clean, **kw)
+
+    for bad in ('{"complete": tru', '{"complete": true}'):
+        os.remove(os.path.join(idx, "manifest.json"))
+        with open(os.path.join(idx, "spill_done.json"), "w") as f:
+            f.write(bad)
+        stats = build_index(ray.data.read_parquet(str(cdir)), idx,
+                            resume=True, **kw)
+        assert stats["N"] == 30
+        assert _segment_rows(idx) == _segment_rows(clean)
+        # the rebuilt marker is signed: a stale-params resume refuses again
+        with open(os.path.join(idx, "spill_done.json")) as f:
+            smark = json.load(f)
+        assert smark.get("resume_sig") and smark.get("corpus_fp")
+
+
 def test_resume_refuses_changed_corpus(ray_session, tmp_path):
     """resume=True must not silently serve a DIFFERENT corpus: the
     docstore marker and the manifest record a best-effort corpus

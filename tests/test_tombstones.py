@@ -15,9 +15,10 @@ import pytest
 from dpr_ray import corpus as corpus_mod
 from dpr_ray.config import BM25Params
 from dpr_ray.index.build import build_index
-from dpr_ray.query import scorer
 from dpr_ray.query.executor import QueryExecutor
 from dpr_ray.query.oracle import BruteForceBM25
+
+from bm25_oracle import oracle_topk as _oracle_topk_banned  # noqa: E402
 
 QUESTIONS = [
     "def return import class",
@@ -25,16 +26,6 @@ QUESTIONS = [
     "answer 3 if else while",
     "no such tokens here xyzzy",
 ]
-
-
-def _oracle_topk_banned(o: BruteForceBM25, question: str, k: int, banned):
-    scores = o.score_all(question).copy()
-    if len(banned):
-        scores[np.isin(o.docids, np.asarray(banned, np.uint64))] = 0.0
-    nz = np.flatnonzero(scores > 0.0)
-    order = scorer.topk_order(scores[nz], o.docids[nz], k)
-    sel = nz[order]
-    return [(int(o.docids[i]), float(scores[i])) for i in sel]
 
 
 def _run(index_dir, method, banned, k=10):
