@@ -547,9 +547,20 @@ def build_index(
     from ray.data.aggregate import Max
 
     salt_map: dict[str, int] = {}  # term -> shift
-    if resume and os.path.exists(docstore_marker):
-        with open(docstore_marker) as f:
-            dmark = json.load(f)
+    # marker trust policy (see man.read_json_marker): unparseable or
+    # missing-keys markers are ABSENT → rebuild; present signatures that
+    # MISMATCH still refuse loudly below
+    dmark = man.read_json_marker(docstore_marker) if resume else None
+    if dmark is not None and not (
+        {"resume_sig", "n_docs", "sum_dl", "max_docid", "salt_map"}
+        <= dmark.keys()
+    ):
+        dmark = None
+        log.warning(
+            "docstore marker %s is unreadable or predates marker signing"
+            " — rebuilding the docstore", docstore_marker,
+        )
+    if dmark is not None:
         _check_resume_fp(
             dmark.get("corpus_fp"), corpus_fp, index_dir, "docstore"
         )
@@ -657,19 +668,18 @@ def build_index(
                 })
             )
             pq_.write_table(empty, os.path.join(docstore_dir, "empty.parquet"))
-        with open(docstore_marker, "w") as f:
-            json.dump(
-                {
-                    "complete": True,
-                    "corpus_fp": corpus_fp,
-                    "resume_sig": doc_sig,
-                    "n_docs": n_docs,
-                    "sum_dl": sum_dl,
-                    "max_docid": max_docid,
-                    "salt_map": salt_map,
-                },
-                f,
-            )
+        man.write_json_atomic(
+            docstore_marker,
+            {
+                "complete": True,
+                "corpus_fp": corpus_fp,
+                "resume_sig": doc_sig,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "max_docid": max_docid,
+                "salt_map": salt_map,
+            },
+        )
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     salt_ref = ray.put(salt_map)  # broadcast once; actors ray.get in __init__
     t_docstore = t_stats = t_sample = time.time()
@@ -817,20 +827,15 @@ def build_index(
         # the current corpus+params, which is always safe: the (signed)
         # docstore marker upstream already refused any corpus change, and
         # removing done_path forces segments to rebuild from the new spill.
-        smark = None
-        if resume and os.path.exists(spill_marker):
-            try:
-                with open(spill_marker) as f:
-                    smark = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                smark = None
-            if not isinstance(smark, dict) or "resume_sig" not in smark:
-                smark = None
-                log.warning(
-                    "spill marker %s is unreadable or predates marker "
-                    "signing — rebuilding the postings spill",
-                    spill_marker,
-                )
+        smark = man.read_json_marker(spill_marker) if resume else None
+        if smark is not None and "resume_sig" not in smark:
+            smark = None
+        if resume and smark is None and os.path.exists(spill_marker):
+            log.warning(
+                "spill marker %s is unreadable or predates marker "
+                "signing — rebuilding the postings spill",
+                spill_marker,
+            )
         if smark is not None:
             _check_resume_fp(
                 smark.get("corpus_fp"), corpus_fp, index_dir, "postings spill"
@@ -849,17 +854,15 @@ def build_index(
                     os.remove(p)
             _sh.rmtree(spill_dir, ignore_errors=True)
             write_partitioned(posts, spill_dir, "tbucket")
-            tmp_m = spill_marker + ".tmp"
-            with open(tmp_m, "w") as f:
-                json.dump({
-                    "complete": True, "corpus_fp": corpus_fp,
-                    "resume_sig": full_sig,
-                }, f)
-            os.replace(tmp_m, spill_marker)
+            man.write_json_atomic(spill_marker, {
+                "complete": True, "corpus_fp": corpus_fp,
+                "resume_sig": full_sig,
+            })
         done: set[int] = set()
-        if resume and os.path.exists(done_path):
-            with open(done_path) as f:
-                done = set(json.load(f)["buckets"])
+        if resume:
+            dp = man.read_json_marker(done_path)
+            if dp is not None and isinstance(dp.get("buckets"), list):
+                done = set(dp["buckets"])
         for b in range(num_tbuckets):
             if b in done:
                 continue
@@ -872,10 +875,7 @@ def build_index(
                 ).map_groups(merge_bucket, batch_format="pyarrow")
                 final_b.write_parquet(out_b)
             done.add(b)
-            tmp = done_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"buckets": sorted(done)}, f)
-            os.replace(tmp, done_path)
+            man.write_json_atomic(done_path, {"buckets": sorted(done)})
     # empty corpus / empty buckets: guarantee at least one (0-row) segment
     # file so readers always see the canonical schema
     seg.ensure_nonempty_segments(segments_dir)

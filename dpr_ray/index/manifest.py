@@ -41,6 +41,31 @@ def _partition_table(root: str) -> list[dict]:
     return out
 
 
+def write_json_atomic(path: str, obj: dict, **dump_kwargs) -> None:
+    """Write-then-rename so a kill mid-dump never leaves a truncated JSON
+    file at ``path`` — resume markers are trusted by filename, so a
+    half-written marker must not be observable."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, **dump_kwargs)
+    os.replace(tmp, path)
+
+
+def read_json_marker(path: str) -> dict | None:
+    """Marker trust policy (shared by every resume marker): a marker that
+    is missing, unparseable (a pre-atomic-write kill artifact), or not a
+    JSON object is treated as ABSENT — the caller rebuilds, which is
+    always safe because every build/merge stage is deterministic.
+    Affirmative signature/fingerprint MISMATCHES stay the caller's job
+    and still refuse loudly (user error, not a kill artifact)."""
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+    except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+        return None
+    return obj if isinstance(obj, dict) else None
+
+
 def write_manifest(
     index_dir: str, *, stats: dict, timings: dict, salt_map: dict,
     corpus_fp: str | None = None, resume_sig: str | None = None,
@@ -57,17 +82,17 @@ def write_manifest(
             "segments": _partition_table(os.path.join(index_dir, "segments")),
         },
     }
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    write_json_atomic(
+        os.path.join(index_dir, "manifest.json"), manifest,
+        indent=1, sort_keys=True,
+    )
     return manifest
 
 
 def read_manifest(index_dir: str) -> dict | None:
-    p = os.path.join(index_dir, "manifest.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    # truncated manifest (kill mid-write, pre-atomic-write artifact) reads
+    # as absent: is_complete() then returns False and the build reruns
+    return read_json_marker(os.path.join(index_dir, "manifest.json"))
 
 
 def is_complete(index_dir: str) -> bool:

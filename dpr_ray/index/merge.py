@@ -81,6 +81,7 @@ import ray.data
 
 from .._shipping import ensure_shippable
 from ..config import BLOCK_SIZE, BM25Params
+from . import manifest as man
 from . import segments as seg
 from .manifest import write_manifest
 
@@ -356,11 +357,14 @@ def merge_indexes(
     )
     marker = os.path.join(out_dir, "merge_docstore_done.json")
     doc_stats = None
-    if resume and os.path.exists(marker):
-        with open(marker) as f:
-            done = json.load(f)
+    if resume:
+        # unparseable / truncated marker reads as absent (kill mid-write
+        # artifact — see manifest.read_json_marker's trust policy)
+        done = man.read_json_marker(marker)
         if (
-            done.get("signature") == sig
+            done is not None
+            and done.get("signature") == sig
+            and isinstance(done.get("doc_stats"), dict)
             and os.path.isdir(out_docstore)
             and any(f.endswith(".parquet") for f in os.listdir(out_docstore))
         ):
@@ -413,8 +417,7 @@ def merge_indexes(
                 schema.empty_table(),
                 os.path.join(out_docstore, "empty.parquet"),
             )
-        with open(marker, "w") as f:
-            json.dump({"signature": sig, "doc_stats": doc_stats}, f)
+        man.write_json_atomic(marker, {"signature": sig, "doc_stats": doc_stats})
     t_docstore = time.time()
 
     if upsert:

@@ -285,9 +285,15 @@ def ensure_nonempty_segments(segments_dir: str) -> None:
 
 
 def write_stats(index_dir: str, stats: dict) -> None:
+    from .manifest import write_json_atomic
+
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1, sort_keys=True)
+    # atomic like every other index-dir JSON: a kill mid-dump must not
+    # leave a truncated stats.json next to otherwise-valid segments
+    write_json_atomic(
+        os.path.join(index_dir, "stats.json"), stats,
+        indent=1, sort_keys=True,
+    )
 
 
 def read_stats(index_dir: str) -> dict:

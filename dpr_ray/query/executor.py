@@ -175,6 +175,11 @@ class SegmentStore:
                     f"docid_range must be half-open [lo, hi) with "
                     f"0 <= lo <= hi <= 2^64, got ({lo_r}, {hi_r})"
                 )
+            # store the PYTHON ints, not the caller's tuple: a numpy-typed
+            # bound (e.g. np.uint64 from a docids.max()+1) silently promotes
+            # `hi - 1` to float64 under NumPy 1.26 in scored()'s window mask,
+            # losing up to ~2^11 of precision near 2^64
+            docid_range = (lo_r, hi_r)
         self.docid_range = docid_range
         # dense TAAT accumulator: when docids are dense (ordinal strategy),
         # score into a reusable float64 buffer indexed by docid — O(postings)

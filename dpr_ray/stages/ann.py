@@ -113,9 +113,10 @@ def _empty_knn_result():
     """Schema-stable zero-row result (the `_final_topk_fn` schema) for the
     zero-queries edge: np.asarray([]) is 1-D, so the 2-D query-matrix math
     downstream would die with an opaque AxisError/IndexError otherwise.
-    Training-based indexers (IVF/PQ/SQ8) keep their loud no-sample
-    ValueError instead — an empty CORPUS can't train a quantizer and the
-    message names the actual problem."""
+    Training-based indexers (IVF/SQ8/PQ/IVFPQ) guard AFTER training, so an
+    empty CORPUS still raises their loud no-sample ValueError (the message
+    names the actual problem) while zero queries over a trainable corpus
+    return this empty result like the untrained paths do."""
     return ray.data.from_arrow(
         pa.table(
             {
@@ -273,6 +274,10 @@ def ivf_knn(
     ensure_shippable()
     ids, mat = _collect_sample(ds, id_col, vec_col, train_cutoff)
     plan = IVFPlan(ids, mat, n_lists=n_lists, iters=iters)
+    if len(query_ids) == 0:
+        # after training: empty corpus keeps its loud no-sample error;
+        # a (0,)-shaped query matrix would AxisError in _BatchTopK
+        return _empty_knn_result()
     qm = np.asarray(query_matrix, dtype=np.float64)
     probe_map: dict[int, set[int]] = {}
     for qid, v in zip(query_ids, qm):
@@ -694,6 +699,10 @@ def sq8_knn(
     over the dequantized stream. At 100 TB the stored codes (sq8_encode)
     are what ships between stages."""
     mn, mx = sq8_minmax(minmax_ds if minmax_ds is not None else ds, vec_col)
+    if len(query_ids) == 0:
+        # after training: a (0,)-shaped query matrix fails to broadcast
+        # against the (dim,) mn/mx in _sq8_dequant_mat
+        return _empty_knn_result()
     qd = _sq8_dequant_mat(np.asarray(query_matrix, np.float64), mn, mx)
     ref = ray.put((mn, mx))
 
@@ -863,6 +872,10 @@ def ivfpq_knn(
     else:
         train = mat
     pq = PQPlan(ids, train, m=m, ksub=ksub, iters=pq_iters)
+    if len(query_ids) == 0:
+        # after training (see _empty_knn_result): zero queries must not
+        # reach _BatchTopK's _normalize with a (0,)-shaped matrix
+        return _empty_knn_result()
     qm = np.asarray(query_matrix, dtype=np.float64)
     probe_map: dict[int, set[int]] = {}
     for qid, v in zip(query_ids, qm):

@@ -78,3 +78,49 @@ def test_empty_tables_all_queries(ray_session, empty_sf_dir):
 
     for name, fn in e.queries().items():
         _check(name, fn, empty_sf_dir)
+
+
+def test_trained_knn_zero_queries(ray_session):
+    """Zero QUERIES over a trainable (non-empty) corpus: the training-based
+    indexers must return the schema-stable empty result like brute/LSH do,
+    not crash. Pre-fix, sq8_knn's (0,)-shaped query matrix failed to
+    broadcast against the (dim,) min/max in _sq8_dequant_mat, and
+    ivf/ivfpq died in _BatchTopK's _normalize (AxisError on axis=1) —
+    the guard sits AFTER training so an empty corpus still raises the
+    loud no-sample ValueError (gated by the sweep above)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.stages import ann
+
+    rng = np.random.default_rng(7)
+    n, d = 40, 8
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    rng.normal(size=(n, d)).tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    empty_q = np.asarray([])
+    for fn, kw in [
+        (ann.brute_force_knn, {}),
+        (ann.lsh_knn, {}),
+        (ann.sq8_knn, {}),
+        (ann.ivf_knn, {"train_cutoff": n}),
+        (ann.pq_knn, {"train_cutoff": n, "m": 4, "ksub": 4}),
+        (ann.ivfpq_knn, {"train_cutoff": n, "m": 4, "ksub": 4}),
+        (
+            ann.ivfpq_knn,
+            {"train_cutoff": n, "m": 4, "ksub": 4, "by_residual": True},
+        ),
+    ]:
+        out = fn(ds, [], empty_q, k=5, **kw)
+        assert out.count() == 0, fn.__name__
+        assert set(out.schema().names) == {"qid", "vec_id", "rank", "sim"}, (
+            fn.__name__
+        )

@@ -412,6 +412,34 @@ def test_merge_docstore_phase_resume(ray_session, tmp_path):
     assert len(_docstore_rows(dm)) == 67  # 60 - 3 deleted + 10 added
 
 
+def test_merge_resumes_on_truncated_marker(ray_session, tmp_path):
+    """merge_docstore_done.json truncated by a kill mid-write (pre-atomic
+    artifact) must read as ABSENT: the docstore phase reruns (no
+    JSONDecodeError, no stale resume) and the merge converges."""
+    import json
+
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(40, seed=5)
+    delta = _adds_table(6)
+    dbase, ddelta, dm = (str(tmp_path / x) for x in ["base", "delta", "m"])
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(delta).repartition(1), ddelta,
+                docid_strategy="hash64")
+    merge_indexes([dbase, ddelta], dm, mode="upsert")
+    ref_seg = _segment_rows(dm)
+    ref_doc = _docstore_rows(dm)
+    with open(os.path.join(dm, "merge_docstore_done.json"), "w") as f:
+        f.write('{"signature": "abc", "doc_st')  # truncated dump
+    os.remove(os.path.join(dm, "manifest.json"))
+    merge_indexes([dbase, ddelta], dm, mode="upsert")
+    with open(os.path.join(dm, "manifest.json")) as f:
+        assert json.load(f)["timings"]["docstore_resumed"] is False
+    assert _segment_rows(dm) == ref_seg
+    assert _docstore_rows(dm) == ref_doc
+
+
 def test_doc_join_on_fully_deleted_index_and_missing_docids(
     ray_session, tmp_path
 ):

@@ -164,6 +164,67 @@ def test_partition_resume_rebuilds_on_bad_spill_marker(ray_session, tmp_path):
         assert smark.get("resume_sig") and smark.get("corpus_fp")
 
 
+def test_resume_rebuilds_on_truncated_markers(ray_session, tmp_path):
+    """EVERY resume marker shares the spill marker's trust policy: a
+    truncated/unparseable file (kill landed mid-json.dump before markers
+    were written atomically) or one missing required keys reads as ABSENT
+    — the stage reruns and converges to clean bytes — instead of crashing
+    the resume with JSONDecodeError/KeyError. Affirmative signature
+    mismatches still refuse loudly (test_resume_refuses_changed_params)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(30, seed=11)
+    cdir = tmp_path / "corp"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part.parquet"))
+    idx = str(tmp_path / "idx")
+    kw = dict(docid_strategy="hash64", partition_resume=True, block_size=64,
+              group_budget=20, sample_mod=1)
+    build_index(ray.data.read_parquet(str(cdir)), idx, **kw)
+    clean = str(tmp_path / "clean")
+    build_index(ray.data.read_parquet(str(cdir)), clean, **kw)
+
+    cases = [
+        # (marker file, bad content) — truncated json AND legacy/keyless
+        ("docstore_done.json", '{"complete": tru'),
+        ("docstore_done.json", '{"complete": true}'),  # predates signing
+        ("segments_done.json", '{"buckets": [0, 1'),
+        ("segments_done.json", '"not-an-object"'),
+        ("manifest.json", '{"complete": true, "stats": {"N"'),
+    ]
+    for fname, bad in cases:
+        # fresh complete state, then corrupt exactly one marker
+        stats = build_index(ray.data.read_parquet(str(cdir)), idx,
+                            resume=True, **kw)
+        with open(os.path.join(idx, fname), "w") as f:
+            f.write(bad)
+        if fname != "manifest.json":
+            # a complete manifest short-circuits before stage markers load
+            os.remove(os.path.join(idx, "manifest.json"))
+        stats = build_index(ray.data.read_parquet(str(cdir)), idx,
+                            resume=True, **kw)
+        assert stats["N"] == 30, (fname, bad)
+        assert _segment_rows(idx) == _segment_rows(clean), (fname, bad)
+
+
+def test_read_json_marker_policy(tmp_path):
+    """Unit contract of the shared helper: missing / unparseable /
+    non-object → None (absent); valid object → the dict. write_json_atomic
+    leaves no partial file at the destination path."""
+    from dpr_ray.index.manifest import read_json_marker, write_json_atomic
+
+    p = str(tmp_path / "m.json")
+    assert read_json_marker(p) is None  # missing
+    for bad in ('{"a": 1', "", "[1, 2]", '"str"', "\xff\xfe"):
+        with open(p, "w") as f:
+            f.write(bad)
+        assert read_json_marker(p) is None, bad
+    write_json_atomic(p, {"a": 1})
+    assert read_json_marker(p) == {"a": 1}
+    assert not os.path.exists(p + ".tmp")
+
+
 def test_resume_refuses_changed_corpus(ray_session, tmp_path):
     """resume=True must not silently serve a DIFFERENT corpus: the
     docstore marker and the manifest record a best-effort corpus

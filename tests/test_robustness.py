@@ -394,6 +394,28 @@ def test_extreme_provided_docids(ray_session, tmp_path):
             for r in QueryExecutor(dm, k=4, method=method)(qb2).to_pylist()
         ]
         assert got == want2, method
+    # numpy-TYPED range bounds (the natural product of `docids.max()+1`
+    # arithmetic) must behave exactly like python ints: pre-fix the raw
+    # tuple was stored after validation, and scored()'s `hi - 1` promoted
+    # np.uint64 to float64 (NumPy 1.26), silently rounding bounds near
+    # 2^64 to the nearest multiple of 2048 (or overflowing the uint64
+    # cast back). The executor now stores the int-cast bounds.
+    for method in ("taat", "maxscore", "bmw"):
+        for lo, hi in [
+            ((1 << 64) - 4001, (1 << 64) - 1),  # hi-1 not float64-exact
+            (1 << 63, (1 << 63) + 1000),
+            (0, 1 << 64),
+        ]:
+            ex_i = QueryExecutor(dm, k=4, method=method,
+                                 docid_range=(lo, hi))
+            ex_np = QueryExecutor(
+                dm, k=4, method=method,
+                docid_range=(np.uint64(lo), np.uint64(hi))
+                if hi < (1 << 64) else (np.uint64(lo), hi),
+            )
+            assert ex_i(qb2).to_pylist() == ex_np(qb2).to_pylist(), (
+                method, lo, hi,
+            )
 
 
 def test_dedup_ids_refuses_distinct_doc_collision(ray_session, tmp_path):

@@ -87,6 +87,7 @@ def main() -> None:
 
     from dpr_ray._shipping import ensure_shippable
     from dpr_ray.index.build import build_index
+    from dpr_ray.index.manifest import read_json_marker, write_json_atomic
     from dpr_ray.index.merge import merge_indexes
 
     ensure_shippable()  # standalone-tool rule: register BEFORE any UDF
@@ -115,9 +116,14 @@ def main() -> None:
     sig = _signature(index_dirs, args.mode, dels, args.deletes_are_docids)
     marker = os.path.join(args.out_index, "merge_done.json")
     if not args.no_resume and os.path.exists(marker):
-        with open(marker) as f:
-            done = json.load(f)
-        if done.get("signature") == sig:
+        # truncated/unparseable marker = kill artifact → re-merge (the
+        # trust policy of dpr_ray.index.manifest.read_json_marker)
+        done = read_json_marker(marker)
+        if (
+            done is not None
+            and done.get("signature") == sig
+            and isinstance(done.get("stats"), dict)
+        ):
             out["merge"] = "resumed (marker present, same inputs)"
             out["stats"] = done["stats"]
             print(json.dumps(out))
@@ -140,8 +146,7 @@ def main() -> None:
     )
     out["merge_sec"] = round(time.time() - t0, 2)
     out["stats"] = stats
-    with open(marker, "w") as f:
-        json.dump({"signature": sig, "stats": stats}, f)
+    write_json_atomic(marker, {"signature": sig, "stats": stats})
     print(json.dumps(out))
     ray.shutdown()
 
