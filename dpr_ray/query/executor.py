@@ -194,6 +194,14 @@ class SegmentStore:
         self._dense_ids: np.ndarray | None = None
         self._multi_buf: np.ndarray | None = None
         self._scratch: tuple | None = None
+        if self.docid_range is not None:
+            # warm entries are UNSHARDED absolute-docid decodes: a ranged
+            # store must decode (and window) its own postings — seeding
+            # them would serve out-of-range docs (sparse) or scatter
+            # absolute ids into the span-sized dense buffer (IndexError /
+            # silently wrong docids). Mirrors the banned-docids guard;
+            # search_pipeline already skips warm-up when sharded.
+            warm_refs = None
         if warm_refs:
             # shared pre-decoded postings (+ head-term impact perms and
             # posmaps): ray.get is zero-copy for the numpy arrays inside
@@ -474,7 +482,7 @@ class _PostingCursor:
     docid at a block boundary uses block_first metadata, no decode."""
 
     __slots__ = (
-        "idf", "block_first", "block_last", "block_ub",
+        "idf", "block_first", "block_last", "block_ub", "_ub_sfx",
         "_enc", "_dec", "bi", "off", "nblocks", "df",
     )
 
@@ -489,6 +497,15 @@ class _PostingCursor:
         self.block_first = np.asarray(bf, dtype=np.uint64)
         self.block_last = np.asarray(bl, dtype=np.uint64)
         self.block_ub = idf * np.asarray(bm, dtype=np.float64)
+        # suffix max of block_ub: max_ub() fires once per active cursor
+        # per WAND iteration, and rescanning block_ub[bi:] made pivot
+        # selection O(pivots × blocks) per term. max() over identical
+        # floats, so values are bitwise-unchanged.
+        self._ub_sfx = (
+            np.maximum.accumulate(self.block_ub[::-1])[::-1]
+            if len(bm)
+            else np.empty(0, np.float64)
+        )
         self._enc = enc
         self._dec: dict[int, tuple] = {}
         self.nblocks = len(enc)
@@ -509,7 +526,7 @@ class _PostingCursor:
         return float(self.block_ub[self.bi])
 
     def max_ub(self) -> float:
-        return float(self.block_ub[self.bi :].max()) if not self.exhausted() else 0.0
+        return float(self._ub_sfx[self.bi]) if not self.exhausted() else 0.0
 
     def _decode(self, bi: int) -> tuple:
         dec = self._dec.get(bi)
@@ -887,7 +904,10 @@ def maxscore_topk_dense(
     # search over the rare prefixes beats building dense maps
     order_df = np.argsort(dfs, kind="stable")
     ubs = np.array([e[2] for e in entries], dtype=np.float64)
-    cand = np.empty(0, np.uint64)
+    # match the entries' docid dtype (int64 on the dense path): seeding
+    # uint64 made the first concatenate promote cand — and every
+    # setdiff1d/lexsort after it — to float64 (same fix as _impact_expand)
+    cand = np.empty(0, entries[0][0].dtype)
     exact = np.empty(0, np.float64)
     theta = -np.inf
     for round_i, ti in enumerate(order_df):
@@ -1122,7 +1142,7 @@ class QueryExecutor:
         index_dir: str,
         k: int = DEFAULT_TOP_K,
         method: str = "taat",
-        cache_terms: int = 50_000,
+        cache_terms: int | None = None,  # None → DPR_CACHE_TERMS env knob
         warm_refs=None,
         result_cache: int = 100_000,
         docid_range: tuple[int, int] | None = None,
@@ -1394,7 +1414,25 @@ def doc_join_copartitioned(results_ds, index_dir: str, columns=None):
             fn.endswith(".parquet") for fn in os.listdir(store_dir)
         ):  # schema-only empty docstore: a join against it is empty
             if results_ds.count() == 0:
-                return results_ds
+                # keep the DocJoin schema contract: the probe path appends
+                # typed empty doc columns on its empty-batch path, so this
+                # mode must too — downstream select_columns/writes see the
+                # same schema either way. Built as one explicit empty
+                # Arrow table: a map_batches over a zero-block Dataset can
+                # drop the appended columns entirely.
+                rs = results_ds.schema()
+                dschema = pads.dataset(
+                    store_dir, partitioning="hive"
+                ).schema
+                arrs = {
+                    n: pa.array([], t)
+                    for n, t in zip(rs.names, rs.types)
+                }
+                for c in cols:
+                    arrs[c] = pa.array([], dschema.field(c).type)
+                import ray.data as _rd
+
+                return _rd.from_arrow(pa.table(arrs))
             raise ValueError(
                 f"docstore under {store_dir} is empty but the result set "
                 "is not — result docids cannot be joined"
@@ -1530,11 +1568,28 @@ def search_pipeline(
     warm_refs = None
     n_queries = None
     sharded = bool(doc_shards and doc_shards > 1)
+    if sharded and dedup_queries:
+        # silently dropping an explicitly requested optimization is worse
+        # than refusing: the two strategies don't compose yet (the dedup
+        # fan-out assumes ONE scoring pool's results per signature)
+        raise ValueError(
+            "dedup_queries is not supported with doc_shards > 1 — "
+            "dedup the query log upstream or serve unsharded"
+        )
+    caller_concurrency = concurrency
+    stats = seg.read_stats(index_dir)
     # sharded pools can't consume warm refs (warm entries are UNSHARDED
     # decodes; each shard must decode only blocks intersecting its range)
     # — skip the warm-up entirely rather than paying the cluster-wide
-    # decode + a Dataset execution and then dropping the refs per shard
-    if warm and not sharded and method in ("taat", "maxscore"):
+    # decode + a Dataset execution and then dropping the refs per shard.
+    # Warm helps every method that consumes scored-cache entries: taat,
+    # maxscore, and BMW over a DENSE index (pruned_topk_dense); sparse
+    # BMW cursors raw rows and never touches the scored LRU.
+    dense_index = int(stats.get("max_docid", 1 << 62)) < (1 << 23)
+    warm_methods = ("taat", "maxscore", "bmw") if dense_index else (
+        "taat", "maxscore"
+    )
+    if warm and not sharded and method in warm_methods:
         try:
             # distributed distinct-terms pass: each block reduces to ONE
             # row (its unique term list + row count), so the driver pulls
@@ -1589,12 +1644,25 @@ def search_pipeline(
         "warm_prefiltered": banned_ref is not None,
     }
     if sharded:
-        stats = seg.read_stats(index_dir)
-        span = int(stats.get("max_docid", 0)) + 1
+        if "max_docid" not in stats:
+            # defaulting to 0 would make every shard an empty window and
+            # silently serve (near-)nothing; a hand-built/corrupt index
+            # must fail loudly here (unsharded SegmentStore treats the
+            # same missing stat as sparse full-range and stays correct)
+            raise ValueError(
+                f"stats.json under {index_dir} lacks max_docid — cannot "
+                "compute doc_shards ranges (rebuild the index or serve "
+                "unsharded)"
+            )
+        span = int(stats["max_docid"]) + 1
         # integer edge math: hash64 docids approach 2^63, where float64
         # linspace loses exactness (and int64 casts can overflow)
         edges = [span * s // doc_shards for s in range(doc_shards + 1)]
         per_pool = max(1, (total - 1) // doc_shards)
+        shard_conc = (
+            caller_concurrency if caller_concurrency is not None
+            else (1, per_pool)
+        )
         shard_res = []
         for s in range(doc_shards):
             kw = dict(exec_kwargs)
@@ -1604,7 +1672,7 @@ def search_pipeline(
                     QueryExecutor,
                     fn_constructor_kwargs=kw,
                     batch_format="pyarrow",
-                    concurrency=(1, per_pool),
+                    concurrency=shard_conc,
                 )
             )
         res = shard_res[0]

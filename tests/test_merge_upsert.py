@@ -461,7 +461,14 @@ def test_doc_join_on_fully_deleted_index_and_missing_docids(
     empty_rs = ray.data.from_arrow(pa.table(
         {"qid": pa.array([], pa.string()),
          "docid": pa.array([], pa.uint64())}))
-    assert doc_join_copartitioned(empty_rs, dm).count() == 0
+    joined_empty = doc_join_copartitioned(empty_rs, dm)
+    assert joined_empty.count() == 0
+    # schema contract: the empty join must still append the typed doc
+    # columns, exactly like DocJoin's empty-batch path — downstream
+    # select_columns/writes must see one schema regardless of join mode
+    assert set(joined_empty.schema().names) == {
+        "qid", "docid", "ext_id", "title", "content"
+    }
     one_rs = ray.data.from_arrow(pa.table(
         {"qid": ["q"], "docid": pa.array([123], pa.uint64())}))
     with pytest.raises(ValueError, match="empty"):

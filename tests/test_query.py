@@ -563,3 +563,81 @@ def test_doc_shards_past_corpus_size(ray_session, tmp_path):
     assert res["docid"].is_unique
     got = [(int(d), float(s)) for d, s in zip(res["docid"], res["score"])]
     assert got == oracle.top_k(q, 3)
+
+
+def test_warm_refs_dropped_under_docid_range(setup_dense):
+    """warm entries are UNSHARDED absolute-docid decodes: a ranged store
+    must drop them (mirror of the banned-docids guard). Pre-fix, a dense
+    ranged store scattered absolute warm docids into its span-sized
+    buffer (IndexError past the span, silently wrong docids inside it),
+    and a sparse ranged store served full-corpus results. warm_refs +
+    docid_range must equal the cold ranged executor bitwise."""
+    import pyarrow as pa
+
+    from dpr_ray import analyzer
+
+    index_dir, _oracle = setup_dense
+    terms = sorted({t for q in QUERIES for t in analyzer.tokenize(q)})
+    refs = qe.warm_posting_refs(index_dir, terms, chunks=2)
+    batch = pa.table(
+        {
+            "qid": pa.array([f"q{i}" for i in range(len(QUERIES))]),
+            "question": pa.array(QUERIES),
+        }
+    )
+    # lo > 0 windows: absolute warm ids would mis-rebase (dense) or
+    # escape the window (sparse BMW)
+    for method in ("taat", "maxscore", "bmw"):
+        for rng in [(N_DOCS // 3, N_DOCS), (10, 40), (0, N_DOCS // 2)]:
+            cold = qe.QueryExecutor(
+                index_dir, k=10, method=method, docid_range=rng
+            )(batch).to_pylist()
+            warm = qe.QueryExecutor(
+                index_dir, k=10, method=method, docid_range=rng,
+                warm_refs=refs,
+            )(batch).to_pylist()
+            assert warm == cold, (method, rng)
+
+
+def test_cache_terms_env_knob(setup, monkeypatch):
+    """DPR_CACHE_TERMS must reach the serving path: QueryExecutor's old
+    hardcoded default (50_000) silently shadowed the env knob that
+    large-corpus deployments use to cap per-actor raw-rows cache."""
+    index_dir, _oracle = setup
+    monkeypatch.setenv("DPR_CACHE_TERMS", "7")
+    assert qe.QueryExecutor(index_dir, k=5).store._cache_terms == 7
+    # explicit argument still wins over the env
+    assert (
+        qe.QueryExecutor(index_dir, k=5, cache_terms=3).store._cache_terms
+        == 3
+    )
+
+
+def test_search_pipeline_sharded_validation(setup, ray_session, tmp_path):
+    """doc_shards composition guards: dedup_queries doesn't compose with
+    sharding (refuse loudly, never silently drop the requested dedup);
+    a stats.json missing max_docid must refuse sharding (defaulting to 0
+    made every shard a near-empty window — silent wrong results)."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    index_dir, _oracle = setup
+    qds = ray.data.from_arrow(
+        pa.table({"qid": ["a"], "question": ["def return"]})
+    )
+    with _pytest.raises(ValueError, match="dedup_queries"):
+        qe.search_pipeline(qds, index_dir, doc_shards=2, dedup_queries=True)
+    d2 = str(tmp_path / "no_maxdocid")
+    shutil.copytree(index_dir, d2)
+    with open(os.path.join(d2, "stats.json")) as f:
+        st = json.load(f)
+    st.pop("max_docid")
+    with open(os.path.join(d2, "stats.json"), "w") as f:
+        json.dump(st, f)
+    with _pytest.raises(ValueError, match="max_docid"):
+        qe.search_pipeline(qds, d2, doc_shards=2)
