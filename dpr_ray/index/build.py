@@ -35,7 +35,6 @@ design removes).
 from __future__ import annotations
 
 import hashlib
-import json
 import math
 import logging
 import os
@@ -863,6 +862,25 @@ def build_index(
             dp = man.read_json_marker(done_path)
             if dp is not None and isinstance(dp.get("buckets"), list):
                 done = set(dp["buckets"])
+        # stale bucket dirs OUTSIDE range(num_tbuckets) — left by a prior
+        # build with a larger num_tbuckets killed mid-segments and rerun
+        # with resume=False (resume=True refuses via the spill signature) —
+        # must go: the loop below only rewrites in-range buckets, and a
+        # leftover dir's postings use the OLD tbucket assignment (phantom
+        # terms in full-segment scans, inflated stats). The non-partition
+        # path wipes segments_dir entirely.
+        if os.path.isdir(segments_dir):
+            for d_ in os.listdir(segments_dir):
+                if not d_.startswith("tbucket="):
+                    continue
+                try:
+                    b_ = int(d_.split("=", 1)[1])
+                except ValueError:
+                    b_ = -1
+                if not (0 <= b_ < num_tbuckets):
+                    _sh.rmtree(
+                        os.path.join(segments_dir, d_), ignore_errors=True
+                    )
         for b in range(num_tbuckets):
             if b in done:
                 continue

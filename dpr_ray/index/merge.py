@@ -187,7 +187,13 @@ def _merge_signature(
                     h.update(f"{name}|{st.st_size}|{st.st_mtime_ns}".encode())
     h.update(f"{mode}|{params.k1}|{params.b}|{num_tbuckets}|{block_size}".encode())
     for e in sorted(delete_ext_ids or []):
-        h.update(e.encode())
+        # length-framed: unframed concatenation made ['repo/ab','c'] and
+        # ['repo/a','bc'] collide, falsely resuming a stale merged
+        # docstore whose tombstone set (and avgdl) differ from the
+        # segments phase's (the corpus_fingerprint collision class)
+        b = e.encode()
+        h.update(len(b).to_bytes(4, "little"))
+        h.update(b)
     if delete_docids is not None and len(delete_docids):
         for v in np.sort(np.asarray(delete_docids, dtype=np.uint64)):
             h.update(int(v).to_bytes(8, "little"))
@@ -343,6 +349,15 @@ def merge_indexes(
     out_segments = os.path.join(out_dir, "segments")
     out_docstore = os.path.join(out_dir, "docstore")
     os.makedirs(out_dir, exist_ok=True)
+    # invalidate a PRIOR run's completeness claims BEFORE mutating outputs
+    # (the build_index discipline): a re-merge killed mid-segments must
+    # not leave an out_dir whose stale stats.json/manifest.json still say
+    # "complete" over wiped/partial segments — readers would serve wrong
+    # stats silently
+    for stale in ("manifest.json", "stats.json"):
+        p = os.path.join(out_dir, stale)
+        if os.path.exists(p):
+            os.remove(p)
     shutil.rmtree(out_segments, ignore_errors=True)
 
     # ---- docstore first: the upsert avgdl comes from SURVIVING docs, and
@@ -429,7 +444,16 @@ def merge_indexes(
         # scratch union build — the byte-for-byte property depends on it
         n_docs = sum(int(s["N"]) for s in stats_list)
         sum_dl = sum(int(s["sum_dl"]) for s in stats_list)
-        max_docid = max(int(s.get("max_docid", 0)) for s in stats_list)
+        for d, s in zip(index_dirs, stats_list):
+            if "max_docid" not in s:
+                # fabricating max_docid=0 here would defeat the executor's
+                # loud refuse-when-absent doc_shards guard AND flip it
+                # into dense mode with real docids far past the buffer
+                raise ValueError(
+                    f"input index {d} has no max_docid in stats.json — "
+                    "rebuild it before merging"
+                )
+        max_docid = max(int(s["max_docid"]) for s in stats_list)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     # ---- segments: ONE groupby(tbucket) over encoded sub-lists, re-encoded
@@ -589,5 +613,12 @@ def merge_indexes(
             "docstore_resumed": doc_resumed,
         },
         salt_map={},
+        # sentinel fp/sig: a manifest with BOTH as None skips build_index's
+        # resume guards (old-marker leniency), so build_index(resume=True)
+        # pointed at a merge output would silently return the merged stats
+        # for an unrelated corpus/params. Any real corpus fingerprint or
+        # build signature mismatches these and refuses loudly.
+        corpus_fp=f"merged:{sig}",
+        resume_sig=f"merged:{sig}",
     )
     return stats

@@ -791,3 +791,115 @@ def test_merge_identities(ray_session, tmp_path):
     m3 = str(tmp_path / "m3")
     merge_indexes([a, a], m3, mode="upsert")
     assert QueryExecutor(m3, k=8)(qb).to_pylist() == base
+
+
+def test_merge_signature_framing(tmp_path):
+    """Delete lists are length-framed in BOTH resume signatures: unframed
+    concatenation made ['repo/ab','c'] and ['repo/a','bc'] hash equal —
+    a resumed merge would reuse a stale docstore whose tombstone set (and
+    avgdl) differ from the segments phase's."""
+    from dpr_ray.config import BM25Params
+    from dpr_ray.index.merge import _merge_signature
+
+    s1 = _merge_signature(
+        [], [], "upsert", ["repo/ab", "c"], None, BM25Params(), 16, 128
+    )
+    s2 = _merge_signature(
+        [], [], "upsert", ["repo/a", "bc"], None, BM25Params(), 16, 128
+    )
+    assert s1 != s2
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from merge_job import _signature
+    finally:
+        sys.path.pop(0)
+    d = str(tmp_path / "i")
+    os.makedirs(d)
+    with open(os.path.join(d, "stats.json"), "w") as f:
+        f.write("{}")
+    assert _signature([d], "upsert", ["ab", "c"], False) != _signature(
+        [d], "upsert", ["a", "bc"], False
+    )
+
+
+def test_failed_remerge_invalidates_completeness(
+    ray_session, tmp_path, monkeypatch
+):
+    """A re-merge into a previously COMPLETE out_dir that dies during the
+    segments phase must not leave the old stats.json/manifest.json
+    claiming completeness over wiped segments — merge_indexes removes
+    both before mutating outputs (the build_index discipline)."""
+    import ray.data
+
+    from dpr_ray.index import manifest as man
+    from dpr_ray.index import segments as segmod
+
+    base = corpus_mod.synth_corpus_table(30, seed=21)
+    dbase, dm = str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    merge_indexes([dbase], dm, mode="upsert",
+                  delete_ext_ids=_ext_ids(base.slice(0, 2)))
+    assert man.is_complete(dm)
+    assert os.path.exists(os.path.join(dm, "stats.json"))
+
+    def boom(rows):
+        raise RuntimeError("injected segments-phase failure")
+
+    monkeypatch.setattr(segmod, "rows_to_table", boom)
+    with pytest.raises(Exception):
+        merge_indexes([dbase], dm, mode="upsert",
+                      delete_ext_ids=_ext_ids(base.slice(0, 5)))
+    # no stale completeness claims survive the failed rewrite
+    assert not man.is_complete(dm)
+    assert not os.path.exists(os.path.join(dm, "stats.json"))
+    monkeypatch.undo()
+    # and the re-run converges cleanly
+    merge_indexes([dbase], dm, mode="upsert",
+                  delete_ext_ids=_ext_ids(base.slice(0, 5)))
+    assert man.is_complete(dm)
+
+
+def test_build_resume_refuses_merged_dir(ray_session, tmp_path):
+    """A merge output's manifest carries sentinel corpus_fp/resume_sig:
+    build_index(resume=True) pointed at it must refuse loudly instead of
+    silently returning the merged stats for an unrelated corpus (None
+    fp/sig would skip both resume guards)."""
+    import ray.data
+
+    base = corpus_mod.synth_corpus_table(25, seed=31)
+    dbase, dm = str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(ray.data.from_arrow(base).repartition(2), dbase,
+                docid_strategy="hash64")
+    merge_indexes([dbase], dm, mode="upsert",
+                  delete_ext_ids=_ext_ids(base.slice(0, 3)))
+    with pytest.raises(ValueError, match="resume=True"):
+        build_index(ray.data.from_arrow(base), dm,
+                    docid_strategy="hash64", resume=True)
+
+
+def test_disjoint_merge_refuses_missing_max_docid(ray_session, tmp_path):
+    """An input whose stats.json lacks max_docid must fail the merge
+    loudly: fabricating 0 would defeat the executor's doc_shards
+    refuse-when-absent guard and mis-flip dense mode."""
+    import json
+
+    import ray.data
+
+    a = corpus_mod.synth_corpus_table(20, seed=41)
+    b = _adds_table(5)
+    da, db, dm = (str(tmp_path / x) for x in ["a", "b", "m"])
+    build_index(ray.data.from_arrow(a).repartition(1), da,
+                docid_strategy="hash64")
+    build_index(ray.data.from_arrow(b).repartition(1), db,
+                docid_strategy="hash64")
+    sp = os.path.join(db, "stats.json")
+    with open(sp) as f:
+        st = json.load(f)
+    st.pop("max_docid")
+    with open(sp, "w") as f:
+        json.dump(st, f)
+    with pytest.raises(ValueError, match="max_docid"):
+        merge_indexes([da, db], dm, mode="disjoint")

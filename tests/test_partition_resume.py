@@ -317,3 +317,38 @@ def test_resume_refuses_changed_params(ray_session, tmp_path):
     with pytest.raises(ValueError, match="parameters"):
         build_index(ds(), idx, docid_strategy="hash64", block_size=64,
                     resume=True)
+
+
+def test_partition_resume_removes_stale_bucket_dirs(ray_session, tmp_path):
+    """A prior partition build with a LARGER num_tbuckets killed
+    mid-segments leaves tbucket dirs the current range never rewrites;
+    rebuilding with resume=False must remove them — their postings use
+    the old bucket assignment (phantom terms in full-segment scans,
+    inflated stats). The non-partition path wipes segments_dir whole."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tbl = corpus_mod.synth_corpus_table(25, seed=19)
+    cdir = tmp_path / "corp"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part.parquet"))
+    kw = dict(docid_strategy="hash64", partition_resume=True,
+              num_tbuckets=4, group_budget=20, sample_mod=1)
+    clean = str(tmp_path / "clean")
+    build_index(ray.data.read_parquet(str(cdir)), clean, **kw)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.read_parquet(str(cdir)), idx, **kw)
+    # plant a stale out-of-range bucket dir (simulates the killed
+    # larger-num_tbuckets run) with a real segment file inside
+    seg_root = os.path.join(idx, "segments")
+    src_dir = next(
+        os.path.join(seg_root, d) for d in sorted(os.listdir(seg_root))
+        if d.startswith("tbucket=") and os.listdir(os.path.join(seg_root, d))
+    )
+    stale = os.path.join(seg_root, "tbucket=9")
+    shutil.copytree(src_dir, stale)
+    stats = build_index(ray.data.read_parquet(str(cdir)), idx,
+                        resume=False, **kw)
+    assert not os.path.exists(stale)
+    assert stats["N"] == 25
+    assert _segment_rows(idx) == _segment_rows(clean)

@@ -43,7 +43,12 @@ def _signature(index_dirs, mode, dels, deletes_are_docids) -> str:
     # (ext_id hashing vs raw docids) — it must invalidate the marker
     h.update(b"docids" if deletes_are_docids else b"ext_ids")
     for x in sorted(str(v) for v in dels):
-        h.update(x.encode())
+        # length-framed: unframed concatenation lets ['a','bc'] and
+        # ['ab','c'] collide and falsely skip a semantically different
+        # merge (same class as dpr_ray.index.merge._merge_signature)
+        b = x.encode()
+        h.update(len(b).to_bytes(4, "little"))
+        h.update(b)
     return h.hexdigest()
 
 
