@@ -83,16 +83,31 @@ def term_counts(text: str) -> Counter:
 
 
 def doc_lengths(texts) -> np.ndarray:
-    """Token count per document (the BM25 ``dl``)."""
+    """Token count per document (the BM25 ``dl``). Counts matches directly
+    — the count equals ``len(tokenize(t))`` (same pattern; lowercasing
+    never changes the match count) without materializing or lowercasing
+    any token strings, which the hot featurize path would only discard."""
+    fi = _PATTERN.finditer
+    norm = unicodedata.normalize
     return np.fromiter(
-        (len(toks) for toks in tokenize_batch(texts)), dtype=np.int64, count=len(texts)
+        (
+            0 if t is None else sum(1 for _ in fi(norm("NFD", t)))
+            for t in texts
+        ),
+        dtype=np.int64,
+        count=len(texts),
     )
 
 
 def is_subsequence(needle: list[str], haystack: list[str]) -> bool:
     """Contiguous token-subsequence containment, the reference's string-mode
     answer match (``dpr/data/qa_validation.py:175-193``): answer tokens must
-    appear consecutively in the passage tokens."""
+    appear consecutively in the passage tokens.
+
+    Deliberate divergence (test-pinned in test_analyzer): a ZERO-token
+    needle returns False here, whereas the reference's range loop would
+    vacuously match it — an all-whitespace "answer" counting every passage
+    as a hit is an upstream data bug worth surfacing, not a match."""
     n, h = len(needle), len(haystack)
     if n == 0 or n > h:
         return False

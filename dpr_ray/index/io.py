@@ -3,21 +3,38 @@
 ``ray.data.Dataset.write_parquet(partition_cols=...)`` in this Ray version
 serializes most of the write (measured: 49s vs 3.5s for the same 500k-row
 dataset without partition_cols). This sink does the same layout —
-``<out>/<col>=<value>/part-<uuid>.parquet`` — inside ``map_batches``: each
+``<out>/<col>=<value>/part-<hash>.parquet`` — inside ``map_batches``: each
 block writes one file per partition value it contains, fully parallel.
-Readers are unchanged (hive partitioning). File NAMES are not deterministic
-(uuid per task); all determinism guarantees are content-level (sorted row
-sets), which is what the resume/merge property tests assert.
+Readers are unchanged (hive partitioning).
+
+File names are the blake2b hash of the written rows (Arrow IPC bytes), so a
+Ray task RETRY (worker death after a partial write) re-produces the same
+names and overwrites its own files instead of duplicating rows under a
+fresh uuid — the sink is idempotent per block. Two DIFFERENT blocks of one
+partition never carry identical row sets in this engine (docstore blocks
+are docid-disjoint, spill/segment rows are (term, slice)-unique), so
+content-named files cannot collide into silent row loss; a true 128-bit
+hash collision is negligible. Names still vary with Ray's block boundaries
+between runs; cross-run determinism guarantees remain content-level
+(sorted row sets), which is what the resume/merge property tests assert.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def _content_name(tbl: pa.Table) -> str:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    h = hashlib.blake2b(sink.getvalue(), digest_size=16).hexdigest()
+    return f"part-{h}.parquet"
 
 
 def write_partitioned(
@@ -40,14 +57,14 @@ def write_partitioned(
         if batch.num_rows == 0:
             return pa.table(out)
         vals = batch[partition_col].to_numpy(zero_copy_only=False)
-        tid = uuid.uuid4().hex[:12]
         col_idx = batch.schema.get_field_index(partition_col)
         body = batch.remove_column(col_idx)
         for v in np.unique(vals):
             sub = body.filter(pa.array(vals == v))
             d = os.path.join(out_dir, f"{partition_col}={int(v)}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, f"part-{tid}.parquet"))
+            # content-hash name: task retries overwrite, never duplicate
+            pq.write_table(sub, os.path.join(d, _content_name(sub)))
         return pa.table(out)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -55,10 +72,11 @@ def write_partitioned(
 
     written = ds.map_batches(write_block, batch_format="pyarrow").aggregate(
         Sum("rows"), *[Sum(f"sum_{c}") for c in sum_cols]
-    )
+    ) or {}  # zero-block dataset: aggregate returns None, not zeros
     return {
-        "rows": int(written["sum(rows)"] or 0),
+        "rows": int(written.get("sum(rows)") or 0),
         **{
-            f"sum_{c}": int(written[f"sum(sum_{c})"] or 0) for c in sum_cols
+            f"sum_{c}": int(written.get(f"sum(sum_{c})") or 0)
+            for c in sum_cols
         },
     }

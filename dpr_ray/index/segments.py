@@ -139,7 +139,7 @@ def encode_single_block_lists(
     vocabularies (~70µs × |vocab| per batch, measured). Byte output is
     IDENTICAL to ``encode_posting_list`` for n ≤ block_size terms.
 
-    Returns (segment table [+ salt column when given], per-term salt)."""
+    Returns (segment table [+ salt column when given], per-term df)."""
     T = len(terms)
     if T == 0:
         empty = rows_to_table([])
@@ -149,6 +149,15 @@ def encode_single_block_lists(
     docids = docids.astype(np.uint64)
     starts = group_offsets[:-1]
     ends = group_offsets[1:]
+    if not (ends > starts).all():
+        # an empty group would SILENTLY steal a neighbor's bounds
+        # (reduceat identity semantics; first/last index out of the
+        # group) — a df=0 row with bogus block_max corrupts BMW pruning.
+        # No caller produces empty groups; make the precondition loud.
+        raise ValueError(
+            "encode_single_block_lists: empty term group "
+            f"(term {terms[int(np.argmin(ends - starts))]!r})"
+        )
     deltas = docids.copy()
     deltas[1:] = docids[1:] - docids[:-1]
     deltas[starts] = docids[starts]
@@ -227,6 +236,16 @@ def concat_delta_decode(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     RESTARTS at its first value (absolute). One cumsum with per-blob
     corrections reconstructs all absolutes."""
     deltas, vals_per_blob = concat_varint_decode(blobs)
+    if (vals_per_blob == 0).any():
+        # writers never emit a zero-posting block; a blob that decodes to
+        # nothing is a truncated/corrupt segment file. Without this check
+        # a TRAILING empty blob surfaced as an opaque IndexError in
+        # absd[starts] deep inside query serving (before the early return
+        # below: an all-empty blob list must also refuse, while an empty
+        # blob LIST — no blocks at all — stays a legal empty decode).
+        raise ValueError(
+            "corrupt posting blob: a block decoded to zero values"
+        )
     if len(deltas) == 0:
         return deltas, vals_per_blob
     starts = np.concatenate([[0], np.cumsum(vals_per_blob)[:-1]])

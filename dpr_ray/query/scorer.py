@@ -21,12 +21,10 @@ from ..config import BM25Params
 
 
 def idf(df: float, n_docs: float) -> float:
+    # math.log(1.0 + x), NOT log1p(x): the two differ in the last ulp
+    # (1.0 + x rounds first), and every scoring path must reproduce THIS
+    # value bitwise — a vectorized variant must be np.log(1.0 + x)
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-
-def idf_vec(dfs: np.ndarray, n_docs: float) -> np.ndarray:
-    d = dfs.astype(np.float64)
-    return np.log1p((n_docs - d + 0.5) / (d + 0.5))
 
 
 def tf_norm_vec(

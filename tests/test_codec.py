@@ -59,3 +59,43 @@ def test_max_tf_norm_is_conservative():
     bound = codec.max_tf_norm_bound(tfs, dls, 300.0, p.k1, p.b)
     exact = tf_norm_vec(tfs, dls, 300.0, p)
     assert float(bound) >= exact.max()
+
+
+def test_concat_delta_decode_rejects_empty_blob():
+    """A blob decoding to zero values is a truncated/corrupt segment file;
+    pre-guard, a TRAILING empty blob died as an opaque IndexError inside
+    the cumsum reconstruction deep in query serving."""
+    import pytest
+
+    from dpr_ray.index import segments as seg
+
+    good = codec.delta_encode(np.array([3, 9, 20], dtype=np.uint64))
+    ok, per = seg.concat_delta_decode([good, good])
+    assert per.tolist() == [3, 3]
+    for blobs in ([good, b""], [b"", good], [b""]):
+        with pytest.raises(ValueError, match="corrupt posting blob"):
+            seg.concat_delta_decode(blobs)
+
+
+def test_encode_single_block_lists_rejects_empty_group():
+    """An empty term group would silently steal a neighbor's bounds
+    (reduceat identity semantics) — a df=0 row with bogus block_max
+    corrupts BMW pruning; the precondition is now loud."""
+    import pytest
+
+    from dpr_ray.config import BM25Params
+    from dpr_ray.index import segments as seg
+
+    docids = np.array([3, 9], dtype=np.uint64)
+    tfs = np.array([1, 2], dtype=np.uint64)
+    dls = np.array([5, 6], dtype=np.uint64)
+    with pytest.raises(ValueError, match="empty term group"):
+        seg.encode_single_block_lists(
+            ["a", "b"], np.array([0, 0, 2], np.int64), docids, tfs, dls,
+            avgdl=5.0, params=BM25Params(), num_tbuckets=4,
+        )
+    tbl, dfs = seg.encode_single_block_lists(
+        ["a", "b"], np.array([0, 1, 2], np.int64), docids, tfs, dls,
+        avgdl=5.0, params=BM25Params(), num_tbuckets=4,
+    )
+    assert dfs.tolist() == [1, 1] and tbl.num_rows == 2

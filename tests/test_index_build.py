@@ -241,3 +241,50 @@ def test_salted_merge_adversarial_skew(ray_session, tmp_path, shape):
         out_s = QueryExecutor(salted, k=15, method=method)(qb).to_pylist()
         out_p = QueryExecutor(plain, k=15, method=method)(qb).to_pylist()
         assert out_s == out_p, (shape, method)
+
+
+def test_write_partitioned_retry_idempotent_and_zero_block(
+    ray_session, tmp_path
+):
+    """The partitioned sink names files by a content hash of the written
+    rows, so a Ray TASK RETRY (worker death after a partial write)
+    overwrites its own files instead of duplicating rows under a fresh
+    uuid. Simulated here by writing the same block twice into one dir.
+    Also: a zero-block dataset returns zeros instead of crashing on the
+    None aggregate."""
+    import pyarrow as pa
+    import ray.data
+
+    from dpr_ray.index.io import write_partitioned
+
+    tbl = pa.table(
+        {
+            "tbucket": pa.array([0, 0, 1], pa.int64()),
+            "v": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "o")
+    r1 = write_partitioned(ray.data.from_arrow(tbl), out, "tbucket",
+                           sum_cols=["v"])
+    files1 = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    # the retry: identical rows written again into the same directory
+    r2 = write_partitioned(ray.data.from_arrow(tbl), out, "tbucket",
+                           sum_cols=["v"])
+    files2 = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    assert files1 == files2  # same names, overwritten — no duplicates
+    assert r1 == r2 == {"rows": 3, "sum_v": 60}
+    import pyarrow.dataset as pads
+
+    back = pads.dataset(out, partitioning="hive").to_table()
+    assert back.num_rows == 3  # rows not doubled by the retry
+
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    assert write_partitioned(
+        empty, str(tmp_path / "e"), "tbucket", sum_cols=["v"]
+    ) == {"rows": 0, "sum_v": 0}
