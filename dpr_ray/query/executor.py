@@ -1585,7 +1585,10 @@ def search_pipeline(
     # Warm helps every method that consumes scored-cache entries: taat,
     # maxscore, and BMW over a DENSE index (pruned_topk_dense); sparse
     # BMW cursors raw rows and never touches the scored LRU.
-    dense_index = int(stats.get("max_docid", 1 << 62)) < (1 << 23)
+    # same condition as SegmentStore's unranged dense_size (max_docid + 1
+    # < 2^23) — at the exact boundary the store is SPARSE, and warming a
+    # sparse-BMW pool pays a decode the scorer never reads
+    dense_index = int(stats.get("max_docid", 1 << 62)) + 1 < (1 << 23)
     warm_methods = ("taat", "maxscore", "bmw") if dense_index else (
         "taat", "maxscore"
     )
