@@ -523,10 +523,14 @@ def build_index(
     # Invalidate any prior completeness claim BEFORE mutating outputs: a
     # rebuild killed mid-way must not leave a dir whose stale manifest still
     # says "complete" (a later resume would then return stale stats over a
-    # wiped/partial docstore). Non-resume rebuilds also drop stage markers.
-    man_path = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(man_path):
-        os.remove(man_path)
+    # wiped/partial docstore). stats.json goes too: merge_indexes and
+    # SegmentStore read it WITHOUT a completeness check, so a stale copy
+    # over partial data would serve the old corpus's N/avgdl silently.
+    # Non-resume rebuilds also drop stage markers.
+    for stale in ("manifest.json", "stats.json"):
+        p_ = os.path.join(index_dir, stale)
+        if os.path.exists(p_):
+            os.remove(p_)
     if not resume:
         for marker in (
             docstore_marker,

@@ -29,12 +29,36 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+class _HashSink:
+    """File-like sink that folds writes straight into blake2b — hashing
+    the IPC stream without materializing a second in-RAM copy of the
+    block (the byte stream is identical to a buffered one, so names are
+    unchanged)."""
+
+    closed = False
+
+    def __init__(self):
+        self.h = hashlib.blake2b(digest_size=16)
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, data) -> int:
+        self.h.update(data)
+        return len(data)
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def _content_name(tbl: pa.Table) -> str:
-    sink = pa.BufferOutputStream()
+    sink = _HashSink()
     with pa.ipc.new_stream(sink, tbl.schema) as w:
         w.write_table(tbl)
-    h = hashlib.blake2b(sink.getvalue(), digest_size=16).hexdigest()
-    return f"part-{h}.parquet"
+    return f"part-{sink.h.hexdigest()}.parquet"
 
 
 def write_partitioned(

@@ -314,6 +314,18 @@ def merge_indexes(
     max_pps = max_postings_per_slice or seg.MAX_POSTINGS_PER_SLICE
     num_dbuckets = int(s0.get("num_dbuckets", 16))
     upsert = mode == "upsert"
+    if not upsert:
+        # validate BEFORE any out_dir mutation: the refusal must not brick
+        # a previously complete out_dir (manifest/stats removal + segments
+        # wipe happen below). Fabricating max_docid=0 instead would defeat
+        # the executor's loud refuse-when-absent doc_shards guard AND flip
+        # it into dense mode with real docids far past the buffer.
+        for d, s in zip(index_dirs, stats_list):
+            if "max_docid" not in s:
+                raise ValueError(
+                    f"input index {d} has no max_docid in stats.json — "
+                    "rebuild it before merging"
+                )
 
     if upsert:
         sh_ids, sh_win = _build_shadow(
@@ -444,15 +456,7 @@ def merge_indexes(
         # scratch union build — the byte-for-byte property depends on it
         n_docs = sum(int(s["N"]) for s in stats_list)
         sum_dl = sum(int(s["sum_dl"]) for s in stats_list)
-        for d, s in zip(index_dirs, stats_list):
-            if "max_docid" not in s:
-                # fabricating max_docid=0 here would defeat the executor's
-                # loud refuse-when-absent doc_shards guard AND flip it
-                # into dense mode with real docids far past the buffer
-                raise ValueError(
-                    f"input index {d} has no max_docid in stats.json — "
-                    "rebuild it before merging"
-                )
+        # max_docid presence was validated BEFORE any out_dir mutation
         max_docid = max(int(s["max_docid"]) for s in stats_list)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 

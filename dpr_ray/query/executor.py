@@ -32,6 +32,7 @@ scores, so engine scores == oracle scores bitwise, not approximately.
 from __future__ import annotations
 
 import heapq
+import logging
 import os
 from collections import OrderedDict
 
@@ -43,6 +44,8 @@ import pyarrow.dataset as pads
 from .. import analyzer, codec
 from ..config import BM25Params, DEFAULT_TOP_K
 from ..util import auto_pool
+
+log = logging.getLogger(__name__)
 from ..index import segments as seg
 from . import scorer
 
@@ -1505,6 +1508,32 @@ def doc_join_copartitioned(results_ds, index_dir: str, columns=None):
     )
 
 
+def _shard_concurrency(caller, total_cpus: int, doc_shards: int):
+    """Per-shard-pool (min, max) actor bounds for sharded serving.
+
+    ``caller`` (the ``search_pipeline(concurrency=...)`` value) applies to
+    EACH shard pool, but its MINIMUM is clamped so the S pools' summed
+    minimums stay below the cluster's CPUs: the per-shard pools feed a
+    ``groupby(qid)`` top-k merge in the SAME streaming execution, and pool
+    minimums that hold every CPU starve that shuffle — a real measured
+    deadlock (CLAUDE.md, actor pool after a shuffle at 4 CPUs). Pool
+    MAXIMUMS are autoscaling demand, not held reservations, so the
+    caller's max passes through."""
+    cap = max(1, (total_cpus - 1) // doc_shards)
+    if caller is None:
+        return (1, cap)
+    cmin, cmax = (caller, caller) if isinstance(caller, int) else caller
+    if cmin > cap:
+        log.warning(
+            "doc_shards=%d pools with min concurrency %d would reserve "
+            "%d CPUs of %d and starve the top-k merge shuffle — clamping "
+            "each pool's minimum to %d",
+            doc_shards, cmin, cmin * doc_shards, total_cpus, cap,
+        )
+        cmin = cap
+    return (cmin, max(cmax, cmin))
+
+
 def search_pipeline(
     queries_ds,
     index_dir: str,
@@ -1553,7 +1582,9 @@ def search_pipeline(
     term); per-shard top-k merge by qid with the exact (-score, docid)
     order. Bitwise-identical to the unsharded path (a doc's postings live
     in exactly one shard, so per-doc float summation is unchanged);
-    identity test-gated."""
+    identity test-gated. ``concurrency`` applies to EACH shard pool; pool
+    minimums are clamped so their sum leaves CPUs for the per-qid top-k
+    merge shuffle running in the same execution (``_shard_concurrency``)."""
     from .._shipping import ensure_shippable
 
     ensure_shippable()
@@ -1585,10 +1616,10 @@ def search_pipeline(
     # Warm helps every method that consumes scored-cache entries: taat,
     # maxscore, and BMW over a DENSE index (pruned_topk_dense); sparse
     # BMW cursors raw rows and never touches the scored LRU.
-    # same condition as SegmentStore's unranged dense_size (max_docid + 1
-    # < 2^23) — at the exact boundary the store is SPARSE, and warming a
-    # sparse-BMW pool pays a decode the scorer never reads
-    dense_index = int(stats.get("max_docid", 1 << 62)) + 1 < (1 << 23)
+    # same condition as SegmentStore's unranged dense-mode switch
+    # (max_docid < 2^23 → dense_size = max_docid + 1): warming a
+    # sparse-BMW pool would pay a decode the scorer never reads
+    dense_index = int(stats.get("max_docid", 1 << 62)) < (1 << 23)
     warm_methods = ("taat", "maxscore", "bmw") if dense_index else (
         "taat", "maxscore"
     )
@@ -1661,10 +1692,8 @@ def search_pipeline(
         # integer edge math: hash64 docids approach 2^63, where float64
         # linspace loses exactness (and int64 casts can overflow)
         edges = [span * s // doc_shards for s in range(doc_shards + 1)]
-        per_pool = max(1, (total - 1) // doc_shards)
-        shard_conc = (
-            caller_concurrency if caller_concurrency is not None
-            else (1, per_pool)
+        shard_conc = _shard_concurrency(
+            caller_concurrency, total, doc_shards
         )
         shard_res = []
         for s in range(doc_shards):

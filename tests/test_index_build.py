@@ -288,3 +288,43 @@ def test_write_partitioned_retry_idempotent_and_zero_block(
     assert write_partitioned(
         empty, str(tmp_path / "e"), "tbucket", sum_cols=["v"]
     ) == {"rows": 0, "sum_v": 0}
+
+
+def test_failed_rebuild_invalidates_completeness(
+    ray_session, tmp_path, monkeypatch
+):
+    """An in-place rebuild that dies mid-way must not leave the PREVIOUS
+    build's manifest.json or stats.json claiming completeness: merge_indexes
+    and SegmentStore read stats.json without a completeness check, so a
+    stale copy over partial data would serve the old corpus's N/avgdl
+    silently. build_index removes both before mutating outputs (the same
+    discipline merge_indexes applies to its out_dir)."""
+    import ray.data
+
+    from dpr_ray.index import io as iomod
+
+    d = str(tmp_path / "idx")
+    a = corpus_mod.synth_corpus_table(25, seed=3)
+    b = corpus_mod.synth_corpus_table(40, seed=4)
+    build_index(ray.data.from_arrow(a).repartition(2), d,
+                docid_strategy="hash64")
+    assert man.is_complete(d)
+    assert os.path.exists(os.path.join(d, "stats.json"))
+
+    real = iomod.write_partitioned
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected segments-write failure")
+
+    monkeypatch.setattr(iomod, "write_partitioned", boom)
+    with pytest.raises(Exception, match="injected"):
+        build_index(ray.data.from_arrow(b).repartition(2), d,
+                    docid_strategy="hash64")
+    assert not man.is_complete(d)
+    assert not os.path.exists(os.path.join(d, "stats.json")), (
+        "stale stats.json survived a failed rebuild"
+    )
+    monkeypatch.setattr(iomod, "write_partitioned", real)
+    stats = build_index(ray.data.from_arrow(b).repartition(2), d,
+                        docid_strategy="hash64")
+    assert man.is_complete(d) and stats["N"] == 40

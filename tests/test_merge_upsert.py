@@ -883,10 +883,15 @@ def test_build_resume_refuses_merged_dir(ray_session, tmp_path):
 def test_disjoint_merge_refuses_missing_max_docid(ray_session, tmp_path):
     """An input whose stats.json lacks max_docid must fail the merge
     loudly: fabricating 0 would defeat the executor's doc_shards
-    refuse-when-absent guard and mis-flip dense mode."""
+    refuse-when-absent guard and mis-flip dense mode. The refusal must
+    also be NON-destructive: it validates before any out_dir mutation, so
+    a previously complete merge output stays complete and servable."""
     import json
 
     import ray.data
+
+    from dpr_ray.index import manifest as man
+    from dpr_ray.query.executor import QueryExecutor
 
     a = corpus_mod.synth_corpus_table(20, seed=41)
     b = _adds_table(5)
@@ -895,6 +900,11 @@ def test_disjoint_merge_refuses_missing_max_docid(ray_session, tmp_path):
                 docid_strategy="hash64")
     build_index(ray.data.from_arrow(b).repartition(1), db,
                 docid_strategy="hash64")
+    # a COMPLETE merge output first — the later refusal must not brick it
+    merge_indexes([da, db], dm, mode="disjoint")
+    assert man.is_complete(dm)
+    qb = pa.table({"qid": ["q0"], "question": [a["content"][0].as_py()]})
+    before = QueryExecutor(dm, k=5)(qb).to_pylist()
     sp = os.path.join(db, "stats.json")
     with open(sp) as f:
         st = json.load(f)
@@ -902,4 +912,6 @@ def test_disjoint_merge_refuses_missing_max_docid(ray_session, tmp_path):
     with open(sp, "w") as f:
         json.dump(st, f)
     with pytest.raises(ValueError, match="max_docid"):
-        merge_indexes([da, db], dm, mode="disjoint")
+        merge_indexes([da, db], dm, mode="disjoint", resume=False)
+    assert man.is_complete(dm), "refusal must not invalidate out_dir"
+    assert QueryExecutor(dm, k=5)(qb).to_pylist() == before

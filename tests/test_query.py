@@ -641,3 +641,25 @@ def test_search_pipeline_sharded_validation(setup, ray_session, tmp_path):
         json.dump(st, f)
     with _pytest.raises(ValueError, match="max_docid"):
         qe.search_pipeline(qds, d2, doc_shards=2)
+
+
+def test_shard_concurrency_clamps_minimums():
+    """Caller concurrency applies per shard pool, but pool MINIMUMS must
+    not sum to (or past) the cluster's CPUs: the shard pools feed the
+    per-qid top-k merge shuffle in the same streaming execution, and held
+    minimums starve it (the measured actor-pool-after-shuffle deadlock).
+    Maximums are autoscaling demand and pass through."""
+    from dpr_ray.query.executor import _shard_concurrency
+
+    # default: 1 .. (total-1)//shards
+    assert _shard_concurrency(None, 16, 4) == (1, 3)
+    assert _shard_concurrency(None, 4, 2) == (1, 1)
+    # explicit tuple within budget: untouched
+    assert _shard_concurrency((1, 2), 4, 2) == (1, 2)
+    assert _shard_concurrency((2, 8), 16, 4) == (2, 8)
+    # min over budget: clamped, max preserved
+    assert _shard_concurrency((8, 8), 16, 4) == (3, 8)
+    # int = fixed pool: min clamped, original size stays the max
+    assert _shard_concurrency(8, 16, 4) == (3, 8)
+    # degenerate tiny cluster: min never below 1
+    assert _shard_concurrency((4, 4), 2, 3) == (1, 4)
