@@ -155,10 +155,12 @@ _PARTIAL_SCHEMA = pa.schema(
         ("df_part", pa.int64()),
         ("cnt", pa.int64()),
         ("sum_dl", pa.int64()),
-        # uint64, not int64: provided docids may use the full 64-bit space
-        # (hash64 ids are 63-bit, but a provided-id corpus isn't) — int64
-        # overflowed at 2^63 with an opaque OverflowError in the writer
-        ("max_docid", pa.uint64()),
+        # ORDER-PRESERVING-ENCODED int64 (x - 2^63): provided docids use
+        # the full 64-bit space, and BOTH raw int64 (overflow at 2^63 in
+        # the writer) and raw uint64 (Ray's Max aggregate rebuilds values
+        # through Python ints as int64, overflowing at 2^64-1 in the
+        # reduce) fail at the edges; the shifted encoding is total
+        ("max_docid_s", pa.int64()),
         # 1 on the per-block stats row, 0 on term rows: Sum("blocks") is the
         # number of blocks WRITTEN, checked against the number of part files
         # on disk (two blocks with an identical docid range — a duplicated
@@ -240,7 +242,12 @@ class DocstoreWriter:
                 "df_part": pa.array([0] + dfp, pa.int64()),
                 "cnt": pa.array([n] + z, pa.int64()),
                 "sum_dl": pa.array([dl_sum] + z, pa.int64()),
-                "max_docid": pa.array([int(docids.max())] + z, pa.uint64()),
+                "max_docid_s": pa.array(
+                    # term rows carry the MINIMUM encoding (docid 0) so
+                    # they never win the max
+                    [int(docids.max()) - (1 << 63)] + [-(1 << 63)] * len(terms),
+                    pa.int64(),
+                ),
                 "blocks": pa.array([1] + z, pa.int64()),
             }
         )
@@ -629,14 +636,15 @@ def build_index(
             DocstoreWriter(docstore_dir, sample_mod), batch_format="pyarrow"
         ).materialize()  # executes the write ONCE; keeps only the tiny rows
         agg = partials.aggregate(
-            Sum("cnt"), Sum("sum_dl"), Max("max_docid"), Sum("blocks")
+            Sum("cnt"), Sum("sum_dl"), Max("max_docid_s"), Sum("blocks")
         ) or {}  # zero-block dataset: aggregate returns None, not zeros
         _check_docstore_ranges(
             docstore_dir, expected_parts=int(agg.get("sum(blocks)") or 0)
         )
         n_docs = int(agg.get("sum(cnt)") or 0)
         sum_dl = int(agg.get("sum(sum_dl)") or 0)
-        max_docid = int(agg.get("max(max_docid)") or 0)
+        mx_s = agg.get("max(max_docid_s)")
+        max_docid = (int(mx_s) + (1 << 63)) if mx_s is not None else 0
         space_bits = max(1, max_docid.bit_length())
         if n_docs and sample_mod >= 1:
             # head terms get docid-RANGE salts: salt = docid >> shift, with

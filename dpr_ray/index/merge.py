@@ -229,12 +229,17 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
     )
 
     def write_block(batch: pa.Table) -> pa.Table:
+        # max_docid travels ORDER-PRESERVING-ENCODED as int64
+        # (x - 2^63): Ray's Max aggregate rebuilds values through Python
+        # ints with an inferred int64 arrow type, overflowing at
+        # x = 2^64-1 (the top of the provided-docid space) — uint64
+        # partial columns alone don't survive the reduce
         if batch.num_rows == 0:
             return pa.table(
                 {
                     "rows": pa.array([0], pa.int64()),
                     "sum_dl": pa.array([0], pa.int64()),
-                    "max_docid": pa.array([0], pa.uint64()),
+                    "max_docid_s": pa.array([-(1 << 63)], pa.int64()),
                     "blocks": pa.array([0], pa.int64()),
                 }
             )
@@ -247,7 +252,9 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
             {
                 "rows": pa.array([batch.num_rows], pa.int64()),
                 "sum_dl": pa.array([dl], pa.int64()),
-                "max_docid": pa.array([int(docids.max())], pa.uint64()),
+                "max_docid_s": pa.array(
+                    [int(docids.max()) - (1 << 63)], pa.int64()
+                ),
                 "blocks": pa.array([1], pa.int64()),
             }
         )
@@ -255,7 +262,7 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
     from ray.data.aggregate import Max, Sum
 
     agg = ds_sorted.map_batches(write_block, batch_format="pyarrow").aggregate(
-        Sum("rows"), Sum("sum_dl"), Max("max_docid"), Sum("blocks")
+        Sum("rows"), Sum("sum_dl"), Max("max_docid_s"), Sum("blocks")
     )
     from .build import _check_docstore_ranges
 
@@ -265,10 +272,13 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
     _check_docstore_ranges(
         out_dir, expected_parts=int(agg["sum(blocks)"] or 0)
     )
+    mx_s = agg["max(max_docid_s)"]
     return {
         "rows": int(agg["sum(rows)"] or 0),
         "sum_dl": int(agg["sum(sum_dl)"] or 0),
-        "max_docid": int(agg["max(max_docid)"] or 0),
+        # decode; the all-sentinel case (only zero-row blocks) is docid 0,
+        # matching the zero-block return above
+        "max_docid": (int(mx_s) + (1 << 63)) if mx_s is not None else 0,
     }
 
 

@@ -1301,8 +1301,17 @@ class QueryExecutor:
                 and self.store.dense_size
                 and len(docids)
             ):
-                # buffer-local ids back to absolute docids
-                docids = docids + np.uint64(self.store.docid_range[0])
+                # buffer-local ids back to absolute docids — FORCE uint64
+                # before the add: dense top-k paths return the entry's own
+                # dtype (int64 on single-entry/maxscore fast paths), and
+                # int64 + np.uint64(lo) stays int64 for lo < 2^63 (wraps
+                # to -2^63 when the absolute docid crosses 2^63) or
+                # promotes to float64 for lo >= 2^63 (collapses adjacent
+                # docids — the spacing at 2^63 is 2048). Buffer-local ids
+                # are small non-negatives, so the astype is exact.
+                docids = docids.astype(np.uint64) + np.uint64(
+                    self.store.docid_range[0]
+                )
             n = len(docids)
             o_qid.extend([qid] * n)
             o_q.extend([question] * n)

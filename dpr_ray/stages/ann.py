@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray
 
 from .._shipping import ensure_shippable
+from ..util import auto_pool as _auto_pool
 from ..util import round_half_away, to_i6
 
 
@@ -46,13 +47,6 @@ def _local_topk_idx(row: np.ndarray, k: int) -> np.ndarray:
         return np.arange(len(row))
     kth = np.partition(row, len(row) - k)[len(row) - k]
     return np.flatnonzero(row >= kth)
-
-
-def _auto_pool(frac: float = 1.0) -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized from the cluster, never a
-    hard-coded cap (a (1,4) pool starves a 32-CPU node)."""
-    n = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    return (1, max(2, int(n * frac)))
 
 
 class _BatchTopK:
@@ -296,6 +290,14 @@ def ivf_knn(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:  # zero-row block: (0,0) @ centroids would raise
+                return pa.table(
+                    {
+                        "qid": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
             mat = _to_matrix(batch[self.vec_col])
             lists = self.plan.assign(mat)
             nmat = _normalize(mat)
@@ -429,6 +431,16 @@ def embedding_near_dup_pairs(
             self.planes = None  # built on first batch (needs dim)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                # must not build planes from a (0,0) matrix: dim-0 planes
+                # would poison the actor and crash its next real batch
+                return pa.table(
+                    {
+                        "bkey": pa.array([], pa.int64()),
+                        "vid": pa.array([], pa.int64()),
+                        "vec": pa.array([], batch[vec_col].type),
+                    }
+                )
             mat = _to_matrix(batch[vec_col])
             if self.planes is None:
                 rng = np.random.default_rng(seed)
@@ -544,6 +556,21 @@ def lsh_knn(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            # excludes drop BEFORE bucket top-k selection (the _BatchTopK
+            # contract): filtered after, an excluded id still consumes a
+            # top-k slot and a valid rank-(k+1) neighbor is silently lost
+            if self.exclude:
+                keep = ~np.isin(ids, list(self.exclude))
+                batch = batch.filter(pa.array(keep))
+                ids = ids[keep]
+            if len(ids) == 0:  # zero-row block: (0,0) @ planes would raise
+                return pa.table(
+                    {
+                        "qid": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
             mat = _to_matrix(batch[self.vec_col])
             buckets = self.plan.bucket(mat)
             out_q, out_v, out_s = [], [], []
@@ -558,12 +585,9 @@ def lsh_knn(
                 for qid in sorted(qids):
                     row = self.qmat[self.qid_to_row[qid]] @ sub.T
                     part = _local_topk_idx(row, min(k, len(row)))
-                    for p in part:
-                        if self.exclude and int(sub_ids[p]) in self.exclude:
-                            continue
-                        out_q.append(qid)
-                        out_v.append(int(sub_ids[p]))
-                        out_s.append(float(row[p]))
+                    out_q.extend([qid] * len(part))
+                    out_v.extend(sub_ids[part].astype(np.int64).tolist())
+                    out_s.extend(row[part].tolist())
             return pa.table(
                 {
                     "qid": pa.array(out_q, pa.int64()),

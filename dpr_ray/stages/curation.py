@@ -25,22 +25,36 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .. import analyzer
 from .._shipping import ensure_shippable
 from ..util import to_i6
-from .text_stats import LangId, TextQuality
+from .text_stats import langid_preds, quality_columns
 
 
 class QualityLang:
-    """Fused TextQuality + LangId: one tokenize, both feature families."""
+    """Fused TextQuality + LangId: ONE tokenize feeds both feature
+    families (tokenization dominates both stages' per-row cost, so
+    delegating to the two stage classes — each of which re-tokenizes —
+    would pay it twice on the curation hot path). Output columns are
+    byte-identical to running the stages separately."""
 
     def __init__(self, id_col: str = "docid", text_col: str = "content"):
-        self.q = TextQuality(id_col=id_col, text_col=text_col)
-        self.l = LangId(id_col=id_col, text_col=text_col)
+        self.id_col = id_col
+        self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qt = self.q(batch)
-        lt = self.l(batch)
-        return qt.append_column("lang_pred", lt["lang_pred"])
+        token_lists = analyzer.tokenize_batch(
+            batch[self.text_col].to_pylist()
+        )
+        return pa.table(
+            {
+                "docid": batch[self.id_col],
+                **quality_columns(token_lists),
+                "lang_pred": pa.array(
+                    langid_preds(token_lists), pa.string()
+                ),
+            }
+        )
 
 
 def curate_corpus(

@@ -368,7 +368,15 @@ class _MinHashEmit:
         for i, toks in enumerate(
             analyzer.tokenize_batch(batch[self.text_col].to_pylist())
         ):
-            sig = self.h.signature(shingle_hashes(toks, self.k))
+            sh = shingle_hashes(toks, self.k)
+            if len(sh) == 0:
+                # zero-shingle docs (< k tokens) all share the sentinel
+                # signature, so they'd collapse into ONE band bucket —
+                # O(m²) candidates that verification then rejects anyway
+                # (an empty set's jaccard with anything is 0 < threshold;
+                # minhash_lsh_pairs refuses threshold <= 0). Skip at emit.
+                continue
+            sig = self.h.signature(sh)
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
                 bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
@@ -393,12 +401,33 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     source_parquet: str | None = None,
+    band_group_cap: int = 20_000,
 ):
     """→ Dataset (docid_a, docid_b, jaccard) of LSH candidate pairs whose
     EXACT shingle Jaccard ≥ threshold. Verification re-reads candidate docs'
     text from ``source_parquet`` — ONE isin-filtered parquet scan per verify
-    batch (the DocJoin pattern), LRU-cached per actor."""
+    batch (the DocJoin pattern), LRU-cached per actor. A candidate docid
+    with no row in ``source_parquet`` is a LOUD error (the doc-join
+    policy) — a silent empty shingle set would report jaccard 0 and drop
+    real near-dups. Band buckets larger than ``band_group_cap`` (e.g. a
+    shard of exact duplicates — run exact dedup first) are truncated to
+    the ``band_group_cap`` smallest docids with a logged warning, the
+    no-silent-caps rule shared with ``shingle_df_cap`` and the embedding
+    LSH ``bucket_cap``."""
     ensure_shippable()
+    if threshold <= 0.0:
+        raise ValueError(
+            "threshold must be > 0 — threshold <= 0 admits every candidate "
+            "pair (all-pairs output); zero-shingle docs are skipped at "
+            "emit on the strength of this bound"
+        )
+    if source_parquet is None:
+        raise ValueError(
+            "minhash_lsh_pairs requires source_parquet: candidate "
+            "verification re-reads document text (without it every pair "
+            "would silently verify against empty shingle sets and the "
+            "result would always be empty)"
+        )
     emit = ds.map_batches(
         _MinHashEmit,
         fn_constructor_args=(id_col, text_col, k, num_perm, bands, 1337),
@@ -408,6 +437,15 @@ def minhash_lsh_pairs(
 
     def candidates(group: pa.Table) -> pa.Table:
         ids = sorted(set(group["docid"].to_pylist()))
+        if len(ids) > band_group_cap:
+            logger.warning(
+                "minhash band bucket holds %d docids (> band_group_cap=%d)"
+                " — truncating to the %d smallest; near-dups whose every "
+                "shared bucket overflows may be missed (run exact dedup "
+                "first if the corpus carries duplicate shards)",
+                len(ids), band_group_cap, band_group_cap,
+            )
+            ids = ids[:band_group_cap]
         if len(ids) < 2:
             return pa.table(
                 {"docid_a": pa.array([], pa.int64()), "docid_b": pa.array([], pa.int64())}
@@ -430,16 +468,26 @@ def minhash_lsh_pairs(
 
             import pyarrow.dataset as pads
 
-            self._ds = pads.dataset(source_parquet) if source_parquet else None
+            self._ds = pads.dataset(source_parquet)
             self._cache: "OrderedDict[int, set]" = OrderedDict()
             self._cache_max = 100_000
 
-        def _fetch(self, docids: list[int]) -> None:
-            """Batch-fetch shingle sets for every docid missing from the
-            LRU — one isin-filtered scan per batch, not per docid."""
-            missing = [d for d in docids if d not in self._cache]
-            if not missing or self._ds is None:
-                return
+        def _fetch(self, docids: list[int]) -> dict[int, set]:
+            """{docid: shingle set} for every requested docid — from the
+            LRU where present, ONE isin-filtered scan for the rest (not
+            per docid). Returned as a batch-local map so correctness
+            never depends on LRU eviction order; a docid with no row in
+            the parquet raises (never a silent empty set)."""
+            out: dict[int, set] = {}
+            missing = []
+            for d in docids:
+                s = self._cache.get(d)
+                if s is None:
+                    missing.append(d)
+                else:
+                    out[d] = s
+            if not missing:
+                return out
             import pyarrow.compute as pc_
 
             tbl = self._ds.to_table(
@@ -450,18 +498,28 @@ def minhash_lsh_pairs(
             for did, toks in zip(
                 ids, analyzer.tokenize_batch(tbl[text_col].to_pylist())
             ):
-                self._cache[int(did)] = shingles(toks, k)
+                s = shingles(toks, k)
+                out[int(did)] = s
+                self._cache[int(did)] = s
+            not_found = [d for d in missing if d not in out]
+            if not_found:
+                raise ValueError(
+                    f"{len(not_found)} candidate docid(s) have no row in "
+                    f"{source_parquet} (first: {not_found[0]}) — the LSH "
+                    "emit input and the verification source disagree"
+                )
             while len(self._cache) > self._cache_max:
                 self._cache.popitem(last=False)
+            return out
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids_a = batch["docid_a"].to_pylist()
             ids_b = batch["docid_b"].to_pylist()
-            self._fetch(sorted({*ids_a, *ids_b}))
+            sh_map = self._fetch(sorted({int(x) for x in (*ids_a, *ids_b)}))
             out_a, out_b, out_j = [], [], []
             for da, db in zip(ids_a, ids_b):
-                sa = self._cache.get(int(da), set())
-                sb = self._cache.get(int(db), set())
+                sa = sh_map[int(da)]
+                sb = sh_map[int(db)]
                 union = len(sa | sb)
                 j = float(round_half_away(len(sa & sb) / union)) if union else 0.0
                 if j >= threshold:

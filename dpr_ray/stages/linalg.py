@@ -23,14 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .._shipping import ensure_shippable
-
-
-def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    d = len(col[0])
-    return flat.reshape(-1, d)
+from .ann import _to_matrix  # shared zero-row-safe list<float> → (n, d)
 
 
 def gram_partials(ds, vec_col: str = "embedding"):
@@ -39,6 +32,18 @@ def gram_partials(ds, vec_col: str = "embedding"):
     ensure_shippable()
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # a zero-row block has no dimensionality to report — emit a
+            # zero-ROW partial (the driver combine skips it) rather than
+            # crashing on a (0, 0) matrix
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "sum_x": pa.array([], pa.list_(pa.float64())),
+                    "sum_xx": pa.array([], pa.list_(pa.float64())),
+                    "d": pa.array([], pa.int64()),
+                }
+            )
         x = _to_matrix(batch[vec_col])
         d = x.shape[1]
         return pa.table(
@@ -125,6 +130,13 @@ def pca_whiten(
     wmat = v / np.sqrt(np.maximum(w, eps))[None, :]
 
     def transform(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "whitened": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         x = _to_matrix(batch[vec_col])
         z = (x - mu[None, :]) @ wmat
         return pa.table(

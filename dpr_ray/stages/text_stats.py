@@ -50,30 +50,38 @@ class TextQuality:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         token_lists = analyzer.tokenize_batch(batch[self.text_col].to_pylist())
-        n_tokens = np.array([len(t) for t in token_lists], dtype=np.int64)
-        n_distinct = np.array([len(set(t)) for t in token_lists], dtype=np.int64)
-        stop = np.array(
-            [sum(1 for w in t if w in STOPWORDS) for t in token_lists], dtype=np.int64
-        )
-        char_len = np.array(
-            [sum(len(w) for w in t) for t in token_lists], dtype=np.int64
-        )
-        nt = np.maximum(n_tokens, 1).astype(np.float64)
-        distinct_ratio = round_half_away(n_distinct / nt)
-        stopword_ratio = round_half_away(stop / nt)
-        mean_token_len = round_half_away(char_len / nt)
-        quality = round_half_away((n_distinct / nt) * (1.0 - stop / nt))
-        return pa.table(
-            {
-                "docid": batch[self.id_col],
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "n_distinct": pa.array(n_distinct, pa.int64()),
-                "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
-                "stopword_ratio": pa.array(stopword_ratio, pa.float64()),
-                "mean_token_len": pa.array(mean_token_len, pa.float64()),
-                "quality_score": pa.array(quality, pa.float64()),
-            }
-        )
+        cols = quality_columns(token_lists)
+        return pa.table({"docid": batch[self.id_col], **cols})
+
+
+def quality_columns(token_lists: list[list[str]]) -> dict:
+    """TextQuality's feature columns from PRE-TOKENIZED docs — shared with
+    curation's fused QualityLang stage so the corpus is tokenized once
+    per pass, not once per feature family."""
+    n_tokens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    n_distinct = np.array([len(set(t)) for t in token_lists], dtype=np.int64)
+    stop = np.array(
+        [sum(1 for w in t if w in STOPWORDS) for t in token_lists], dtype=np.int64
+    )
+    char_len = np.array(
+        [sum(len(w) for w in t) for t in token_lists], dtype=np.int64
+    )
+    nt = np.maximum(n_tokens, 1).astype(np.float64)
+    return {
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "distinct_ratio": pa.array(
+            round_half_away(n_distinct / nt), pa.float64()
+        ),
+        "stopword_ratio": pa.array(round_half_away(stop / nt), pa.float64()),
+        "mean_token_len": pa.array(
+            round_half_away(char_len / nt), pa.float64()
+        ),
+        "quality_score": pa.array(
+            round_half_away((n_distinct / nt) * (1.0 - stop / nt)),
+            pa.float64(),
+        ),
+    }
 
 
 class LangId:
@@ -85,25 +93,31 @@ class LangId:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for toks in analyzer.tokenize_batch(batch[self.text_col].to_pylist()):
-            tokset = set(toks)
-            scores = sorted(
-                ((len(tokset & prof), lang) for lang, prof in _LANG_PROFILES.items()),
-                key=lambda x: (-x[0], x[1]),
-            )
-            if scores[0][0] == 0 or (
-                len(scores) > 1 and scores[0][0] == scores[1][0]
-            ):
-                preds.append("und")
-            else:
-                preds.append(scores[0][1])
+        token_lists = analyzer.tokenize_batch(batch[self.text_col].to_pylist())
         return pa.table(
             {
                 "docid": batch[self.id_col],
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(langid_preds(token_lists), pa.string()),
             }
         )
+
+
+def langid_preds(token_lists: list[list[str]]) -> list[str]:
+    """LangId predictions from PRE-TOKENIZED docs (see quality_columns)."""
+    preds = []
+    for toks in token_lists:
+        tokset = set(toks)
+        scores = sorted(
+            ((len(tokset & prof), lang) for lang, prof in _LANG_PROFILES.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        if scores[0][0] == 0 or (
+            len(scores) > 1 and scores[0][0] == scores[1][0]
+        ):
+            preds.append("und")
+        else:
+            preds.append(scores[0][1])
+    return preds
 
 
 _FP_BASE = 137  # doc-level Horner base (token-level uses 131)

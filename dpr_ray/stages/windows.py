@@ -25,6 +25,17 @@ _UNIT_US = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
             "day": 86_400_000_000}
 
 
+def _ts_us(col) -> np.ndarray:
+    """Epoch microseconds (int64 numpy) from a ts column. Timestamp inputs
+    are RESCALED through timestamp("us") first — a direct int64 cast
+    reinterprets a s/ms/ns payload as µs, silently collapsing every event
+    into window 0 (or exploding ns into the far future). Integer inputs
+    are interpreted as µs (session_windows' documented contract)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us", getattr(col.type, "tz", None)))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def tumbling_window_agg(
     events_ds,
     window: str = "hour",
@@ -38,7 +49,7 @@ def tumbling_window_agg(
     unit = _UNIT_US[window]
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us(batch[ts_col])
         win = (ts // unit) * unit
         t = pa.table(
             {
@@ -105,7 +116,7 @@ def hopping_window_agg(
     k = window_us // hop_us
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us(batch[ts_col])
         n = len(ts)
         base = (ts // hop_us) * hop_us
         # (k, n) window starts, flattened; keys/values tiled by take

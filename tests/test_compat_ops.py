@@ -644,3 +644,139 @@ def test_quantized_knn_survive_empty_blocks(ray_session):
         ds, qids, qm, k=5, n_lists=4, n_probe=4, m=4, ksub=4, train_cutoff=110
     ).to_pandas()
     assert len(out2) == 10 and (out2["vec_id"] >= 100).all()
+
+
+def test_minhash_lsh_guards(ray_session, tmp_path):
+    import pytest
+    """minhash_lsh_pairs failure-policy edges: (1) zero-shingle docs
+    (< k tokens) are skipped at band emit — they all share the sentinel
+    signature, so one band bucket would otherwise hold every short doc
+    (O(m²) candidates that verification rejects anyway); results are
+    unchanged. (2) source_parquet is REQUIRED — verifying against silently
+    empty shingle sets always returned zero pairs. (3) a candidate docid
+    with no row in the source parquet is a loud error (the doc-join
+    policy). (4) threshold <= 0 (all-pairs semantics) is refused."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dpr_ray.stages.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    far = " ".join(f"other{i}" for i in range(60))
+    # docids 4..9: zero-shingle docs (under k=3 tokens)
+    tbl = pa.table(
+        {
+            "docid": pa.array(list(range(1, 10)), pa.int64()),
+            "content": [base, near, far, "", "a", "a b", "", "xy", "p q"],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    mh = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.5, source_parquet=src
+    ).to_pandas()
+    assert len(mh) == 1
+    assert (int(mh["docid_a"][0]), int(mh["docid_b"][0])) == (1, 2)
+
+    with pytest.raises(ValueError, match="source_parquet"):
+        minhash_lsh_pairs(ray.data.from_arrow(tbl), threshold=0.5)
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_lsh_pairs(
+            ray.data.from_arrow(tbl), threshold=0.0, source_parquet=src
+        )
+
+    # candidate docid missing from the verification source: loud, not a
+    # silent empty shingle set (which would report jaccard 0)
+    src_missing = str(tmp_path / "missing.parquet")
+    pq.write_table(tbl.filter(pa.array([d != 2 for d in range(1, 10)])),
+                   src_missing)
+    with pytest.raises(Exception, match="no row"):
+        minhash_lsh_pairs(
+            ray.data.from_arrow(tbl), threshold=0.5,
+            source_parquet=src_missing,
+        ).to_pandas()
+
+
+def test_lsh_knn_excludes_before_topk(ray_session):
+    """BucketTopK must drop exclude_ids BEFORE bucket-local top-k
+    selection (the _BatchTopK contract): filtered after, an excluded id
+    consumed a top-k slot and a valid rank-(k+1) neighbor was silently
+    lost — with k excluded ids atop one bucket, the bucket contributed
+    nothing at all."""
+    import ray.data
+
+    from dpr_ray.stages import ann
+
+    rng = np.random.default_rng(5)
+    d = 16
+    base = rng.standard_normal(d)
+    # 8 vectors near one direction → same LSH bucket with high probability;
+    # ids 0..7 in DECREASING similarity to the query (=base)
+    vecs = [base + 0.01 * i * rng.standard_normal(d) for i in range(8)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    qm = np.asarray([base])
+    k = 2
+    full = ann.lsh_knn(
+        ray.data.from_arrow(tbl), [100], qm, k=k, n_bits=2, n_probe=4,
+    ).to_pandas()
+    assert len(full) == k
+    top2 = set(int(v) for v in full["vec_id"])
+    ex = ann.lsh_knn(
+        ray.data.from_arrow(tbl), [100], qm, k=k, n_bits=2, n_probe=4,
+        exclude_ids=top2,
+    ).to_pandas()
+    # the excluded pair must vanish AND the next neighbors must fill the
+    # k slots (pre-fix: buckets whose local top-k was all-excluded
+    # contributed nothing)
+    got = set(int(v) for v in ex["vec_id"])
+    assert not (got & top2)
+    assert len(ex) == k
+
+
+def test_knn_and_linalg_survive_zero_row_blocks(ray_session):
+    """Zero-row blocks (upstream filter, empty parquet fragment) must not
+    crash the matrix stages: a (0,0) matrix matmul'd against (d,·) plan
+    matrices raises, and EmitBuckets building its hyperplanes from an
+    empty first batch poisons the actor for every later batch."""
+    import ray.data
+
+    from dpr_ray.stages import ann, linalg
+
+    rng = np.random.default_rng(6)
+    n, d = 30, 8
+    mat = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    empty = tbl.slice(0, 0)
+    # empty FIRST block, then data (from_arrow keeps table order)
+    ds = ray.data.from_arrow([empty, tbl, empty])
+    qm = mat[:2]
+    for fn, kw in (
+        (ann.lsh_knn, {}),
+        (ann.ivf_knn, {"train_cutoff": n, "n_lists": 2}),
+    ):
+        res = fn(ds, [0, 1], qm, k=3, **kw).to_pandas()
+        assert len(res) > 0, fn.__name__
+        # rank-1 of each query is itself (cos=1)
+        r1 = res[res["rank"] == 1]
+        assert set(int(v) for v in r1["vec_id"]) == {0, 1}, fn.__name__
+    pairs = ann.embedding_near_dup_pairs(
+        ds, threshold=0.99, method="lsh"
+    ).to_pandas()
+    assert len(pairs) >= 0  # no crash; planes built from a real batch
+    n2, sx, sxx = linalg.gram_partials(ds)
+    assert n2 == n and sx.shape == (d,) and sxx.shape == (d, d)
+    wh = linalg.pca_whiten(ds).to_pandas()
+    assert len(wh) == n

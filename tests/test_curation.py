@@ -354,3 +354,30 @@ def test_curate_job_empty_keepset(tmp_path):
     rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rep2["verdicts"] == "resumed (marker present)"
     assert rep2["corpus"] == "resumed (marker present)"
+
+
+def test_qualitylang_fused_equals_separate_stages(ray_session):
+    """QualityLang tokenizes ONCE and must stay byte-identical to running
+    TextQuality and LangId separately (each of which tokenizes itself)."""
+    import pyarrow as pa
+
+    from dpr_ray.stages.curation import QualityLang
+    from dpr_ray.stages.text_stats import LangId, TextQuality
+
+    tbl = pa.table(
+        {
+            "docid": pa.array([1, 2, 3, 4], pa.int64()),
+            "content": [
+                "the quick brown fox the the",
+                "le chat et le chien et le",
+                "",
+                "zzz qqq zzz qqq unique tokens here altogether now",
+            ],
+        }
+    )
+    fused = QualityLang()(tbl)
+    q = TextQuality()(tbl)
+    lang = LangId()(tbl)
+    for c in q.column_names:
+        assert fused[c].equals(q[c]), c
+    assert fused["lang_pred"].equals(lang["lang_pred"])

@@ -357,3 +357,63 @@ def test_build_rejects_null_corpus_rows(ray_session, tmp_path):
                 str(tmp_path / f"idx_{col}"),
                 docid_strategy="hash64", block_size=4,
             )
+
+
+def test_dense_window_rebase_at_uint64_boundary(ray_session, tmp_path):
+    """Deterministic pin of two uint64-edge bugs hypothesis found:
+
+    1. The docstore stats pass aggregated max_docid through Ray's Max over
+       a uint64 column — the reduce rebuilds values through Python ints as
+       int64 and OVERFLOWED at max_docid = 2^64-1 (now order-preserving-
+       encoded int64 partials).
+    2. Dense-window serving rebased buffer-local ids with
+       `docids + np.uint64(lo)`: dense fast paths return int64 ids, and
+       int64 + uint64 scalar stays int64 for lo < 2^63 — the absolute
+       docid WRAPPED to -2^63 exactly when the window straddles 2^63
+       (and collapsed to float64, merging adjacent docids, for
+       lo >= 2^63)."""
+    import ray.data
+
+    from bm25_oracle import oracle_topk
+
+    ids = [
+        3, (1 << 63) - 2, (1 << 63) - 1, 1 << 63, (1 << 63) + 1,
+        (1 << 64) - 2, (1 << 64) - 1,
+    ]
+    texts = ["def def def", "x", "def", "def def", "x", "def", "def x"]
+    n = len(ids)
+    tbl = pa.table(
+        {
+            "repo": ["org/r"] * n,
+            "path": [f"f/{i}.py" for i in range(n)],
+            "commit": ["c"] * n,
+            "lang": ["py"] * n,
+            "content": pa.array(texts, pa.large_string()),
+            "docid": pa.array(np.array(ids, np.uint64), pa.uint64()),
+        }
+    )
+    d = str(tmp_path / "idx")
+    stats = build_index(
+        ray.data.from_arrow(tbl).repartition(2), d,
+        docid_strategy="provided", block_size=1,
+    )
+    assert int(stats["max_docid"]) == (1 << 64) - 1  # bug 1
+    oracle = BruteForceBM25(np.array(ids, np.uint64), texts, BM25Params())
+    qb = pa.table({"qid": ["q0"], "question": ["def"]})
+    none_banned = np.empty(0, np.uint64)
+    # windows: lo < 2^63 with hits at/above 2^63 (the int64-wrap case),
+    # lo >= 2^63 (the float64-collapse case), and the top of the space
+    windows = [
+        ((1 << 63) - 2136, (1 << 63) + 2138),
+        (1 << 63, (1 << 63) + 3),
+        ((1 << 64) - 5, 1 << 64),
+    ]
+    for lo_w, hi_w in windows:
+        want = oracle_topk(oracle, "def", 5, none_banned, rng=(lo_w, hi_w))
+        assert want, (hex(lo_w), hex(hi_w))  # every window holds a hit
+        for method in ("taat", "maxscore", "bmw"):
+            ex = QueryExecutor(
+                d, k=5, method=method, docid_range=(lo_w, hi_w)
+            )
+            got = [(r["docid"], r["score"]) for r in ex(qb).to_pylist()]
+            assert got == want, (method, hex(lo_w), hex(hi_w), got, want)
