@@ -94,7 +94,12 @@ def multi_set_batches(
     resume contract, ``data_utils.py:411-413``).
 
     Yields ``(pyarrow.Table, source_idx)``. ``sampling_rates[i]`` scales
-    source i's quota like the reference (``int(max_iterations * rate)``).
+    source i's quota like the reference (``int(max_iterations * rate)``);
+    a rate > 1 UPSAMPLES by cycling the source's batches, matching
+    ``iterate_ds_sampled_data``'s ``itertools.cycle`` over shard indices
+    (``data_utils.py:307-312``) — an exhausted source restarts rather
+    than silently under-delivering its quota. Only a ZERO-batch source
+    skips its slots (nothing to cycle).
     """
     import random
 
@@ -109,12 +114,20 @@ def multi_set_batches(
         schedule.extend([src] * q)
     if shuffle:
         random.Random(shuffle_seed + epoch).shuffle(schedule)
-    iters = [
-        iter(ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"))
-        for ds in datasets
-    ]
+
+    def fresh(i):
+        return iter(
+            datasets[i].iter_batches(
+                batch_size=batch_size, batch_format="pyarrow"
+            )
+        )
+
+    iters = [fresh(i) for i in range(len(datasets))]
     for src in schedule:
         batch = next(iters[src], None)
+        if batch is None and counts[src] > 0:
+            iters[src] = fresh(src)  # cycle: the reference upsamples
+            batch = next(iters[src], None)
         if batch is not None:
             yield batch, src
 
@@ -137,10 +150,20 @@ def convert_to_kilt(results_ds, id_map_ref, gold_ref=None):
     from ._shipping import ensure_shippable
 
     ensure_shippable()
-    id_map = ray.get(id_map_ref)
-    gold = ray.get(gold_ref) if gold_ref is not None else {}
 
-    def per_question(group: pa.Table) -> pa.Table:
+    def per_question(group: pa.Table, _memo={}) -> pa.Table:
+        # resolve the broadcasts ON the worker, once per process (the
+        # mutable-default memo): a driver-side ray.get captured the full
+        # id_map in this closure and re-shipped it inside every task's
+        # pickled UDF instead of reading it from the object store
+        if "maps" not in _memo:
+            import ray as _ray
+
+            _memo["maps"] = (
+                _ray.get(id_map_ref),
+                _ray.get(gold_ref) if gold_ref is not None else {},
+            )
+        id_map, gold = _memo["maps"]
         rows = sorted(group.to_pylist(), key=lambda r: r["rank"])
         question = rows[0]["question"]
         provenance = [

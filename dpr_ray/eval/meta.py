@@ -42,11 +42,20 @@ class AttachHasAnswerFromMeta:
             if self.prepend_title and "title" in batch.column_names
             else [None] * batch.num_rows
         )
-        fn = has_answer_string if self.match == "string" else has_answer_regex
+        # explicit map (KeyError on an unknown mode): the old
+        # everything-but-string-is-regex fallback silently compiled
+        # match='kilt' (or any typo) as regex patterns
+        fn = {"string": has_answer_string, "regex": has_answer_regex}[
+            self.match
+        ]
         flags = []
         for qid, blob, title in zip(qids, batch["meta"].to_pylist(), titles):
             text = zlib.decompress(blob).decode()
             if title:
-                text = f"{title} {text}"
+                # the reference's ' . ' separator (qa_validation.py:167)
+                # is load-bearing for string mode: a plain space lets an
+                # answer span the title/text boundary as a contiguous
+                # token subsequence the reference would reject
+                text = f"{title} . {text}"
             flags.append(fn(self.answers.get(qid, []), text))
         return batch.append_column("has_answer", pa.array(flags, pa.bool_()))

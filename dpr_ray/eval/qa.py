@@ -65,9 +65,16 @@ def has_answer_string(answers: list[str], text: str) -> bool:
 def has_answer_regex(answers: list[str], text: str) -> bool:
     text = unicodedata.normalize("NFD", text)
     for a in answers:
+        # the PATTERN is NFD-normalized too (qa_validation.py:197-198
+        # runs _normalize(single_answer) before regex_match): a composed
+        # 'café' pattern would never match the decomposed text
+        a = unicodedata.normalize("NFD", a)
         try:
             pat = re.compile(a, flags=re.IGNORECASE + re.UNICODE + re.MULTILINE)
-        except re.error:
+        except Exception:
+            # any compile failure matches nothing (regex_match catches
+            # BaseException; re.error alone missed e.g. TypeError/
+            # RecursionError from pathological patterns)
             continue
         if pat.search(text) is not None:
             return True

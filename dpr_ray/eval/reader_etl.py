@@ -112,10 +112,24 @@ def preprocess_retriever_results(
     from .._shipping import ensure_shippable
 
     ensure_shippable()
-    answers = ray.get(answers_ref) if answers_ref is not None else {}
-    gold, canonical = ray.get(gold_ref) if gold_ref is not None else ({}, {})
 
-    def per_question(group: pa.Table) -> pa.Table:
+    def per_question(group: pa.Table, _memo={}) -> pa.Table:
+        # broadcasts resolve ON the worker, once per process (mutable-
+        # default memo) — a driver-side ray.get captured the full answer/
+        # gold maps in this closure and re-shipped them in every task's
+        # pickled UDF (same fix as compat.convert_to_kilt)
+        if "maps" not in _memo:
+            import ray as _ray
+
+            _memo["maps"] = (
+                _ray.get(answers_ref) if answers_ref is not None else {},
+                *(
+                    _ray.get(gold_ref)
+                    if gold_ref is not None
+                    else ({}, {})
+                ),
+            )
+        answers, gold, canonical = _memo["maps"]
         rows = sorted(group.to_pylist(), key=lambda r: r["rank"])
         rows = rows[: cfg.max_retriever_passages]
         qid = rows[0]["qid"]
@@ -147,7 +161,11 @@ def preprocess_retriever_results(
                 emit(r, "neg", [])
             return pa.Table.from_pylist(out, schema=READER_SAMPLE_SCHEMA)
 
-        hits = [r for r in rows if _spans_for(r["content"], ans)]
+        # tokenize each passage ONCE: spans were recomputed up to three
+        # times per row (hits filter, negatives filter, positive emit) —
+        # tokenization dominates this stage's per-row cost
+        spans_map = {id(r): _spans_for(r["content"], ans) for r in rows}
+        hits = [r for r in rows if spans_map[id(r)]]
         gold_info = gold.get(question_txt)
         if cfg.gold_page_only_positives and gold_info:
             from_gold = [
@@ -176,10 +194,10 @@ def preprocess_retriever_results(
                     )
         if n_pos == 0 and cfg.skip_no_positives:
             return pa.Table.from_pylist([], schema=READER_SAMPLE_SCHEMA)
-        negatives = [r for r in rows if not _spans_for(r["content"], ans)]
+        negatives = [r for r in rows if not spans_map[id(r)]]
         n_neg = min(max(10 * n_pos, cfg.max_negatives), cfg.min_negatives)
         for r in positives:
-            emit(r, "pos", _spans_for(r["content"], ans))
+            emit(r, "pos", spans_map[id(r)])
         for r in negatives[:n_neg]:
             emit(r, "neg", [])
         return pa.Table.from_pylist(out, schema=READER_SAMPLE_SCHEMA)

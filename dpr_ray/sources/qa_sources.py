@@ -55,9 +55,21 @@ def read_qa_csv(
             if not row:
                 continue
             q = row[question_col]
+            # deliberate divergence from the reference's bare
+            # eval(row[1]) (retriever_data.py:110): a literal that is
+            # not a list/tuple becomes ONE answer — the reference would
+            # crash on an int cell and silently iterate a quoted string
+            # cell character by character; a non-literal cell falls back
+            # to the raw string (the reference crashes there too)
             try:
-                ans = [str(a) for a in ast.literal_eval(row[answers_col])]
+                parsed = ast.literal_eval(row[answers_col])
             except (ValueError, SyntaxError):
+                parsed = None
+            if isinstance(parsed, (list, tuple)):
+                ans = [str(a) for a in parsed]
+            elif parsed is not None:
+                ans = [str(parsed)]
+            else:
                 ans = [row[answers_col]]
             qid = row[id_col] if 0 <= id_col < len(row) else f"q{i}"
             ids.append(qid)
@@ -167,8 +179,11 @@ def read_ctx_tsv(path: str, id_prefix: str = "") -> pa.Table:
             if not row or row[0] == "id":  # header-row value check
                 continue
             pid, text, title = row[0], row[1], row[2]
-            if text.startswith('"') and text.endswith('"') and len(text) >= 2:
-                text = text[1:-1]  # quote strip (retriever_data.py:284)
+            # strip('"') like the reference (retriever_data.py:284):
+            # removes ALL leading/trailing quotes, asymmetric included —
+            # a one-pair strip kept '"Darth' verbatim and indexed the
+            # quote, diverging from the reference corpus
+            text = text.strip('"')
             repos.append(repo)
             paths.append(pid)
             commits.append("0" * 40)

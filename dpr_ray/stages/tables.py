@@ -274,10 +274,13 @@ def split_table(t: dict, max_length: int) -> list[str]:
 
 
 def get_table_string_for_answer_check(t: dict) -> str:
-    """Reference ``biencoder_data.py:393-398`` (no caption)."""
+    """Reference ``biencoder_data.py:392-398`` (no caption; the trailing
+    ``" . "`` after the row loop is part of the contract — an answer
+    ending in '.' can match across it)."""
     text = ""
     for r in t["rows"]:
         text += " . ".join(c["value"] for c in r["columns"])
+    text += " . "
     return text
 
 

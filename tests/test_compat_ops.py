@@ -780,3 +780,57 @@ def test_knn_and_linalg_survive_zero_row_blocks(ray_session):
     assert n2 == n and sx.shape == (d,) and sxx.shape == (d, d)
     wh = linalg.pca_whiten(ds).to_pandas()
     assert len(wh) == n
+
+
+def test_multi_set_batches_upsamples_by_cycling(ray_session):
+    """sampling_rates > 1 must deliver the full scheduled quota by
+    CYCLING the exhausted source (the reference's itertools.cycle in
+    iterate_ds_sampled_data) — next(it, None) silently under-delivered
+    half the slots before."""
+    import ray.data
+
+    from dpr_ray.compat import multi_set_batches
+
+    a = ray.data.from_arrow(pa.table({"x": list(range(8))}))    # 4 batches @2
+    b = ray.data.from_arrow(pa.table({"x": list(range(100, 104))}))  # 2
+    got = list(multi_set_batches([a, b], batch_size=2,
+                                 sampling_rates=[2.0, 1.0], shuffle=False))
+    srcs = [s for _, s in got]
+    assert srcs.count(0) == 8, srcs  # 4 batches × rate 2.0, cycled
+    assert srcs.count(1) == 2, srcs
+    rows_a = sum(t.num_rows for t, s in got if s == 0)
+    assert rows_a == 16  # each source row delivered exactly rate× times
+
+
+def test_qa_csv_and_ctx_tsv_edge_cells(tmp_path):
+    """read_qa_csv: a non-list literal answers cell is ONE answer (the
+    reference's bare eval would crash on ints and char-iterate quoted
+    strings — documented divergence); a non-literal cell stays the raw
+    string. read_ctx_tsv: strip('\"') like the reference
+    (retriever_data.py:284) — asymmetric quotes removed too."""
+    from dpr_ray.sources.qa_sources import read_ctx_tsv, read_qa_csv
+
+    qa = tmp_path / "qa.tsv"
+    qa.write_text(
+        "what year\t1984\n"
+        "capital\t'Paris'\n"
+        "list q\t['a', 'b']\n"
+        "raw q\tnot a literal\n"
+    )
+    t = read_qa_csv(str(qa))
+    assert t["answers"].to_pylist() == [
+        ["1984"], ["Paris"], ["a", "b"], ["not a literal"]
+    ]
+
+    # quote cases that SURVIVE csv parsing (leading quotes are csv's
+    # own quoting, consumed before strip sees the field — identical in
+    # the reference, which also uses a default csv.reader)
+    ctx = tmp_path / "ctx.tsv"
+    ctx.write_text(
+        "id\ttext\ttitle\n"
+        '1\tDarth Vader"\tSW\n'   # trailing stray quote
+        '2\tx""\tT\n'             # doubled trailing quotes
+        '3\t"quoted"\tU\n'        # csv-quoted: already clean
+    )
+    c = read_ctx_tsv(str(ctx))
+    assert c["content"].to_pylist() == ["Darth Vader", "x", "quoted"]

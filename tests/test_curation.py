@@ -354,6 +354,17 @@ def test_curate_job_empty_keepset(tmp_path):
     rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rep2["verdicts"] == "resumed (marker present)"
     assert rep2["corpus"] == "resumed (marker present)"
+    # markers are SIGNED: a rerun with a different quality bar must
+    # RECOMPUTE, not serve the stale all-dropped verdicts (the unsigned-
+    # marker staleness class fixed on every index resume marker)
+    cmd3 = list(cmd)
+    cmd3[cmd3.index("--min-quality-i6") + 1] = "0"  # keep everybody
+    r3 = subprocess.run(cmd3, cwd=str(tmp_path), capture_output=True,
+                        text=True, timeout=300, env=env)
+    assert r3.returncode == 0, r3.stdout + r3.stderr
+    rep3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert "verdict_rows" in rep3, rep3  # recomputed, not resumed
+    assert rep3["kept_rows"] > 0, rep3
 
 
 def test_qualitylang_fused_equals_separate_stages(ray_session):
@@ -381,3 +392,54 @@ def test_qualitylang_fused_equals_separate_stages(ray_session):
     for c in q.column_names:
         assert fused[c].equals(q[c]), c
     assert fused["lang_pred"].equals(lang["lang_pred"])
+
+
+def test_curate_job_uint64_ids_kept_exactly(tmp_path):
+    """KeepFilter must compare ids in int64 exactly: int64 keep-ids vs a
+    raw uint64 id column promoted searchsorted/== to float64 and SILENTLY
+    dropped kept docs with adjacent ids >= 2^53 (both rounded to the same
+    float). Adjacent 2^60 ids with a keep-everything bar: every doc must
+    reach the written corpus."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    n = 6
+    ids = np.array([1, 2, (1 << 60), (1 << 60) + 1, (1 << 60) + 2, 7],
+                   np.uint64)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.uint64()),
+            # English stopwords so lang_pred != 'und' (the keep rule
+            # drops undetermined-language docs regardless of quality)
+            "text": [
+                "the and of is in " + " ".join(
+                    f"tok{i}w{j}" for j in range(30)
+                ) for i in range(n)
+            ],
+        }
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dpath)
+    out_dir = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/curate_job.py",
+         "--docs", dpath, "--out-dir", out_dir, "--write-corpus",
+         "--min-quality-i6", "0", "--min-tokens", "1", "--num-cpus", "2"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["kept_rows"] == n, rep
+    back = pads.dataset(
+        os.path.join(out_dir, "corpus"), partitioning="hive"
+    ).to_table(columns=["doc_id"])
+    got = sorted(int(v) for v in back["doc_id"].to_pylist())
+    assert got == sorted(int(v) for v in ids), got

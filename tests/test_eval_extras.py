@@ -79,3 +79,50 @@ def test_read_biencoder_json(tmp_path):
     assert t["hard_negative_ctxs"][0][0]["title"].as_py() == "h"
     t2 = read_biencoder_json(str(p), require_positive=False)
     assert t2.num_rows == 2
+
+
+def test_meta_title_separator_blocks_boundary_spans():
+    """The reference's ' . ' title separator (qa_validation.py:167) is
+    load-bearing: a string answer spanning the title/text boundary must
+    NOT count as a contiguous token subsequence. A plain space joined
+    'New York' + 'City council' into a false 'York City' hit."""
+    import ray
+
+    from dpr_ray.eval.meta import AttachHasAnswerFromMeta, attach_meta
+
+    tbl = pa.table(
+        {
+            "qid": ["q1"],
+            "title": ["New York"],
+            "content": ["City council met today"],
+        }
+    )
+    tbl = attach_meta(tbl)
+    ref = ray.put({"q1": ["York City"]})
+    out = AttachHasAnswerFromMeta(ref, match="string")(tbl)
+    assert out["has_answer"].to_pylist() == [False]
+    # sanity: an answer inside the text still matches
+    ref2 = ray.put({"q1": ["city council"]})
+    out2 = AttachHasAnswerFromMeta(ref2, match="string")(tbl)
+    assert out2["has_answer"].to_pylist() == [True]
+    # unknown match mode is LOUD, not silently-regex
+    import pytest
+
+    with pytest.raises(KeyError):
+        AttachHasAnswerFromMeta(ref, match="kilt")(tbl)
+
+
+def test_has_answer_regex_normalizes_pattern():
+    """The regex PATTERN is NFD-normalized like the text
+    (qa_validation.py:197-198 _normalize(single_answer)): a composed
+    'café' pattern must match a passage containing café in any form."""
+    import unicodedata
+
+    from dpr_ray.eval.qa import has_answer_regex
+
+    composed = unicodedata.normalize("NFC", "café")
+    decomposed = unicodedata.normalize("NFD", "café")
+    assert has_answer_regex([composed], f"le {decomposed} est bon")
+    assert has_answer_regex([composed], f"le {composed} est bon")
+    # a malformed pattern matches nothing rather than raising
+    assert not has_answer_regex(["([unclosed"], "anything")

@@ -915,3 +915,49 @@ def test_disjoint_merge_refuses_missing_max_docid(ray_session, tmp_path):
         merge_indexes([da, db], dm, mode="disjoint", resume=False)
     assert man.is_complete(dm), "refusal must not invalidate out_dir"
     assert QueryExecutor(dm, k=5)(qb).to_pylist() == before
+
+
+def test_merge_job_bootstrap_missing_base(tmp_path):
+    """First refresh cycle: --base-index points at a dir with no index
+    yet. merge_job must merge the delta ALONE (the missing-base path
+    merge_indexes' zero-input error message promises) instead of dying
+    with a raw FileNotFoundError reading <base>/stats.json — and a later
+    run with the base present must re-merge (signature covers the input
+    dir list). Subprocess from an off-path cwd (the shipping drive)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    delta = corpus_mod.synth_corpus_table(12, seed=9)
+    dpath = str(tmp_path / "delta.parquet")
+    pq.write_table(delta, dpath)
+    out_index = str(tmp_path / "out")
+    cmd = [
+        sys.executable, "/root/repo/tools/merge_job.py",
+        "--base-index", str(tmp_path / "no_such_base"),
+        "--delta-corpus", dpath,
+        "--out-index", out_index,
+        "--num-cpus", "2",
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
+                       text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["base"].startswith("missing")
+    assert rep["stats"]["N"] == 12
+    assert seg.read_stats(out_index)["N"] == 12
+    # no delta and no base: loud, not a FileNotFoundError
+    r2 = subprocess.run(
+        [sys.executable, "/root/repo/tools/merge_job.py",
+         "--base-index", str(tmp_path / "no_such_base"),
+         "--delta-index", str(tmp_path / "also_missing"),
+         "--out-index", str(tmp_path / "out2"), "--num-cpus", "2"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+        env=env,
+    )
+    assert r2.returncode != 0
+    combined = r2.stdout + r2.stderr
+    assert "stats.json" in combined or "nothing to merge" in combined

@@ -106,8 +106,11 @@ def test_linearize_and_split():
     # max_length 7: header(3) + row1(4) = 7 ≥ 7 → chunk; header + row2(3) → tail
     chunks = T.split_table(t, 7)
     assert chunks == ["h1 h2, h3\na b c, d\n", "h1 h2, h3\ne f, g\n"]
+    # trailing " . " is the reference contract (biencoder_data.py:396,
+    # appended AFTER the row loop): an answer ending in '.' can match
+    # across it
     assert T.get_table_string_for_answer_check(t) == (
-        "h1 h2 . h3a b c . de f . g"
+        "h1 h2 . h3a b c . de f . g . "
     )
 
 

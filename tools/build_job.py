@@ -61,7 +61,9 @@ def main() -> None:
     import pyarrow.dataset as pads
 
     in_schema = pads.dataset(args.corpus).schema
-    required = ["repo", "path", "content"]
+    # featurize passes commit/lang through to the docstore too — a
+    # corpus missing them died as a KeyError deep inside the UDF
+    required = ["repo", "path", "commit", "lang", "content"]
     missing = [c for c in required if c not in in_schema.names]
     if missing:
         raise SystemExit(

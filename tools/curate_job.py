@@ -32,6 +32,7 @@ job path (`ray.init(address=...)` honors RAY_ADDRESS).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -78,7 +79,9 @@ def main() -> None:
     import ray.data
 
     from dpr_ray._shipping import ensure_shippable
+    from dpr_ray.index.build import corpus_fingerprint
     from dpr_ray.index.io import write_partitioned
+    from dpr_ray.index.manifest import read_json_marker, write_json_atomic
     from dpr_ray.stages.curation import curate_corpus
     from dpr_ray.stages.dedup import ngram_jaccard_pairs_hashed
     from dpr_ray.util import read_parquet_clean
@@ -107,18 +110,45 @@ def main() -> None:
 
     import shutil
 
-    def phase_dir(name: str) -> tuple[str, bool]:
-        """(path, already_done). Clears a half-written phase (no marker)."""
+    # phase markers are SIGNED (the unsigned-marker class fixed for every
+    # index resume marker): a bare _SUCCESS would silently serve stale
+    # verdicts when the docs file or any curation parameter changed
+    # between runs into the same --out-dir. Mismatch → rebuild the phase
+    # (tool semantics: a re-run with new params means "recompute").
+    docs_fp = corpus_fingerprint(ray.data.read_parquet(args.docs))
+
+    def _phase_sig(*vals) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        for v in vals:
+            b = str(v).encode()
+            h.update(len(b).to_bytes(4, "little"))
+            h.update(b)
+        return h.hexdigest()
+
+    verdict_sig = _phase_sig(
+        "verdicts", docs_fp, args.id_col, args.text_col, args.ngram_k,
+        args.ngram_threshold, args.min_quality_i6, args.min_tokens,
+        args.max_tokens,
+    )
+    corpus_sig = _phase_sig("corpus", verdict_sig, args.corpus_buckets)
+
+    def phase_dir(name: str, sig: str) -> tuple[str, bool]:
+        """(path, already_done). Clears a half-written or stale phase
+        (absent, unsigned-legacy, or signature-mismatched marker)."""
         d = os.path.join(args.out_dir, name)
         marker = os.path.join(d, "_SUCCESS")
-        if os.path.exists(marker):
+        m = read_json_marker(marker)
+        if m is not None and m.get("signature") == sig:
             return d, True
+        if os.path.exists(marker):
+            print(f"# {name}: marker is unsigned or inputs/params changed"
+                  " — recomputing the phase", file=sys.stderr)
         shutil.rmtree(d, ignore_errors=True)
         return d, False
 
     t0 = time.time()
     out: dict = {}
-    vdir, vdone = phase_dir("verdicts")
+    vdir, vdone = phase_dir("verdicts", verdict_sig)
     if vdone:
         out["verdicts"] = "resumed (marker present)"
     else:
@@ -136,11 +166,13 @@ def main() -> None:
         )
         vstats = write_partitioned(verdicts, vdir, partition_col="keep",
                                    sum_cols=[])
-        open(os.path.join(vdir, "_SUCCESS"), "w").close()
+        write_json_atomic(os.path.join(vdir, "_SUCCESS"),
+                          {"signature": verdict_sig})
         out["verdict_rows"] = vstats["rows"]
         out["verdicts_sec"] = round(time.time() - t0, 2)
 
-    cdir, cdone = phase_dir("corpus") if args.write_corpus else ("", True)
+    cdir, cdone = (phase_dir("corpus", corpus_sig)
+                   if args.write_corpus else ("", True))
     if args.write_corpus and cdone:
         out["corpus"] = "resumed (marker present)"
     if args.write_corpus and not cdone:
@@ -180,7 +212,16 @@ def main() -> None:
                     return empty.append_column(
                         "bucket", pa.array([], pa.int64())
                     )
-                d = batch[id_col].to_numpy(zero_copy_only=False)
+                # cast to the verdicts' int64 docid space FIRST (loud
+                # ArrowInvalid on overflow, same as the upstream verdicts
+                # cast): a raw uint64 column compared against int64 ids
+                # promotes searchsorted/== to float64 and SILENTLY drops
+                # kept docs with ids >= 2^53
+                d = (
+                    batch[id_col]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
                 pos = np.searchsorted(self.ids, d)
                 hit = (pos < len(self.ids)) & (
                     self.ids[np.minimum(pos, len(self.ids) - 1)] == d
@@ -212,7 +253,8 @@ def main() -> None:
                 cdir, partition_col="bucket", sum_cols=[],
             )
             out["kept_rows"] = cstats["rows"]
-        open(os.path.join(cdir, "_SUCCESS"), "w").close()
+        write_json_atomic(os.path.join(cdir, "_SUCCESS"),
+                          {"signature": corpus_sig})
         out["corpus_sec"] = round(time.time() - t1, 2)
 
     out["total_sec"] = round(time.time() - t0, 2)

@@ -106,6 +106,19 @@ def main() -> None:
     # ---- phase 1: delta build
     delta_dir = args.delta_index
     if args.delta_corpus:
+        # loud up-front schema check (the build_job/curate_job rule): a
+        # wrong-shape delta otherwise dies as a KeyError deep in a UDF
+        import pyarrow.dataset as pads
+
+        in_schema = pads.dataset(args.delta_corpus).schema
+        required = ["repo", "path", "commit", "lang", "content"]
+        schema_missing = [c for c in required if c not in in_schema.names]
+        if schema_missing:
+            raise SystemExit(
+                f"--delta-corpus {args.delta_corpus} is missing column(s) "
+                f"{schema_missing}; found {in_schema.names}. Expected an "
+                "input_hint corpus (repo, path, commit, lang, content)."
+            )
         delta_dir = os.path.join(args.out_index, ".delta_index")
         t0 = time.time()
         stats_d = build_index(
@@ -117,7 +130,22 @@ def main() -> None:
         out["delta_build_sec"] = round(time.time() - t0, 2)
         out["delta_docs"] = stats_d["N"]
 
-    index_dirs = [args.base_index] + ([delta_dir] if delta_dir else [])
+    # bootstrap (first refresh cycle): a base that does not exist yet is
+    # skipped, so the merge runs over the delta alone — this is the
+    # "missing base" path dpr_ray.index.merge's zero-input error message
+    # promises. Signature changes once the base appears, so a later run
+    # with the same out-index re-merges instead of falsely resuming.
+    base_exists = os.path.exists(os.path.join(args.base_index, "stats.json"))
+    if not base_exists:
+        if not delta_dir:
+            raise SystemExit(
+                f"--base-index {args.base_index} has no index (no "
+                "stats.json) and no delta was given — nothing to merge"
+            )
+        out["base"] = "missing (bootstrap: merging delta alone)"
+    index_dirs = ([args.base_index] if base_exists else []) + (
+        [delta_dir] if delta_dir else []
+    )
     sig = _signature(index_dirs, args.mode, dels, args.deletes_are_docids)
     marker = os.path.join(args.out_index, "merge_done.json")
     if not args.no_resume and os.path.exists(marker):
