@@ -210,6 +210,11 @@ def run_bench() -> dict:
                     # (the memo stays warm afterwards for dedup_clusters /
                     # curation — their documented consumer-on-memo timing)
                     ep._ngram_pairs_memo.clear()
+                # retrieval memos cleared EVERY rep: no bench leg is a
+                # documented consumer of another leg's retrieval, so a
+                # warm hit would mis-time any future qa/reader leg
+                ep._bm25_results_memo.clear()
+                ep._qa_eval_memo.clear()
                 t0 = time.time()
                 out = fn(sf_dir)
                 if hasattr(out, "count"):

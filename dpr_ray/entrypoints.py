@@ -83,12 +83,27 @@ ensure_shippable()
 # ------------------------------------------------------------ index cache --
 
 
+def _cache_key(sf_dir: str) -> str:
+    """Cache key for the /tmp index of one sf dir: abspath PLUS the
+    documents.parquet (size, mtime_ns) fingerprint — keyed on path alone,
+    a regenerated testdata file at the same path silently served the OLD
+    corpus's index (the unsigned-cache variant of the marker-staleness
+    class the resume markers are signed against). A changed input now
+    lands on a fresh cache dir and rebuilds."""
+    ident = os.path.abspath(sf_dir)
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        ident += f"|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident += "|nostat"
+    return hashlib.md5(ident.encode()).hexdigest()[:10]
+
+
 def ensure_index(sf_dir: str) -> str:
     """Build (once) the BM25 index for a testdata sf dir; reuse across
     queries via the manifest's completeness flag (the resume path)."""
     ensure_shippable()
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    index_dir = f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_{key}"
+    index_dir = f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_{_cache_key(sf_dir)}"
     if man.is_complete(index_dir):
         return index_dir
     os.makedirs("/tmp/dpr_ray_cache", exist_ok=True)
@@ -305,15 +320,19 @@ def _i6_snap_rank(res: pd.DataFrame, id_col: str, depth: int) -> tuple[pd.DataFr
     return res, safe
 
 
-def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
-    """Engine top-k as a DataFrame reranked by (score_i6 desc, docid):
-    the shared Ray/SQL total order (exact-scored, then i6-snapped).
-    Fetch depth doubles until the K-th i6 value is strictly above the
-    deepest fetched one (i6 ties at the boundary would otherwise admit
-    unfetched smaller-docid rows in the oracle's total order)."""
+def _i6_ranked_fetch(index_dir: str, method: str = "taat") -> pd.DataFrame | None:
+    """Engine top-k reranked by (score_i6 desc, docid) — the shared
+    Ray/SQL total order (exact-scored, then i6-snapped). Fetch depth
+    doubles until the K-th i6 value is strictly above the deepest fetched
+    one (i6 ties at the boundary would otherwise admit unfetched
+    smaller-docid rows in the oracle's total order); an exhausted loop is
+    a LOUD error like every other parity guard here, never a silently
+    boundary-unsafe frame. Returns None on empty retrieval (callers own
+    their typed-empty schemas). Shared by the doc index (_bm25_results)
+    and the chunk index (_chunked_results) — the loops used to be
+    near-verbatim copies that had to be fixed in lockstep."""
     from .query.executor import search_pipeline
 
-    index_dir = ensure_index(sf_dir)
     depth = TOP_K + 10
     for _attempt in range(4):
         qds = ray.data.from_items(
@@ -321,20 +340,45 @@ def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
         )
         res = search_pipeline(qds, index_dir, k=depth, method=method).to_pandas()
         if res.empty:
-            # "score" included: q_bm25_topk's three-method bitwise compare
-            # reads it even on empty results
-            return _typed_empty(
-                qid=str, docid="int64", rank="int64",
-                score_i6="int64", score="float64",
-            )
+            return None
         res["docid"] = res["docid"].astype("int64")
         res["score_i6"] = _i6(res["score"])
         res, safe = _i6_snap_rank(res, "docid", depth)
         if safe:
-            break
+            res = res[res["rank"] <= TOP_K].reset_index(drop=True)
+            res["rank"] = res["rank"].astype("int64")
+            return res
         depth *= 4
-    res = res[res["rank"] <= TOP_K].reset_index(drop=True)
-    res["rank"] = res["rank"].astype("int64")
+    raise AssertionError(
+        f"i6 tie at the fetch boundary persists at depth {depth} under "
+        f"{index_dir} — the engine/oracle total orders cannot be compared"
+    )
+
+
+# per-process memo: _bm25_results/_qa_eval_df feed ~6 driver entries each
+# (bm25_topk, qa_eval, hits_at_k, reader_*); without the memo every entry
+# re-paid a full retrieval execution (seconds of fixed dispatch each, the
+# measured CLAUDE.md lesson). Same pattern/lifetime as _ngram_pairs_memo;
+# bench.py clears all three between repetitions so per-leg timings stay
+# honest.
+_bm25_results_memo: dict[tuple[str, str], pd.DataFrame] = {}
+_qa_eval_memo: dict[str, pd.DataFrame] = {}
+
+
+def _bm25_results(sf_dir: str, method: str = "taat") -> pd.DataFrame:
+    memo_key = (sf_dir, method)
+    hit = _bm25_results_memo.get(memo_key)
+    if hit is not None:
+        return hit
+    res = _i6_ranked_fetch(ensure_index(sf_dir), method)
+    if res is None:
+        # "score" included: q_bm25_topk's three-method bitwise compare
+        # reads it even on empty results
+        res = _typed_empty(
+            qid=str, docid="int64", rank="int64",
+            score_i6="int64", score="float64",
+        )
+    _bm25_results_memo[memo_key] = res
     return res
 
 
@@ -454,6 +498,9 @@ def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
     from .eval.qa import AttachHasAnswer
     from .query.executor import DocJoin, doc_join_copartitioned
 
+    hit = _qa_eval_memo.get(sf_dir)
+    if hit is not None:
+        return hit
     res = _bm25_results(sf_dir)
     if res.empty:
         # zero-row corpus retrieves nothing
@@ -496,6 +543,7 @@ def _qa_eval_df(sf_dir: str) -> pd.DataFrame:
         raise AssertionError(
             "co-partitioned doc join diverged from per-batch probe"
         )
+    _qa_eval_memo[sf_dir] = out
     return out
 
 
@@ -554,8 +602,13 @@ best AS (SELECT qid, min(rank) FILTER (WHERE hit) AS bh FROM hits GROUP BY qid),
 ks(k) AS (VALUES {", ".join(f"({k})" for k in HIT_KS)})
 SELECT CAST(ks.k AS BIGINT) AS k,
        count(*) FILTER (WHERE best.bh IS NOT NULL AND best.bh <= ks.k) AS n_hits
-FROM ks CROSS JOIN best GROUP BY ks.k
+FROM ks LEFT JOIN best ON TRUE GROUP BY ks.k
 """
+# LEFT JOIN ON TRUE, not CROSS JOIN: on a corpus where retrieval returns
+# ZERO rows `best` is empty and a cross join would emit 0 rows, while the
+# engine always emits one row per k with n_hits=0 — the left join keeps
+# the k rows (NULL bh counts 0 under the FILTER) and is row-identical to
+# the cross join whenever `best` is non-empty.
 )
 
 
@@ -639,18 +692,23 @@ def _ngram_pairs(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     pairs = _ngram_pairs(sf_dir)
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "docid_a": batch["docid_a"],
-                "docid_b": batch["docid_b"],
-                "jac_i6": pa.array(
-                    _i6(batch["jaccard"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
+    return pairs.map_batches(_pairs_to_i6, batch_format="pyarrow")
 
-    return pairs.map_batches(to_i6, batch_format="pyarrow")
+
+def _pairs_to_i6(batch: pa.Table) -> pa.Table:
+    """(docid_a, docid_b, jaccard) → driver-hashed (docid_a, docid_b,
+    jac_i6) — shared by ngram_jaccard / ngram_jaccard_hashed / minhash_lsh
+    (the same transform was copy-pasted in all three)."""
+    return pa.table(
+        {
+            "docid_a": batch["docid_a"],
+            "docid_b": batch["docid_b"],
+            "jac_i6": pa.array(
+                _i6(batch["jaccard"].to_numpy(zero_copy_only=False)),
+                pa.int64(),
+            ),
+        }
+    )
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -690,18 +748,7 @@ def q_ngram_jaccard_hashed(sf_dir: str):
         k=3, threshold=NGRAM_THRESHOLD,
     )
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "docid_a": batch["docid_a"],
-                "docid_b": batch["docid_b"],
-                "jac_i6": pa.array(
-                    _i6(batch["jaccard"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return pairs.map_batches(to_i6, batch_format="pyarrow")
+    return pairs.map_batches(_pairs_to_i6, batch_format="pyarrow")
 
 
 def _make_ngram_hashed_sql() -> str:
@@ -1065,18 +1112,7 @@ def q_minhash_lsh(sf_dir: str):
         source_parquet=f"{sf_dir}/documents.parquet",
     )
 
-    def to_i6(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "docid_a": batch["docid_a"],
-                "docid_b": batch["docid_b"],
-                "jac_i6": pa.array(
-                    _i6(batch["jaccard"].to_numpy(zero_copy_only=False)), pa.int64()
-                ),
-            }
-        )
-
-    return pairs.map_batches(to_i6, batch_format="pyarrow")
+    return pairs.map_batches(_pairs_to_i6, batch_format="pyarrow")
 
 
 def q_simhash(sf_dir: str):
@@ -1620,7 +1656,17 @@ def _chunk_corpus_ds(sf_dir: str):
     def to_corpus(batch: pa.Table) -> pa.Table:
         parent = batch["docid"].to_numpy(zero_copy_only=False)
         seq = batch["chunk_seq"].to_numpy(zero_copy_only=False)
-        cid = parent * 64 + seq  # ≤64 chunks/doc at these lengths
+        if len(seq) and int(seq.max()) >= 64:
+            # the *64 packing (mirrored by _CHUNKED_CORE_SQL) holds 64
+            # chunks per doc; past it, chunk ids silently COLLIDE with
+            # the next parent's id space (duplicate provided docids,
+            # wrong parent attribution) — refuse loudly instead
+            raise ValueError(
+                f"document {int(parent[int(seq.argmax())])} has "
+                f"{int(seq.max()) + 1} chunks — the chunk-docid packing "
+                "(parent*64+seq) holds at most 64 per doc"
+            )
+        cid = parent * 64 + seq
         return pa.table(
             {
                 "repo": pa.array(["chunks"] * len(cid)),
@@ -1638,8 +1684,10 @@ def _chunk_corpus_ds(sf_dir: str):
 
 
 def ensure_chunk_index(sf_dir: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    index_dir = f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_chunks_{key}"
+    # fingerprinted key (see _cache_key): stale-input staleness guard
+    index_dir = (
+        f"/tmp/dpr_ray_cache/{ENGINE_VERSION}_chunks_{_cache_key(sf_dir)}"
+    )
     if not man.is_complete(index_dir):
         os.makedirs("/tmp/dpr_ray_cache", exist_ok=True)
         build_index(_chunk_corpus_ds(sf_dir), index_dir, docid_strategy="provided")
@@ -1647,31 +1695,17 @@ def ensure_chunk_index(sf_dir: str) -> str:
 
 
 def _chunked_results(sf_dir: str) -> pd.DataFrame:
-    from .query.executor import search_pipeline
-
-    index_dir = ensure_chunk_index(sf_dir)
-    depth = TOP_K + 10
-    for _attempt in range(4):
-        qds = ray.data.from_items(
-            [{"qid": qid, "question": q} for qid, q, _a in BM25_QUERIES]
+    res = _i6_ranked_fetch(ensure_chunk_index(sf_dir))
+    if res is None:
+        # typed (not bare []-lists, which land as float64): the oracle
+        # side is BIGINT and the driver's hash is dtype-sensitive
+        return _typed_empty(
+            qid=str, chunk_docid="int64", parent_docid="int64",
+            rank="int64", score_i6="int64",
         )
-        res = search_pipeline(qds, index_dir, k=depth).to_pandas()
-        if res.empty:
-            # typed (not bare []-lists, which land as float64): the oracle
-            # side is BIGINT and the driver's hash is dtype-sensitive
-            return _typed_empty(
-                qid=str, chunk_docid="int64", parent_docid="int64",
-                rank="int64", score_i6="int64",
-            )
-        res["chunk_docid"] = res["docid"].astype("int64")
-        res["parent_docid"] = res["chunk_docid"] // 64
-        res["score_i6"] = _i6(res["score"])
-        res, safe = _i6_snap_rank(res, "chunk_docid", depth)
-        if safe:
-            break
-        depth *= 4
-    res["rank"] = res["rank"].astype("int64")
-    return res[res["rank"] <= TOP_K].reset_index(drop=True)
+    res = res.rename(columns={"docid": "chunk_docid"})
+    res["parent_docid"] = res["chunk_docid"] // 64
+    return res
 
 
 def q_chunked_bm25(sf_dir: str):

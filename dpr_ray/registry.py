@@ -32,7 +32,14 @@ def register(kind: str, name: str):
 
 def create(kind: str, config: dict):
     cfg = dict(config)
-    name = cfg.pop("name")
+    name = cfg.pop("name", None)
+    if name is None:
+        # same friendly shape as the unknown-name error below — a bare
+        # KeyError('name') named neither the kind nor the valid options
+        known = sorted(_REGISTRY.get(kind, {}))
+        raise KeyError(
+            f"config for {kind!r} has no 'name' key; known: {known}"
+        )
     try:
         factory = _REGISTRY[kind][name]
     except KeyError:

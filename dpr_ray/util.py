@@ -65,10 +65,6 @@ def token_hash62_impl(t: str) -> int:
     return token_hash31_impl(t, 131) | (token_hash31_impl(t, 137) << 31)
 
 
-def token_hash62(t: str) -> int:
-    return token_hash31(t, 131) | (token_hash31(t, 137) << 31)
-
-
 def auto_pool(frac: float = 1.0) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized from the cluster — never a
     hard-coded cap (a (1,4) pool starves a 32-CPU node), never min ==

@@ -124,3 +124,37 @@ def test_trained_knn_zero_queries(ray_session):
         assert set(out.schema().names) == {"qid", "vec_id", "rank", "sim"}, (
             fn.__name__
         )
+
+
+def test_hits_at_k_sql_matches_engine_on_empty_retrieval(
+    ray_session, empty_sf_dir
+):
+    """The oracle's final join must keep one row per k when retrieval is
+    EMPTY (the engine always emits len(HIT_KS) rows with n_hits=0): the
+    old CROSS JOIN against an empty `best` collapsed to zero rows, a
+    silent engine/oracle row-count divergence on any corpus where no
+    query term matches."""
+    import duckdb
+    import pandas as pd
+
+    from dpr_ray import entrypoints as ep
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT CAST(1 AS BIGINT) AS doc_id, 'zzz' AS text WHERE 1=0"
+    )
+    sql_rows = (
+        con.execute(ep.HITS_AT_K_SQL).df()
+        .sort_values("k").reset_index(drop=True)
+    )  # GROUP BY emits unordered rows; the driver hashes sorted content
+    assert list(sql_rows["k"]) == ep.HIT_KS
+    assert list(sql_rows["n_hits"]) == [0] * len(ep.HIT_KS)
+    # engine side on the same empty corpus (full testdata schema)
+    eng = ep.q_hits_at_k(empty_sf_dir)
+    assert list(eng["k"]) == ep.HIT_KS
+    assert list(eng["n_hits"]) == [0] * len(ep.HIT_KS)
+    pd.testing.assert_frame_equal(
+        eng.astype("int64"),
+        sql_rows.astype("int64"),
+    )

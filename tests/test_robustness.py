@@ -490,3 +490,70 @@ def test_stat_sigs_batched_matches_per_path(tmp_path):
     assert got == [_stat_sig(p) for p in mixed]
     assert got[-1] is None and got[-2] is None
     assert all(s is not None for s in got[:-2])
+
+
+def test_index_cache_key_tracks_input_fingerprint(ray_session, tmp_path):
+    """ensure_index's /tmp cache key folds in the documents.parquet
+    (size, mtime_ns) fingerprint: keyed on path alone, a regenerated
+    input at the same path silently served the OLD corpus's index."""
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dpr_ray import entrypoints as ep
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    p = str(sf / "documents.parquet")
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(src.slice(0, 20), p)
+    d1 = ep.ensure_index(str(sf))
+    n1 = seg_read_stats(d1)["N"]
+    assert n1 == 20
+    _time.sleep(0.01)  # ensure a distinct mtime_ns
+    pq.write_table(src.slice(0, 35), p)  # regenerated in place
+    d2 = ep.ensure_index(str(sf))
+    assert d2 != d1, "cache key ignored the changed input file"
+    assert seg_read_stats(d2)["N"] == 35
+    for d in (d1, d2):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def seg_read_stats(index_dir):
+    from dpr_ray.index.segments import read_stats
+
+    return read_stats(index_dir)
+
+
+def test_chunk_docid_packing_guard(ray_session, tmp_path):
+    """A document with more than 64 chunks must fail LOUDLY: the
+    parent*64+seq packing (mirrored by the chunked SQL oracle) would
+    otherwise collide its chunk ids into the next parent's docid space
+    (duplicate provided docids, wrong parent attribution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from dpr_ray import entrypoints as ep
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    long_text = " ".join(f"w{i}" for i in range(65 * ep.CHUNK_WORDS))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([long_text], pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    with _pytest.raises(Exception, match="64"):
+        ep._chunk_corpus_ds(str(sf)).count()
+
+
+def test_registry_create_errors_are_named():
+    import pytest as _pytest
+
+    from dpr_ray import registry
+
+    with _pytest.raises(KeyError, match="no 'name' key"):
+        registry.create("analyzer", {"k1": 0.9})
