@@ -171,6 +171,26 @@ _PARTIAL_SCHEMA = pa.schema(
 )
 
 
+def docstore_part_name(docids: np.ndarray) -> str:
+    """part-<lo>-<hi>.parquet, zero-padded so lexical sort == numeric
+    sort. ONE definition shared by build's DocstoreWriter and merge's
+    _write_docstore_ranged — _check_docstore_ranges' filename slicing
+    (f[5:25]/f[26:46]) depends on this exact format."""
+    return f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
+
+
+def encode_max_docid_s(x: int) -> int:
+    """Order-preserving int64 encoding of a uint64 max_docid partial (see
+    _PARTIAL_SCHEMA's max_docid_s comment); shared with merge.py."""
+    return int(x) - (1 << 63)
+
+
+def decode_max_docid_s(mx) -> int:
+    """Inverse of encode_max_docid_s; a None aggregate (zero data rows)
+    decodes to docid 0."""
+    return (int(mx) + (1 << 63)) if mx is not None else 0
+
+
 def check_block_duplicates(docids: np.ndarray, advice: str) -> None:
     """Blocks arrive docid-sorted, so a duplicate docid within a block is
     adjacent — it would silently double-count postings at query time, so
@@ -219,7 +239,7 @@ class DocstoreWriter:
             "the duplicates are the same document (dedup_ids fails loudly "
             "on distinct documents colliding on one docid)",
         )
-        name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
+        name = docstore_part_name(docids)
         pq_.write_table(batch, os.path.join(self.out_dir, name))
         terms: list[str] = []
         dfp: list[int] = []
@@ -245,7 +265,8 @@ class DocstoreWriter:
                 "max_docid_s": pa.array(
                     # term rows carry the MINIMUM encoding (docid 0) so
                     # they never win the max
-                    [int(docids.max()) - (1 << 63)] + [-(1 << 63)] * len(terms),
+                    [encode_max_docid_s(docids.max())]
+                    + [encode_max_docid_s(0)] * len(terms),
                     pa.int64(),
                 ),
                 "blocks": pa.array([1] + z, pa.int64()),
@@ -464,6 +485,16 @@ def _check_resume_sig(recorded, current, index_dir: str, source: str) -> None:
         )
 
 
+def _strip_tbucket(t: pa.Table) -> pa.Table:
+    """Drop the physical tbucket column before a hive-partitioned segment
+    write: the directory name carries the value, and the OTHER segment
+    writers (io.write_partitioned, ensure_nonempty_segments) already
+    strip it — keeping it here gave partition-resume builds a different
+    file schema than plain builds for the same logical index."""
+    i = t.schema.get_field_index("tbucket")
+    return t.remove_column(i) if i >= 0 else t
+
+
 def build_index(
     corpus_ds: ray.data.Dataset,
     index_dir: str,
@@ -643,8 +674,7 @@ def build_index(
         )
         n_docs = int(agg.get("sum(cnt)") or 0)
         sum_dl = int(agg.get("sum(sum_dl)") or 0)
-        mx_s = agg.get("max(max_docid_s)")
-        max_docid = (int(mx_s) + (1 << 63)) if mx_s is not None else 0
+        max_docid = decode_max_docid_s(agg.get("max(max_docid_s)"))
         space_bits = max(1, max_docid.bit_length())
         if n_docs and sample_mod >= 1:
             # head terms get docid-RANGE salts: salt = docid >> shift, with
@@ -703,6 +733,11 @@ def build_index(
     # decode + cumsum-with-resets), lexsorted by (term, docid), and small
     # terms are re-encoded by the batched single-block encoder.
     def merge_bucket(group: pa.Table) -> pa.Table:
+        # LOCKSTEP WARNING: merge.py's remerge_bucket re-implements this
+        # decode → lexsort(term, docid) → re-encode core (different salt /
+        # upsert-rank handling); the merge==build byte-identity property
+        # depends on the two staying semantically aligned — fix both or
+        # the property tests in test_merge_upsert.py will catch the drift.
         salt = int(group["salt"][0].as_py())
         d_all, tf_all, dl_all, tidx, terms_sorted = _bulk_decode_group(group)
         if len(d_all) == 0:
@@ -805,6 +840,21 @@ def build_index(
 
     n_slices = n_postings = None
     if not partition_resume:
+        # drop any PARTITION-path state first, resume or not: this branch
+        # is about to wipe segments_dir, and surviving spill_done.json /
+        # segments_done.json markers would make a LATER
+        # partition_resume=True run skip every "done" bucket whose dir no
+        # longer exists — a manifest-complete index with silently empty
+        # segments (live-reproduced before this guard)
+        for stale_marker in (
+            os.path.join(index_dir, "spill_done.json"),
+            os.path.join(index_dir, "segments_done.json"),
+        ):
+            if os.path.exists(stale_marker):
+                os.remove(stale_marker)
+        _sh.rmtree(
+            os.path.join(index_dir, "postings_spill"), ignore_errors=True
+        )
         final = posts.groupby(["tbucket", "salt"]).map_groups(
             merge_bucket, batch_format="pyarrow"
         )
@@ -902,7 +952,9 @@ def build_index(
             if os.path.isdir(bdir):
                 final_b = ray.data.read_parquet(bdir).groupby(
                     "salt"
-                ).map_groups(merge_bucket, batch_format="pyarrow")
+                ).map_groups(
+                    merge_bucket, batch_format="pyarrow"
+                ).map_batches(_strip_tbucket, batch_format="pyarrow")
                 final_b.write_parquet(out_b)
             done.add(b)
             man.write_json_atomic(done_path, {"buckets": sorted(done)})

@@ -209,7 +209,12 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
     feeds the part-file collision check."""
     import pyarrow.parquet as pq_
 
-    from .build import check_block_duplicates
+    from .build import (
+        check_block_duplicates,
+        decode_max_docid_s,
+        docstore_part_name,
+        encode_max_docid_s,
+    )
 
     # disjoint mode REQUIRES disjoint docids across inputs but nothing
     # upstream enforces it (upsert arbitrates cross-input collisions away
@@ -239,13 +244,15 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
                 {
                     "rows": pa.array([0], pa.int64()),
                     "sum_dl": pa.array([0], pa.int64()),
-                    "max_docid_s": pa.array([-(1 << 63)], pa.int64()),
+                    "max_docid_s": pa.array(
+                        [encode_max_docid_s(0)], pa.int64()
+                    ),
                     "blocks": pa.array([0], pa.int64()),
                 }
             )
         docids = batch["docid"].to_numpy(zero_copy_only=False)
         check_block_duplicates(docids, advice)
-        name = f"part-{int(docids[0]):020d}-{int(docids[-1]):020d}.parquet"
+        name = docstore_part_name(docids)
         pq_.write_table(batch, os.path.join(out_dir, name))
         dl = int(batch["doclen"].to_numpy(zero_copy_only=False).sum())
         return pa.table(
@@ -253,7 +260,7 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
                 "rows": pa.array([batch.num_rows], pa.int64()),
                 "sum_dl": pa.array([dl], pa.int64()),
                 "max_docid_s": pa.array(
-                    [int(docids.max()) - (1 << 63)], pa.int64()
+                    [encode_max_docid_s(docids.max())], pa.int64()
                 ),
                 "blocks": pa.array([1], pa.int64()),
             }
@@ -272,13 +279,12 @@ def _write_docstore_ranged(ds_sorted, out_dir: str, mode: str) -> dict:
     _check_docstore_ranges(
         out_dir, expected_parts=int(agg["sum(blocks)"] or 0)
     )
-    mx_s = agg["max(max_docid_s)"]
     return {
         "rows": int(agg["sum(rows)"] or 0),
         "sum_dl": int(agg["sum(sum_dl)"] or 0),
-        # decode; the all-sentinel case (only zero-row blocks) is docid 0,
+        # the all-sentinel case (only zero-row blocks) decodes to docid 0,
         # matching the zero-block return above
-        "max_docid": (int(mx_s) + (1 << 63)) if mx_s is not None else 0,
+        "max_docid": decode_max_docid_s(agg["max(max_docid_s)"]),
     }
 
 
@@ -309,6 +315,18 @@ def merge_indexes(
             "refresh should pass only the delta index — tools/merge_job.py "
             "does this for a missing base)"
         )
+    # refuse in-place merges BEFORE any mutation: the docstore/segments
+    # phases wipe out_dir's prior contents, so out_dir aliasing an input
+    # would destroy the only copy of that index and then fail reading it
+    # (the non-destructive-refusal rule). Merge to a fresh dir and swap.
+    out_real = os.path.realpath(out_dir)
+    for d in index_dirs:
+        if os.path.realpath(d) == out_real:
+            raise ValueError(
+                f"out_dir {out_dir} aliases input index {d} — in-place "
+                "merges would destroy the input before reading it; merge "
+                "to a new directory and rename"
+            )
     has_dels = bool(delete_ext_ids) or (
         delete_docids is not None and len(delete_docids) > 0
     )
@@ -484,6 +502,9 @@ def merge_indexes(
     concat_varint_decode = seg.concat_varint_decode
 
     def remerge_bucket(group: pa.Table) -> pa.Table:
+        # LOCKSTEP WARNING: this re-implements build.py merge_bucket's
+        # decode → lexsort → re-encode core (see the note there); the
+        # byte-identity property tests gate the pair.
         terms_col = group["term"].to_pylist()
         uniq_terms = sorted(set(terms_col))
         t_to_i = {t: i for i, t in enumerate(uniq_terms)}

@@ -1158,6 +1158,15 @@ class QueryExecutor:
             warm_prefiltered=warm_prefiltered,
         )
         self.k = k
+        if method not in ("taat", "maxscore", "bmw"):
+            # a typo ('MaxScore', 'max-score') would otherwise fall
+            # through every dispatch into the sparse BMW cursor path —
+            # rank-correct but silently skipping the scored cache, warm
+            # refs, and dense accumulator the caller meant to measure
+            raise ValueError(
+                f"unknown method {method!r}: expected 'taat', 'maxscore' "
+                "or 'bmw'"
+            )
         self.method = method
         s = self.store.stats
         self.n_docs = int(s["N"])
@@ -1607,6 +1616,11 @@ def search_pipeline(
             banned_ref = ray.put(b)  # one put; zero-copy read per actor
     warm_refs = None
     n_queries = None
+    if doc_join_mode not in ("probe", "copartition"):
+        raise ValueError(
+            f"unknown doc_join_mode {doc_join_mode!r}: expected 'probe' "
+            "or 'copartition'"
+        )
     sharded = bool(doc_shards and doc_shards > 1)
     if sharded and dedup_queries:
         # silently dropping an explicitly requested optimization is worse

@@ -961,3 +961,54 @@ def test_merge_job_bootstrap_missing_base(tmp_path):
     assert r2.returncode != 0
     combined = r2.stdout + r2.stderr
     assert "stats.json" in combined or "nothing to merge" in combined
+
+
+def test_merge_refuses_in_place_and_preserves_input(ray_session, tmp_path):
+    """out_dir aliasing an input must refuse BEFORE any mutation: the
+    merge wipes out_dir's manifest/stats/segments/docstore up front, so
+    an in-place 'compact' attempt destroyed the only copy of the base
+    index and then failed reading it."""
+    import ray.data
+
+    from dpr_ray.index import manifest as man
+    from dpr_ray.query.executor import QueryExecutor
+
+    base = corpus_mod.synth_corpus_table(25, seed=19)
+    d = str(tmp_path / "b")
+    build_index(ray.data.from_arrow(base).repartition(2), d,
+                docid_strategy="hash64")
+    qb = pa.table({"qid": ["q"], "question": [base["content"][0].as_py()]})
+    before = QueryExecutor(d, k=5)(qb).to_pylist()
+    with pytest.raises(ValueError, match="aliases input"):
+        merge_indexes([d], d, mode="upsert",
+                      delete_ext_ids=_ext_ids(base.slice(0, 2)))
+    # a relative-path alias of the same dir must also refuse
+    rel = os.path.relpath(d)
+    with pytest.raises(ValueError, match="aliases input"):
+        merge_indexes([d], rel, mode="upsert",
+                      delete_ext_ids=_ext_ids(base.slice(0, 2)))
+    assert man.is_complete(d)
+    assert QueryExecutor(d, k=5)(qb).to_pylist() == before
+
+
+def test_executor_rejects_unknown_method_and_join_mode(
+    ray_session, tmp_path
+):
+    """Typos must be loud: an unknown method silently fell through to the
+    sparse BMW cursor path (rank-correct, so a 'maxscore' benchmark
+    measured WAND with no error); an unknown doc_join_mode silently used
+    the probe path the caller opted out of."""
+    import ray.data
+
+    from dpr_ray.query.executor import QueryExecutor, search_pipeline
+
+    tbl = corpus_mod.synth_corpus_table(10, seed=23)
+    d = str(tmp_path / "i")
+    build_index(ray.data.from_arrow(tbl), d, docid_strategy="hash64")
+    with pytest.raises(ValueError, match="unknown method"):
+        QueryExecutor(d, method="MaxScore")
+    qb = ray.data.from_arrow(
+        pa.table({"qid": ["q"], "question": ["def"]})
+    )
+    with pytest.raises(ValueError, match="doc_join_mode"):
+        search_pipeline(qb, d, with_docs=True, doc_join_mode="co-partition")

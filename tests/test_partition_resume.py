@@ -352,3 +352,72 @@ def test_partition_resume_removes_stale_bucket_dirs(ray_session, tmp_path):
     assert not os.path.exists(stale)
     assert stats["N"] == 25
     assert _segment_rows(idx) == _segment_rows(clean)
+
+
+def test_nonpartition_rebuild_clears_partition_markers(
+    ray_session, tmp_path, monkeypatch
+):
+    """Run A completes with partition_resume=True (spill_done.json +
+    segments_done.json on disk). Run B rebuilds with
+    partition_resume=False and dies mid-segments — it must have REMOVED
+    the partition markers first: run C (partition_resume=True, resume)
+    would otherwise trust a bucket journal whose segment dirs run B
+    wiped, skip every bucket, and write a manifest-complete index with
+    silently EMPTY segments (live-reproduced before the guard)."""
+    import ray.data
+
+    from dpr_ray import corpus as corpus_mod
+    from dpr_ray.index import io as iomod
+    from dpr_ray.index import segments as seg
+    from dpr_ray.index.build import build_index
+
+    import pytest
+
+    tbl = corpus_mod.synth_corpus_table(40, seed=11)
+    d = str(tmp_path / "idx")
+    ref = str(tmp_path / "ref")
+    build_index(ray.data.from_arrow(tbl).repartition(2), d,
+                docid_strategy="hash64", partition_resume=True)
+    assert os.path.exists(os.path.join(d, "spill_done.json"))
+    assert os.path.exists(os.path.join(d, "segments_done.json"))
+    # simulate run A killed AFTER the segments phase but BEFORE the
+    # manifest write: partition markers present, no completeness claim —
+    # the state from which run B (resume=True) actually re-runs the
+    # segments phase instead of early-returning
+    for f in ("manifest.json", "stats.json"):
+        os.remove(os.path.join(d, f))
+
+    real = iomod.write_partitioned
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mid-segments kill")
+
+    monkeypatch.setattr(iomod, "write_partitioned", boom)
+    with pytest.raises(Exception, match="injected"):
+        build_index(ray.data.from_arrow(tbl).repartition(2), d,
+                    docid_strategy="hash64", partition_resume=False,
+                    resume=True)
+    assert not os.path.exists(os.path.join(d, "spill_done.json"))
+    assert not os.path.exists(os.path.join(d, "segments_done.json"))
+    monkeypatch.setattr(iomod, "write_partitioned", real)
+
+    # run C: partition resume rebuilds the spill + every bucket — the
+    # result must match a clean build, never an empty segment set
+    stats = build_index(ray.data.from_arrow(tbl).repartition(2), d,
+                        docid_strategy="hash64", partition_resume=True,
+                        resume=True)
+    build_index(ray.data.from_arrow(tbl).repartition(2), ref,
+                docid_strategy="hash64", partition_resume=True)
+    want = seg.read_stats(ref)
+    for k in ("N", "postings", "n_terms"):
+        if k in want:
+            assert stats[k] == want[k], k
+    import pyarrow.dataset as pads
+
+    n_rows = pads.dataset(
+        os.path.join(d, "segments"), partitioning="hive"
+    ).count_rows()
+    assert n_rows == pads.dataset(
+        os.path.join(ref, "segments"), partitioning="hive"
+    ).count_rows()
+    assert n_rows > 0
